@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * The reference configures only executor/driver memory
+  * (reference `main.py:18-25`); the engine additionally turns on AQE
+  * (runtime shuffle-partition coalescing + skew-join splitting — the two
+  * knobs that matter most when the same plan must survive a 100x
+  * scale-up) and pins the session timezone to UTC so timestamp semantics
+  * are oracle-stable.
+  */
+object GraftSession {
+
+  /** Apply engine defaults to an arbitrary builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // fixture events.ts is TIMESTAMP(NANOS): read as int64, converted
+    // in Tables.load (Spark has no nanosecond timestamp type)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / drivers. `cores` also sizes the shuffle
+    * fan-out: on a real cluster this would be ~2-3x total executor cores,
+    * never the 200 default. */
+  def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val s = configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

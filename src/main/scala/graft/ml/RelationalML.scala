@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's ML preprocessing stages re-expressed as pure
+  * relational fit/transform pairs (SURVEY.md §2.5, E1–E5).
+  *
+  * Each stage is two dataflow operators: a *fit* (an aggregation
+  * producing O(columns) of model state on the driver) and a *transform*
+  * (a stateless per-row map, broadcast-safe). This is exactly the shape
+  * the reference relies on via `pyspark.ml` (reference
+  * `utils/data_preprocessing.py:7-65`), decomposed so the semantics are
+  * oracle-checkable and streaming-safe.
+  *
+  * Scale: fits are single hash-aggregations with map-side partials; the
+  * only driver materialization is the tiny model state (means/stds: one
+  * row; indexer maps: #distinct-categories rows) — never data rows.
+  */
+object RelationalML {
+
+  /** StringIndexer fit (E2, reference `main.py:50`,
+    * `data_preprocessing.py:27,38`): distinct values ordered by
+    * frequency descending, ties broken alphabetically ascending; index 0
+    * is the most frequent. Returned frame: (value, cnt, idx).
+    */
+  def stringIndexerFit(df: DataFrame, c: String): DataFrame = {
+    val w = Window.orderBy(desc("cnt"), asc(c))
+    df.groupBy(c).agg(count(lit(1)).as("cnt"))
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** StringIndexer transform: broadcast-join the tiny fitted map. Rows
+    * with values unseen at fit time get a null idx (the caller decides
+    * between error / skip — MLlib default `handleInvalid=error`).
+    */
+  def stringIndexerTransform(df: DataFrame, c: String, model: DataFrame,
+      out: String): DataFrame = {
+    val m = broadcast(model.select(col(c).as(s"__val_$c"), col("idx").as(out)))
+    df.join(m, df(c) === m(s"__val_$c"), "left").drop(s"__val_$c")
+  }
+
+  /** Imputer fit (E1, reference `data_preprocessing.py:24`): per-column
+    * mean ignoring null AND NaN (MLlib strategy `mean`). One aggregation
+    * over all columns at once — the reference runs these per-stage; we
+    * collapse to a single job.
+    */
+  def imputerFit(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
+    val aggs = cols.map(c =>
+      avg(when(!isnan(col(c)), col(c))).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+  }
+
+  /** Imputer transform: in-place overwrite (inputCols == outputCols),
+    * matching the reference quirk (SURVEY §7.4.7). */
+  def imputerTransform(df: DataFrame, means: Map[String, Double]): DataFrame =
+    means.foldLeft(df) { case (d, (c, m)) =>
+      d.withColumn(c,
+        when(col(c).isNull || isnan(col(c)), lit(m)).otherwise(col(c)))
+    }
+
+  /** StandardScaler fit (E5, reference `data_preprocessing.py:35`):
+    * per-column SAMPLE stddev (Bessel-corrected). MLlib defaults are
+    * `withStd=true, withMean=false` — division only, no centering
+    * (must-preserve semantic, SURVEY §7.4.1-2).
+    */
+  def scalerFit(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
+    val aggs = cols.map(c => stddev_samp(col(c)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+  }
+
+  /** StandardScaler transform: x / std; zero-variance columns pass
+    * through as 0.0 (MLlib guard). */
+  def scalerTransform(df: DataFrame, stds: Map[String, Double],
+      suffix: String = "_scaled"): DataFrame =
+    stds.foldLeft(df) { case (d, (c, s)) =>
+      val scaled = if (s == 0.0 || s.isNaN) lit(0.0) else col(c) / lit(s)
+      d.withColumn(c + suffix, scaled)
+    }
+
+  /** OneHotEncoder transform (E3, reference `data_preprocessing.py:28`):
+    * indicator columns in fitted index order with `dropLast=true` — the
+    * last (least frequent / alphabetically last among ties) category maps
+    * to the all-zeros vector. `categories` must be in index order.
+    */
+  def oneHotColumns(c: String, categories: Seq[String],
+      dropLast: Boolean = true): Seq[Column] = {
+    val kept = if (dropLast) categories.dropRight(1) else categories
+    kept.zipWithIndex.map { case (cat, i) =>
+      when(col(c) === lit(cat), 1L).otherwise(0L).as(s"v$i")
+    }
+  }
+
+  /** VectorAssembler analog (E4, reference `main.py:57`,
+    * `data_preprocessing.py:34,41-44`): horizontal concat of scalar
+    * columns into one ArrayType(Double) column, in declared order. */
+  def assemble(cols: Seq[String], out: String): Column =
+    array(cols.map(c => col(c).cast("double")): _*).as(out)
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is one hash aggregation on a 256-bit digest — the
+  *    shuffle key is the digest, so data skew follows duplicate clusters
+  *    and AQE's skew handling applies;
+  *  - all-pairs Jaccard is quadratic and only ever run within small
+  *    blocking groups (here: `source`); the 100 TB path is MinHash+LSH,
+  *    where candidate generation is a band-bucket self-join whose shuffle
+  *    key is (band, signature-slice) — no cross-bucket pairs are ever
+  *    materialized;
+  *  - SimHash reduces each document to a 64-bit signature; near-dup
+  *    lookup becomes a hamming-distance predicate on longs.
+  */
+object Dedup {
+
+  /** Exact dedup: group by sha2(text) and keep the smallest id. Returns
+    * (keep_id, dup_cnt) per distinct content. */
+  def exactStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exact dedup returning the surviving rows. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactStats(df, textCol, idCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Distinct whitespace-token set per doc, exploded to long form:
+    * (idCol, blockCol, tok). The long form is what both the Jaccard
+    * intersection join and MinHash consume. */
+  def tokenSets(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String): DataFrame =
+    df.select(col(idCol), col(blockCol),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+
+  /** N-gram (shingle) sets per doc in long form: (idCol, blockCol, tok)
+    * where tok is the space-joined n-gram of consecutive tokens. */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    df.select(col(idCol), col(blockCol),
+      explode(array_distinct(grams)).as("tok"))
+  }
+
+  /** All-pairs Jaccard similarity >= threshold within a blocking column.
+    * `sets` is the long form from tokenSets/shingleSets. Output:
+    * (d1, d2, jaccard) with d1 < d2. The intersection is computed by a
+    * token-equality self-join *within blocks* — the shuffle key is
+    * (block, tok), so no unblocked quadratic blowup. */
+  def jaccardPairs(sets: DataFrame, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sets.select(col(idCol).as("d1"), col(blockCol).as("blk"),
+      col("tok"))
+    val b = sets.select(col(idCol).as("d2"), col(blockCol).as("blk2"),
+      col("tok").as("tok2"))
+    val inter = a.join(b,
+        col("tok") === col("tok2") && col("blk") === col("blk2") &&
+          col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature per doc: numHashes independent min-hashes of the
+    * token set. Hash family: xxhash64(seed_i, tok) — 64-bit, engine-side
+    * deterministic. Output: (idCol, sig array<long>). One shuffle
+    * (groupBy id); signatures are numHashes*8 bytes per doc.
+    */
+  def minhashSignatures(sets: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+    sets.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the `numHashes`-long signature into `bands`
+    * bands; docs sharing any band bucket are candidates. Returns
+    * candidate pairs (d1, d2), dedup'd. The self-join key is
+    * (band index, band-slice hash): only docs whose band collides ever
+    * meet, which is what makes this the 100 TB path.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int,
+      numHashes: Int): DataFrame = {
+    val rows = sigs
+      .select(col(idCol), posexplode(bandBuckets(col("sig"), bands, numHashes)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+    val a = rows.select(col(idCol).as("d1"), col("band"), col("bucket"))
+    val b = rows.select(col(idCol).as("d2"), col("band").as("band2"),
+      col("bucket").as("bucket2"))
+    a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2")
+        && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Bucket id per band: xxhash64 over the band's signature slice. */
+  private def bandBuckets(sig: Column, bands: Int, numHashes: Int): Column = {
+    val r = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      // fold modulo a prime: keeps every intermediate < ~1e15, safe
+      // under ANSI overflow checking
+      xxhash64(lit("band"), b, aggregate(
+        slice(sig, b * lit(r) + lit(1), lit(r)), lit(0L),
+        (acc, x) => (acc * 1000003L + pmod(x, lit(1000000007L))) % 1000000007L)))
+  }
+
+  /** SimHash: 64-bit signature; bit j is the sign of the sum over tokens
+    * of (+1/-1) at bit j of xxhash64(tok). One hash aggregation with 64
+    * codegen'd sum columns — no UDF, no per-bit shuffle.
+    * Output: (idCol, simhash long).
+    */
+  def simhash(sets: DataFrame, idCol: String): DataFrame = {
+    val h = xxhash64(col("tok"))
+    val aggs = (0 until 64).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"s$j"))
+    // distinct powers of two: sum == bitwise OR, no carries
+    val bits = (0 until 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

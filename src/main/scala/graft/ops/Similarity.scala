@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an `array<float>` embedding column:
+  * brute-force cosine top-k (the exact baseline) and a sign-LSH-bucketed
+  * approximate variant (the scale path).
+  *
+  * Dot products / norms are `zip_with` + `aggregate` higher-order
+  * expressions — codegen'd, no UDF, computed in double.
+  *
+  * Scale: brute-force top-k against ONE probe is a narrow map + a
+  * TakeOrdered (no shuffle of the vectors). For many-probe / all-pairs
+  * workloads, `signBuckets` gives an LSH partition key so candidate
+  * generation is a bucket-equijoin instead of a cross join.
+  */
+object Similarity {
+
+  private def toD(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toD(a), toD(b), (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(toD(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k of `df.vecCol` against the single probe vector
+    * taken from row `probeId`. The probe side is one row — broadcast —
+    * so the plan is scan → map → TakeOrderedAndProject.
+    */
+  def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
+      probeId: Long, k: Int): DataFrame = {
+    val probe = df.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__probe"))
+    df.crossJoin(broadcast(probe))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__probe")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane; hyperplane j is the
+    * axis of dimension j (deterministic, data-independent). Vectors in
+    * the same orthant share a bucket. `nBits` <= 16 keeps bucket count
+    * manageable (2^nBits).
+    */
+  def signBucket(vec: Column, nBits: Int): Column =
+    (0 until nBits).map { j =>
+      when(element_at(vec, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate cosine top-k: only vectors sharing the probe's sign
+    * bucket (or differing in one bit — multi-probe) are scored. Trades
+    * recall for a candidate set ~2^-nBits * (nBits+1) of the data.
+    */
+  def cosineTopKApprox(df: DataFrame, vecCol: String, idCol: String,
+      probeId: Long, k: Int, nBits: Int = 8): DataFrame = {
+    val bucketed = df.withColumn("__bkt", signBucket(col(vecCol), nBits))
+    val probe = bucketed.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__probe"), col("__bkt").as("__pbkt"))
+    // multi-probe: probe bucket plus its nBits hamming-1 neighbors
+    val cands = bucketed.crossJoin(broadcast(probe))
+      .filter(hammingLong(col("__bkt"), col("__pbkt")) <= 1)
+    cands.select(col(idCol),
+        round(cosine(col(vecCol), col("__probe")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  private def hammingLong(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, blocked by
+    * sign bucket so the self-join is bucket-local. Exact within-bucket;
+    * cross-bucket near-dups at the orthant boundary are the accepted
+    * approximation (raise recall by lowering nBits).
+    */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nBits: Int = 8): DataFrame = {
+    val b1 = df.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+      .withColumn("bkt", signBucket(col("v1"), nBits))
+    val b2 = df.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+      .withColumn("bkt2", signBucket(col("v2"), nBits))
+    b1.join(b2, col("bkt") === col("bkt2") && col("d1") < col("d2"))
+      .withColumn("cos_sim", cosine(col("v1"), col("v2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ml.RelationalML
+
+/** The reference's ML-stage semantics as oracle-checkable queries
+  * (SURVEY.md §2.9 Q16–Q20): StringIndexer fit, Imputer/Scaler fit +
+  * transform, accuracy, confusion matrix, one-hot encoding.
+  */
+object MLRelational {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  private val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val entries: Seq[Entry] = Seq(
+
+    // Q16 — StringIndexer fit as SQL (E2, reference main.py:50,
+    // data_preprocessing.py:27,38): frequency-desc, tie-alpha index map.
+    Entry("q16_indexer_events",
+      (s, dir) => RelationalML.stringIndexerFit(t(s, dir, "events"), "event_type")
+        .orderBy("idx"),
+      Some("""SELECT event_type, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, event_type) - 1 AS idx
+              FROM (SELECT event_type, count(*) AS cnt FROM events
+                    GROUP BY event_type)
+              ORDER BY idx""")),
+
+    Entry("q16_indexer_mktseg",
+      (s, dir) => RelationalML.stringIndexerFit(t(s, dir, "customer"), "c_mktsegment")
+        .orderBy("idx"),
+      Some("""SELECT c_mktsegment, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, c_mktsegment) - 1 AS idx
+              FROM (SELECT c_mktsegment, count(*) AS cnt FROM customer
+                    GROUP BY c_mktsegment)
+              ORDER BY idx""")),
+
+    // Q17 — Imputer + StandardScaler fit as SQL (E1+E5, reference
+    // data_preprocessing.py:24,35): per-column mean and SAMPLE stddev.
+    Entry("q17_fit_stats",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        round(avg("l_quantity"), 4).as("mean_qty"),
+        round(avg("l_extendedprice"), 4).as("mean_price"),
+        round(avg("l_discount"), 4).as("mean_disc"),
+        round(avg("l_tax"), 4).as("mean_tax"),
+        round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+        round(stddev_samp(col("l_discount")), 4).as("std_disc"),
+        round(stddev_samp(col("l_tax")), 4).as("std_tax")),
+      Some("""SELECT round(avg(l_quantity), 4) AS mean_qty,
+                     round(avg(l_extendedprice), 4) AS mean_price,
+                     round(avg(l_discount), 4) AS mean_disc,
+                     round(avg(l_tax), 4) AS mean_tax,
+                     round(stddev_samp(l_quantity), 4) AS std_qty,
+                     round(stddev_samp(l_extendedprice), 4) AS std_price,
+                     round(stddev_samp(l_discount), 4) AS std_disc,
+                     round(stddev_samp(l_tax), 4) AS std_tax
+              FROM lineitem""")),
+
+    // Q17b — Scaler transform: x / std (no centering — withMean=false,
+    // SURVEY §7.4.1) on 5 deterministic probe rows.
+    Entry("q17_scale_probe",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val stds = li.agg(
+          stddev_samp(col("l_quantity")).as("sq"),
+          stddev_samp(col("l_extendedprice")).as("sp"),
+          stddev_samp(col("l_discount")).as("sd"),
+          stddev_samp(col("l_tax")).as("st"))
+        li.crossJoin(broadcast(stds))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity") / col("sq"), 4).as("qty_scaled"),
+            round(col("l_extendedprice") / col("sp"), 4).as("price_scaled"),
+            round(col("l_discount") / col("sd"), 4).as("disc_scaled"),
+            round(col("l_tax") / col("st"), 4).as("tax_scaled"))
+          .orderBy("l_orderkey", "l_linenumber")
+          .limit(5)
+      },
+      Some("""WITH s AS (SELECT stddev_samp(l_quantity) AS sq,
+                                stddev_samp(l_extendedprice) AS sp,
+                                stddev_samp(l_discount) AS sd,
+                                stddev_samp(l_tax) AS st
+                         FROM lineitem)
+              SELECT l_orderkey, l_linenumber,
+                     round(l_quantity / sq, 4) AS qty_scaled,
+                     round(l_extendedprice / sp, 4) AS price_scaled,
+                     round(l_discount / sd, 4) AS disc_scaled,
+                     round(l_tax / st, 4) AS tax_scaled
+              FROM lineitem CROSS JOIN s
+              ORDER BY l_orderkey, l_linenumber LIMIT 5""")),
+
+    // Q18 — accuracy as SQL (M6, reference cnn_model.py:94-101):
+    // avg(pred = label) with a seeded deterministic prediction.
+    Entry("q18_accuracy",
+      (s, dir) => t(s, dir, "embeddings")
+        .agg(round(avg((col("vec_id") % 10 === col("label")).cast("double")), 4)
+          .as("accuracy")),
+      Some("""SELECT round(avg(CASE WHEN vec_id % 10 = label
+                                    THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+              FROM embeddings""")),
+
+    // Q19 — confusion matrix as SQL (M7, reference
+    // visualization.py:128-161): groupBy(label).pivot(pred).count().
+    Entry("q19_confusion",
+      (s, dir) => {
+        val preds = (0 to 9).map(i => i.toLong)
+        val pivoted = t(s, dir, "embeddings")
+          .withColumn("pred", col("vec_id") % 10)
+          .groupBy("label").pivot("pred", preds).count()
+        val filled = preds.foldLeft(pivoted) { (d, p) =>
+          d.withColumn(p.toString, coalesce(col(s"`$p`"), lit(0L)))
+        }
+        filled.orderBy("label")
+      },
+      Some((0 to 9).map(i =>
+        s"""count(*) FILTER (WHERE vec_id % 10 = $i) AS "$i"""")
+        .mkString("SELECT label, ", ", ",
+          " FROM embeddings GROUP BY label ORDER BY label"))),
+
+    // Q20 — OneHot as SQL (E3, reference data_preprocessing.py:28):
+    // dropLast indicators for c_mktsegment in fitted index order,
+    // summed per nation. Fit state (5 categories) collected on the
+    // driver — O(categories), never O(rows).
+    Entry("q20_onehot",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val cats = RelationalML.stringIndexerFit(cust, "c_mktsegment")
+          .orderBy("idx").select("c_mktsegment").collect().map(_.getString(0))
+        val indicators = RelationalML.oneHotColumns("c_mktsegment", cats.toSeq)
+        val sums = indicators.zipWithIndex.map { case (ind, i) =>
+          sum(ind).as(s"v$i")
+        }
+        cust.groupBy("c_nationkey").agg(sums.head, sums.tail: _*)
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH m AS (SELECT c_mktsegment AS seg,
+                     row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS i
+                     FROM customer GROUP BY c_mktsegment)
+              SELECT c_nationkey,
+                     CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+                     CAST(sum(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                     CAST(sum(CASE WHEN i = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                     CAST(sum(CASE WHEN i = 3 THEN 1 ELSE 0 END) AS BIGINT) AS v3
+              FROM customer JOIN m ON c_mktsegment = seg
+              GROUP BY c_nationkey ORDER BY c_nationkey"""))
+  )
+}

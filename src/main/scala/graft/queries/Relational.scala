@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational core: scan / project / filter / union / joins / aggregation /
+  * grouping sets / windows / top-k / date / json / set ops / string fns.
+  *
+  * Descends from the reference's operator surface (SURVEY.md §2.1–§2.4,
+  * §2.7): CSV scan+project (`main.py:34-41`), positional union
+  * (`main.py:39,42`), the fit-time aggregations behind every ML stage
+  * (`utils/data_preprocessing.py:24,35`), plus the engine-declared
+  * additions (filters, joins, windows) that make those semantics usable
+  * as a query engine.
+  *
+  * Scale notes (100 TB): every query here is a declarative single plan —
+  * filters/projections reach the parquet scan (verified via
+  * `PushedFilters`/`ReadSchema` in RelationalSpec), dimension joins are
+  * explicitly `broadcast()`, fact-fact joins shuffle on their join keys
+  * and rely on AQE for skew/partition-coalescing.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val entries: Seq[Entry] = Seq(
+
+    // Q1 — full scan + projection (S1/P1; reference main.py:34-41).
+    Entry("q01_scan_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // Q2 — predicate + projection (P3). Both predicates push to parquet.
+    Entry("q02_filter",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+              FROM lineitem
+              WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // Q3 — positional UNION ALL (U1; reference main.py:39,42): split
+    // orders on parity, re-union, prove no rows were lost or deduped.
+    Entry("q03_union_all",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val u = o.filter(col("o_orderkey") % 2 === 0)
+          .union(o.filter(col("o_orderkey") % 2 === 1))
+        u.agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 4).as("sum_price"))
+      },
+      Some("""SELECT count(*) AS cnt, round(sum(o_totalprice), 4) AS sum_price
+              FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0
+                    UNION ALL
+                    SELECT * FROM orders WHERE o_orderkey % 2 = 1)""")),
+
+    // Q4 — fact-fact equi-join + aggregation (TPC-H Q3 shape). Shuffle
+    // join on the key; AQE coalesces post-shuffle partitions.
+    Entry("q04_join_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                     round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                     count(*) AS n
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Q5 — star-schema dims joined with explicit broadcast (E2-transform
+    // analog: tiny lookup side replicated to every task, zero shuffle of
+    // the fact table).
+    Entry("q05_broadcast_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 4).as("acctbal"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+                     round(sum(c_acctbal), 4) AS acctbal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // Q6 — left semi (EXISTS) / left anti (NOT EXISTS).
+    Entry("q06_semi_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey").orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    Entry("q06_anti_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey").orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    // Q7 — left outer join, null-aware aggregation on the probe side.
+    Entry("q07_outer_join",
+      (s, dir) => t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"),
+          "left_outer")
+        .groupBy("s_suppkey")
+        .agg(count(col("l_orderkey")).as("n_items"),
+          round(coalesce(sum("l_quantity"), lit(0.0)), 4).as("qty"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, count(l_orderkey) AS n_items,
+                     round(coalesce(sum(l_quantity), 0.0), 4) AS qty
+              FROM supplier LEFT JOIN lineitem ON s_suppkey = l_suppkey
+              GROUP BY s_suppkey ORDER BY s_suppkey""")),
+
+    // Q8 — TPC-H Q1-shape grouped aggregation (the fit-aggregation
+    // pattern of E1/E5: partial map-side combine + final merge).
+    Entry("q08_agg_tpch_q1",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 4) AS sum_qty,
+                     round(sum(l_extendedprice), 4) AS sum_base,
+                     round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+                     round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+                     round(avg(l_quantity), 4) AS avg_qty,
+                     round(avg(l_extendedprice), 4) AS avg_price,
+                     round(avg(l_discount), 4) AS avg_disc,
+                     count(*) AS n
+              FROM lineitem
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // Q9 — ROLLUP grouping sets over the broadcast star join.
+    Entry("q09_rollup",
+      (s, dir) => {
+        val agg = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .rollup("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"),
+            round(sum("c_acctbal"), 4).as("acctbal"))
+        agg.orderBy(agg("r_name").asc_nulls_first, agg("n_name").asc_nulls_first)
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+                     round(sum(c_acctbal), 4) AS acctbal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY ROLLUP(r_name, n_name)
+              ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    // Q10 — ranking window (the StringIndexer-fit ordering primitive, E2).
+    Entry("q10_rank_window",
+      (s, dir) => {
+        val wRn = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        val wRk = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 4).as("price"),
+            row_number().over(wRn).cast("long").as("rn"),
+            rank().over(wRk).cast("long").as("rk"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                     rank() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC) AS rk
+              FROM orders ORDER BY o_custkey, rn""")),
+
+    // Q11 — analytic window with an explicit frame: running sum per user.
+    Entry("q11_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            round(sum("value").over(w), 4).as("run_sum"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                     round(sum(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                       AS run_sum
+              FROM events ORDER BY user_id, event_id""")),
+
+    // Q12 — per-group top-k = ranking window + filter.
+    Entry("q12_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 4).as("price"), col("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price, rn
+              FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                           row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                    FROM orders)
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // Q13 — date bucketing: revenue by ship year / order month.
+    Entry("q13_date_year",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("yr"),
+      Some("""SELECT year(l_shipdate) AS yr,
+                     round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                     count(*) AS n
+              FROM lineitem GROUP BY yr ORDER BY yr""")),
+
+    Entry("q13_date_month",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("mon"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .orderBy("mon"),
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+                     count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+              FROM orders GROUP BY mon ORDER BY mon""")),
+
+    // Q13b — JSON scalar extraction over events.props strings.
+    Entry("q13b_json",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy(asc_nulls_first("k")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                     count(*) AS n, round(avg(value), 4) AS avg_value
+              FROM events GROUP BY k ORDER BY k NULLS FIRST""")),
+
+    // Q14 — INTERSECT / EXCEPT (distinct set semantics in both engines).
+    Entry("q14_intersect",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              ORDER BY o_custkey""")),
+
+    Entry("q14_except",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              ORDER BY o_custkey""")),
+
+    // Q15 — scalar string functions (X3 building blocks).
+    Entry("q15_string_fns",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          lower(col("p_type")).as("type_lc"),
+          upper(col("p_brand")).as("brand_uc"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, lower(p_type) AS type_lc,
+                     upper(p_brand) AS brand_uc, length(p_name) AS name_len,
+                     substring(p_name, 1, 5) AS name_pfx,
+                     concat_ws('|', p_brand, p_type) AS brand_type
+              FROM part ORDER BY p_partkey""")),
+
+    // Q15b — generator: split + explode token counts.
+    Entry("q15_explode_tokens",
+      (s, dir) => t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token"),
+      Some("""SELECT token, count(*) AS n
+              FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+              GROUP BY token ORDER BY token"""))
+  )
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.Similarity
+
+/** Similarity search over `embeddings` (SURVEY.md §2.9 X2 + the ANN /
+  * embedding near-dup extensions).
+  */
+object SimilarityOps {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  /** Shared oracle body: exact per-vector cosine vs the vec_id=0 probe,
+    * computed in double via 1-based list indexing (dim = 64). */
+  private def cosineSql(candFilter: String): String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+                     ${signBucketSql("embedding")} AS bkt
+              FROM embeddings),
+        probe AS (SELECT embedding AS p, bkt AS pbkt FROM b WHERE vec_id = 0),
+        cand AS (SELECT vec_id, embedding FROM b CROSS JOIN probe
+                 WHERE $candFilter),
+        d AS (SELECT c.vec_id,
+                     sum(CAST(c.embedding[i] AS DOUBLE) * CAST(p.p[i] AS DOUBLE)) AS dp,
+                     sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
+                            * CAST(c.embedding[i] AS DOUBLE))) AS na,
+                     sqrt(sum(CAST(p.p[i] AS DOUBLE)
+                            * CAST(p.p[i] AS DOUBLE))) AS nb
+              FROM cand c CROSS JOIN probe p, range(1, 65) t(i)
+              GROUP BY c.vec_id)
+        SELECT vec_id, round(dp / (na * nb), 4) AS cos_sim FROM d
+        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+  private def signBucketSql(v: String, nBits: Int = 8): String =
+    (0 until nBits)
+      .map(j => s"(CASE WHEN $v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  val entries: Seq[Entry] = Seq(
+
+    // X2 — exact brute-force cosine top-10 vs the vec_id=0 probe.
+    Entry("x2_cosine_topk",
+      (s, dir) => Similarity.cosineTopK(
+        t(s, dir, "embeddings"), "embedding", "vec_id", 0L, 10),
+      Some(cosineSql("TRUE"))),
+
+    // X2b — sign-LSH bucketed ANN top-10 (multi-probe hamming <= 1):
+    // the scale path — candidates shrink ~2^-8 * 9 of the data.
+    Entry("x2_cosine_topk_ann",
+      (s, dir) => Similarity.cosineTopKApprox(
+        t(s, dir, "embeddings"), "embedding", "vec_id", 0L, 10, 8),
+      Some(cosineSql("bit_count(xor(bkt, pbkt)) <= 1"))),
+
+    // Embedding-cosine near-duplicate pairs, sign-bucket blocked.
+    Entry("x2_embedding_neardup",
+      (s, dir) => Similarity.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), "embedding", "vec_id", 0.95, 4)
+        .orderBy("d1", "d2"),
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
+                     ${signBucketSql("embedding", 4)} AS bkt
+                FROM embeddings),
+              pairs AS (
+                SELECT b1.vec_id AS d1, b2.vec_id AS d2,
+                       b1.embedding AS v1, b2.embedding AS v2
+                FROM b b1 JOIN b b2
+                  ON b1.bkt = b2.bkt AND b1.vec_id < b2.vec_id),
+              d AS (SELECT d1, d2,
+                     sum(CAST(v1[i] AS DOUBLE) * CAST(v2[i] AS DOUBLE)) AS dp,
+                     sqrt(sum(CAST(v1[i] AS DOUBLE) * CAST(v1[i] AS DOUBLE))) AS na,
+                     sqrt(sum(CAST(v2[i] AS DOUBLE) * CAST(v2[i] AS DOUBLE))) AS nb
+                    FROM pairs, range(1, 65) t(i) GROUP BY d1, d2)
+              SELECT d1, d2, round(dp / (na * nb), 4) AS cos_sim FROM d
+              WHERE dp / (na * nb) >= 0.95
+              ORDER BY d1, d2"""))
+  )
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Dedup, TextStats}
+
+/** LLM-pipeline text operators over `documents` (SURVEY.md §2.9 X1/X3/X4
+  * plus the training-data-pipeline extensions: language-ID, quality
+  * scoring, token counting, fingerprinting, MinHash/SimHash near-dup).
+  */
+object TextOps {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  private val stopSql = "('the','a','an','of','to','in','and','is','it','that')"
+
+  val entries: Seq[Entry] = Seq(
+
+    // X1 — exact dedup: hash-groupBy on sha2(text), keep min doc_id.
+    // Oracle groups by text itself (identical modulo SHA-256 collision).
+    Entry("x1_exact_dedup",
+      (s, dir) => Dedup.exactStats(t(s, dir, "documents"), "text", "doc_id")
+        .select("keep_id", "dup_cnt").orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+              FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    // X3 — text stats per language: doc/token counts + exact n_chars
+    // percentiles (exact `percentile`, not approx, for oracle parity).
+    Entry("x3_text_stats",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("text"))).as("n_tokens"),
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_chars"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                     round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                     round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // X4 — near-dup: exact Jaccard on distinct token sets, blocked by
+    // `source`, threshold 0.6. (MinHash+LSH below is the at-scale path.)
+    Entry("x4_jaccard_neardup",
+      (s, dir) => Dedup.jaccardPairs(
+        Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id", "source"),
+        "doc_id", "source", 0.6)
+        .orderBy("d1", "d2"),
+      Some("""WITH toks AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT d1, d2,
+                     round(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+              FROM inter
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
+              ORDER BY d1, d2""")),
+
+    // X4b — n-gram (3-shingle) Jaccard variant of X4.
+    Entry("x4_ngram_jaccard",
+      (s, dir) => Dedup.jaccardPairs(
+        Dedup.shingleSets(t(s, dir, "documents"), "text", "doc_id", "source", 3),
+        "doc_id", "source", 0.35)
+        .orderBy("d1", "d2"),
+      Some("""WITH grams AS (
+                SELECT DISTINCT doc_id, source,
+                       array_to_string(toks[i:i+2], ' ') AS tok
+                FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                      FROM documents),
+                     range(1, greatest(len(toks) - 2, 1) + 1) t(i)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                FROM grams a JOIN grams b
+                  ON a.tok = b.tok AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT d1, d2,
+                     round(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+              FROM inter
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.35
+              ORDER BY d1, d2""")),
+
+    // MinHash + LSH near-dup candidates, verified with exact Jaccard —
+    // the 100 TB dedup path. Engine-side hash family (xxhash64) has no
+    // DuckDB equivalent → rows-only check.
+    Entry("x4_minhash_lsh",
+      (s, dir) => {
+        val sets = Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id",
+          "source")
+        val sigs = Dedup.minhashSignatures(sets, "doc_id", 32)
+        val cands = Dedup.lshCandidates(sigs, "doc_id", 8, 32)
+        // verify candidates with exact Jaccard (join back token sets)
+        val verified = Dedup.jaccardPairs(sets, "doc_id", "source", 0.5)
+          .join(cands, Seq("d1", "d2"), "left_semi")
+        verified.orderBy("d1", "d2")
+      },
+      None),
+
+    // SimHash signatures + hamming-close pairs (<= 6 of 64 bits).
+    Entry("x4_simhash",
+      (s, dir) => {
+        val sets = Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id",
+          "source")
+        val sigs = Dedup.simhash(sets, "doc_id")
+        val a = sigs.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+        val b = sigs.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+        a.join(b, col("d1") < col("d2"))
+          .withColumn("dist", Dedup.hamming(col("h1"), col("h2")))
+          .filter(col("dist") <= 6)
+          .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"))
+          .orderBy("d1", "d2")
+      },
+      None),
+
+    // Language-ID heuristic (script ranges + function words).
+    Entry("t_lang_id",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"), TextStats.langId(col("text")).as("detected"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "detected"),
+      Some("""SELECT lang,
+                     CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                          WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+                          WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
+                          WHEN regexp_matches(text, '(^| )(el|la|los|las|una|es|que) ') THEN 'es'
+                          WHEN regexp_matches(text, '(^| )(le|les|des|est|une|dans) ') THEN 'fr'
+                          WHEN regexp_matches(text, '(^| )(der|die|das|und|ist|nicht) ') THEN 'de'
+                          ELSE 'en' END AS detected,
+                     count(*) AS n
+              FROM documents GROUP BY lang, detected
+              ORDER BY lang, detected""")),
+
+    // Quality-scoring signals per document.
+    Entry("t_quality",
+      (s, dir) => TextStats.qualityColumns(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tok", "mean_tok_len", "stopword_ratio",
+          "symbol_ratio")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tok,
+                     round(length(text) * 1.0
+                       / greatest(len(string_split(text, ' ')), 1), 4)
+                       AS mean_tok_len,
+                     round(len(list_filter(string_split(text, ' '),
+                         t -> t IN $stopSql)) * 1.0
+                       / greatest(len(string_split(text, ' ')), 1), 4)
+                       AS stopword_ratio,
+                     round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
+                       / greatest(length(text), 1), 4) AS symbol_ratio
+              FROM documents ORDER BY doc_id""")),
+
+    // Token counting: whitespace + BPE-ish regex pre-tokenization.
+    Entry("t_token_count",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).as("ws_tokens"),
+          TextStats.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(string_split(text, ' ')) AS ws_tokens,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+              FROM documents ORDER BY doc_id""")),
+
+    // Rolling-hash document fingerprint (order-sensitive).
+    Entry("t_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(text, ' '),
+                           t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+              FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Time-window aggregations (SURVEY.md §2.8, Q21–Q23) run in batch mode.
+  *
+  * The exact same `window()` / `session_window()` expressions run
+  * unchanged under Structured Streaming (`graft.streaming.EventStreams`
+  * wires them behind `readStream` + watermark); batch mode makes them
+  * DuckDB-checkable via epoch bucketing. Window starts are emitted as
+  * epoch seconds — timezone-proof across engines.
+  */
+object TimeWindows {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val entries: Seq[Entry] = Seq(
+
+    // Q21 — tumbling 5-minute window count/sum per event_type.
+    Entry("q21_tumbling_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type"),
+      Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start,
+                     event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+              FROM events GROUP BY w_start, event_type
+              ORDER BY w_start, event_type""")),
+
+    // Q22 — sliding 10-minute window, 2-minute slide: each event lands in
+    // exactly 5 windows.
+    Entry("q22_sliding_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "2 minutes"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("n"), col("avg_value"))
+        .orderBy("w_start"),
+      Some("""SELECT ws AS w_start, count(*) AS n, round(avg(value), 4) AS avg_value
+              FROM (SELECT CAST(floor(epoch(ts) / 120) * 120 AS BIGINT) - 120 * i
+                             AS ws, value
+                    FROM events CROSS JOIN range(0, 5) t(i))
+              GROUP BY ws ORDER BY ws""")),
+
+    // Q23 — session window: 30-minute inactivity gap per user. Spark
+    // semantics: session end = last event ts + gap; an event exactly at
+    // the session end starts a NEW session (>= in the oracle's
+    // gaps-and-islands form).
+    Entry("q23_session_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("s_start"),
+          unix_timestamp(col("session_window.end")).as("s_end"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "s_start"),
+      Some("""WITH e AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sess AS (
+                SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+                FROM e)
+              SELECT user_id,
+                     CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+                     CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+                       AS s_end,
+                     count(*) AS n, round(sum(value), 4) AS sum_value
+              FROM sess GROUP BY user_id, sid
+              ORDER BY user_id, s_start"""))
+  )
+}
