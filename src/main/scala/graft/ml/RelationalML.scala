@@ -50,7 +50,15 @@ object RelationalML {
     val aggs = cols.map(c =>
       avg(when(!isnan(col(c)), col(c))).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+    cols.zipWithIndex.map { case (c, i) =>
+      // avg over an entirely null/NaN column is null — surface a clear
+      // error (MLlib's Imputer does the same) instead of an NPE
+      if (row.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"imputerFit: surrogate for column '$c' is undefined " +
+            "(all values null/NaN)")
+      c -> row.getDouble(i)
+    }.toMap
   }
 
   /** Imputer transform: in-place overwrite (inputCols == outputCols),

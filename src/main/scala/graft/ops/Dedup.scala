@@ -60,12 +60,15 @@ object Dedup {
   def jaccardPairs(sets: DataFrame, idCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // Join on a 64-bit hash of the token, not the token string: same
+    // intersection counts (collision odds ~n^2/2^64) at a fraction of the
+    // shuffle width — shingles average tens of bytes, the hash is 8.
     val a = sets.select(col(idCol).as("d1"), col(blockCol).as("blk"),
-      col("tok"))
+      xxhash64(col("tok")).as("tokh"))
     val b = sets.select(col(idCol).as("d2"), col(blockCol).as("blk2"),
-      col("tok").as("tok2"))
+      xxhash64(col("tok")).as("tokh2"))
     val inter = a.join(b,
-        col("tok") === col("tok2") && col("blk") === col("blk2") &&
+        col("tokh") === col("tokh2") && col("blk") === col("blk2") &&
           col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
     inter
@@ -73,6 +76,27 @@ object Dedup {
       .join(sizes.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
       .withColumn("jaccard",
         col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact Jaccard computed ONLY for the given candidate pairs — the
+    * verification half of MinHash+LSH dedup. Token sets are first rolled
+    * up to one array per doc (sorted, so set ops are mergeable), then
+    * joined onto the pairs by doc id: per-candidate cost is one
+    * array_intersect, and no non-candidate pair is ever scored. This is
+    * the 100 TB path: work scales with |candidates|, not |docs|^2.
+    */
+  def jaccardOnPairs(pairs: DataFrame, sets: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val toks = sets.groupBy(col(idCol))
+      .agg(collect_set(xxhash64(col("tok"))).as("toks"))
+    pairs
+      .join(toks.select(col(idCol).as("d1"), col("toks").as("t1")), "d1")
+      .join(toks.select(col(idCol).as("d2"), col("toks").as("t2")), "d2")
+      .withColumn("c", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jaccard", col("c").cast("double")
+        / (size(col("t1")) + size(col("t2")) - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -81,12 +81,17 @@ object Similarity {
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {
-    val b1 = df.select(col(idCol).as("d1"), col(vecCol).as("v1"))
-      .withColumn("bkt", signBucket(col("v1"), nBits))
-    val b2 = df.select(col(idCol).as("d2"), col(vecCol).as("v2"))
-      .withColumn("bkt2", signBucket(col("v2"), nBits))
+    // Norms are computed ONCE per vector before the pair join (the naive
+    // form recomputes both norms inside every pair — 3x the per-pair
+    // array traversals). Per candidate pair only the dot product remains.
+    val b1 = df.select(col(idCol).as("d1"), col(vecCol).as("v1"),
+      norm(col(vecCol)).as("nrm1"), signBucket(col(vecCol), nBits).as("bkt"))
+    val b2 = df.select(col(idCol).as("d2"), col(vecCol).as("v2"),
+      norm(col(vecCol)).as("nrm2"),
+      signBucket(col(vecCol), nBits).as("bkt2"))
     b1.join(b2, col("bkt") === col("bkt2") && col("d1") < col("d2"))
-      .withColumn("cos_sim", cosine(col("v1"), col("v2")))
+      .withColumn("cos_sim",
+        dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos_sim") >= threshold)
       .select(col("d1"), col("d2"), round(col("cos_sim"), 4).as("cos_sim"))
   }

@@ -163,15 +163,18 @@ object Relational {
     // Q9 — ROLLUP grouping sets over the broadcast star join.
     Entry("q09_rollup",
       (s, dir) => {
-        val agg = t(s, dir, "customer")
+        t(s, dir, "customer")
           .join(broadcast(t(s, dir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, dir, "region")),
             col("n_regionkey") === col("r_regionkey"))
-          .rollup("r_name", "n_name")
+          // rollup(Column*): the String* overload resolves the names
+          // through Dataset.col's ambiguous-self-join tagging, which
+          // false-positives after two joins (Spark 4.1 quirk)
+          .rollup(col("r_name"), col("n_name"))
           .agg(count(lit(1)).as("n_cust"),
             round(sum("c_acctbal"), 4).as("acctbal"))
-        agg.orderBy(agg("r_name").asc_nulls_first, agg("n_name").asc_nulls_first)
+          .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
       },
       Some("""SELECT r_name, n_name, count(*) AS n_cust,
                      round(sum(c_acctbal), 4) AS acctbal

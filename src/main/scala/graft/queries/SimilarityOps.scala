@@ -52,13 +52,14 @@ object SimilarityOps {
         t(s, dir, "embeddings"), "embedding", "vec_id", 0L, 10, 8),
       Some(cosineSql("bit_count(xor(bkt, pbkt)) <= 1"))),
 
-    // Embedding-cosine near-duplicate pairs, sign-bucket blocked.
+    // Embedding-cosine near-duplicate pairs, sign-bucket blocked
+    // (8 bits = 256 buckets: ~16x fewer within-bucket pairs than 4).
     Entry("x2_embedding_neardup",
       (s, dir) => Similarity.embeddingNearDupPairs(
-        t(s, dir, "embeddings"), "embedding", "vec_id", 0.95, 4)
+        t(s, dir, "embeddings"), "embedding", "vec_id", 0.95, 8)
         .orderBy("d1", "d2"),
       Some(s"""WITH b AS (SELECT vec_id, embedding,
-                     ${signBucketSql("embedding", 4)} AS bkt
+                     ${signBucketSql("embedding", 8)} AS bkt
                 FROM embeddings),
               pairs AS (
                 SELECT b1.vec_id AS d1, b2.vec_id AS d2,

@@ -75,10 +75,11 @@ object TextOps {
         .orderBy("d1", "d2"),
       Some("""WITH grams AS (
                 SELECT DISTINCT doc_id, source,
-                       array_to_string(toks[i:i+2], ' ') AS tok
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(toks) - 2, 1)),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS tok
                 FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
-                      FROM documents),
-                     range(1, greatest(len(toks) - 2, 1) + 1) t(i)),
+                      FROM documents)),
               sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
               inter AS (
                 SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
@@ -103,10 +104,10 @@ object TextOps {
           "source")
         val sigs = Dedup.minhashSignatures(sets, "doc_id", 32)
         val cands = Dedup.lshCandidates(sigs, "doc_id", 8, 32)
-        // verify candidates with exact Jaccard (join back token sets)
-        val verified = Dedup.jaccardPairs(sets, "doc_id", "source", 0.5)
-          .join(cands, Seq("d1", "d2"), "left_semi")
-        verified.orderBy("d1", "d2")
+        // verify ONLY the LSH candidates with exact Jaccard — per-pair
+        // array_intersect, never an all-pairs pass
+        Dedup.jaccardOnPairs(cands, sets, "doc_id", 0.5)
+          .orderBy("d1", "d2")
       },
       None),
 

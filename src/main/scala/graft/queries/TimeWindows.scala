@@ -32,15 +32,18 @@ object TimeWindows {
               ORDER BY w_start, event_type""")),
 
     // Q22 — sliding 10-minute window, 2-minute slide: each event lands in
-    // exactly 5 windows.
+    // exactly 5 windows. Compared on (n, sum) rather than avg: sums of
+    // ~4-decimal values stay exactly representable, while avg = sum/n
+    // frequently lands exactly on a x.xxxx5 half-boundary where Spark and
+    // DuckDB round opposite ways (the round-1 hash mismatch).
     Entry("q22_sliding_window",
       (s, dir) => t(s, dir, "events")
         .groupBy(window(col("ts"), "10 minutes", "2 minutes"))
-        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("w_start"),
-          col("n"), col("avg_value"))
+          col("n"), col("sum_value"))
         .orderBy("w_start"),
-      Some("""SELECT ws AS w_start, count(*) AS n, round(avg(value), 4) AS avg_value
+      Some("""SELECT ws AS w_start, count(*) AS n, round(sum(value), 4) AS sum_value
               FROM (SELECT CAST(floor(epoch(ts) / 120) * 120 AS BIGINT) - 120 * i
                              AS ws, value
                     FROM events CROSS JOIN range(0, 5) t(i))
