@@ -95,20 +95,16 @@ object TextOps {
               WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.35
               ORDER BY d1, d2""")),
 
-    // MinHash + LSH near-dup candidates, verified with exact Jaccard —
-    // the 100 TB dedup path. Engine-side hash family (xxhash64) has no
-    // DuckDB equivalent → rows-only check.
+    // MinHash + LSH dedup assignments (exact-dedup pre-pass → signatures
+    // over representatives → per-bucket min keeper → exact-Jaccard verify
+    // of the single per-doc pair) — the 100 TB dedup path; output rows
+    // are linear in docs even on a near-duplicate-dense corpus. The
+    // engine-side hash family (xxhash64) has no DuckDB equivalent →
+    // rows-only check.
     Entry("x4_minhash_lsh",
-      (s, dir) => {
-        val sets = Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id",
-          "source")
-        val sigs = Dedup.minhashSignatures(sets, "doc_id", 32)
-        val cands = Dedup.lshCandidates(sigs, "doc_id", 8, 32)
-        // verify ONLY the LSH candidates with exact Jaccard — per-pair
-        // array_intersect, never an all-pairs pass
-        Dedup.jaccardOnPairs(cands, sets, "doc_id", 0.5)
-          .orderBy("d1", "d2")
-      },
+      (s, dir) => Dedup.minhashLshDedup(t(s, dir, "documents"),
+        "text", "doc_id", 32, 8, 0.5)
+        .orderBy("d1", "d2"),
       None),
 
     // SimHash signatures + hamming-close pairs (<= 6 of 64 bits).
