@@ -50,9 +50,10 @@ object TimeWindows {
               GROUP BY ws ORDER BY ws""")),
 
     // Q23 — session window: 30-minute inactivity gap per user. Spark
-    // semantics: session end = last event ts + gap; an event exactly at
-    // the session end starts a NEW session (>= in the oracle's
-    // gaps-and-islands form).
+    // semantics (verified empirically in TimeWindowsSpec): an event
+    // exactly at the previous session's end EXTENDS it — a new session
+    // starts only when the gap is STRICTLY greater than 30 minutes
+    // (strict > in the oracle's gaps-and-islands form).
     Entry("q23_session_window",
       (s, dir) => t(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -65,7 +66,7 @@ object TimeWindows {
       Some("""WITH e AS (
                 SELECT user_id, ts, event_id, value,
                        CASE WHEN lag(ts) OVER w IS NULL
-                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS new_s
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b c d", "s1"),
+    (2L, "a b c d", "s1"),      // exact dup of 1
+    (3L, "a b c e", "s1"),      // 3/5 jaccard vs 1
+    (4L, "x y z w", "s1"),      // unrelated
+    (5L, "a b c d", "s2")       // exact dup, other block
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps min id per distinct text") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L)))
+  }
+
+  test("exactStats counts duplicates") {
+    val stats = Dedup.exactStats(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(stats.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_cnt")))
+      .toSeq == Seq((1L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("jaccardPairs computes exact within-block similarity") {
+    val sets = Dedup.tokenSets(docs, "text", "doc_id", "source")
+    val pairs = Dedup.jaccardPairs(sets, "doc_id", "source", 0.5)
+      .orderBy("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // within s1: (1,2)=1.0, (1,3)=(2,3)=3/5=0.6; (4,*) below threshold;
+    // 5 is in s2 so never pairs with 1/2 despite identical text
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0), (1L, 3L, 0.6), (2L, 3L, 0.6)))
+  }
+
+  test("shingleSets emits n-grams, short docs collapse to one gram") {
+    val grams = Dedup.shingleSets(
+      Seq((1L, "a b c d", "s")).toDF("doc_id", "text", "source"),
+      "text", "doc_id", "source", 3)
+      .select("tok").as[String].collect().sorted
+    assert(grams.sameElements(Array("a b c", "b c d")))
+    val short = Dedup.shingleSets(
+      Seq((1L, "a b", "s")).toDF("doc_id", "text", "source"),
+      "text", "doc_id", "source", 3)
+      .select("tok").as[String].collect()
+    assert(short.sameElements(Array("a b")))
+  }
+
+  test("identical docs get identical minhash signatures; candidates catch them") {
+    val sets = Dedup.tokenSets(docs, "text", "doc_id", "source")
+    val sigs = Dedup.minhashSignatures(sets, "doc_id", 16)
+    val bySig = sigs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(bySig(1L) == bySig(2L) && bySig(1L) == bySig(5L))
+    assert(bySig(1L) != bySig(4L))
+    val cands = Dedup.lshCandidates(sigs, "doc_id", 4, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)) && cands.contains((1L, 5L)))
+  }
+
+  test("jaccardOnPairs scores only the given pairs") {
+    val sets = Dedup.tokenSets(docs, "text", "doc_id", "source")
+    val pairs = Seq((1L, 3L), (1L, 4L)).toDF("d1", "d2")
+    val out = Dedup.jaccardOnPairs(pairs, sets, "doc_id", 0.0)
+      .orderBy("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 3L, 0.6), (1L, 4L, 0.0)))
+  }
+
+  test("minhashLshDedup assigns near-dups to the min-id keeper") {
+    val out = Dedup.minhashLshDedup(docs, "text", "doc_id", 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 2 and 5 are exact dups of 1 — dropped in the exact pre-pass, so the
+    // only near-dup assignment left is 3 -> keeper 1 (J = 0.6)
+    assert(out == Set((1L, 3L, 0.6)))
+  }
+
+  test("simhash: identical texts match, near texts are hamming-close") {
+    val sets = Dedup.tokenSets(docs, "text", "doc_id", "source")
+    val sig = Dedup.simhash(sets, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <
+      java.lang.Long.bitCount(sig(1L) ^ sig(4L)))
+  }
+
+  test("dedup is idempotent") {
+    val once = Dedup.exact(docs, "text", "doc_id")
+    val twice = Dedup.exact(once, "text", "doc_id")
+    assert(once.count() == twice.count())
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(1f, 0.01f, 0f, 0f)),   // ~same direction as 0
+    (2L, Array(0f, 1f, 0f, 0f)),      // orthogonal
+    (3L, Array(-1f, 0f, 0f, 0f)),     // opposite
+    (4L, Array(2f, 0f, 0f, 0f))       // same direction, scaled
+  ).toDF("vec_id", "embedding")
+
+  test("dot / norm / cosine on known vectors") {
+    val r = vecs.filter(col("vec_id") === 4L)
+      .select(
+        Similarity.dot(col("embedding"), col("embedding")).as("d"),
+        Similarity.norm(col("embedding")).as("n"))
+      .head()
+    assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 2.0)
+  }
+
+  test("cosineTopK ranks by angle; 4-dp ties break by vec_id asc") {
+    val top = Similarity.cosineTopK(vecs, "embedding", "vec_id", 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // cos(0,1) = 0.99995 rounds to 1.0 — three-way tie 0/1/4, id order
+    assert(top.take(3).toSeq == Seq((0L, 1.0), (1L, 1.0), (4L, 1.0)))
+    assert(top(3) == (2L, 0.0))
+    assert(top.last == (3L, -1.0))
+  }
+
+  test("approx topK multi-probe covers hamming-1 buckets") {
+    val top = Similarity.cosineTopKApprox(vecs, "embedding", "vec_id",
+      0L, 5, 4).collect().map(_.getLong(0)).toSet
+    // probe bucket = 0b0001; v2 (0b0010) is hamming-2 away → excluded;
+    // v3 (0b0000) is hamming-1 → scored despite cos = -1
+    assert(top == Set(0L, 1L, 4L, 3L))
+  }
+
+  test("embeddingNearDupPairs finds codirectional pairs within buckets") {
+    // nBits=1 blocks on sign of dim 1 only: {0,1,4} vs {2,3}
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      0.95, 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("brute-force and ANN top-k agree on the fixture probe") {
+    val dir = TestSpark.sf0001
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val exact = Similarity.cosineTopK(emb, "embedding", "vec_id", 0L, 10)
+      .collect().map(_.getLong(0))
+    val ann = Similarity.cosineTopKApprox(emb, "embedding", "vec_id", 0L, 10, 8)
+      .collect().map(_.getLong(0))
+    // ANN must at minimum recover the probe itself and rank it first
+    assert(exact.head == 0L && ann.head == 0L)
+  }
+}

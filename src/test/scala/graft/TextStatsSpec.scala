@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.TextStats
+
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = one("hello world, 42 tests!")
+      .select(TextStats.tokenCount(col("text")),
+        TextStats.bpeTokenCount(col("text"))).head()
+    assert(r.getLong(0) == 4)
+    // hello | world | , | 42 | tests | !
+    assert(r.getLong(1) == 6)
+  }
+
+  test("langId picks scripts and function words") {
+    val cases = Seq(
+      "the quick brown fox" -> "en",
+      "der hund ist nicht hier" -> "de",
+      "le chat est dans le jardin" -> "fr",
+      "la casa es que grande" -> "es")
+    cases.foreach { case (txt, want) =>
+      val got = one(txt).select(TextStats.langId(col("text"))).head().getString(0)
+      assert(got == want, s"'$txt' -> $got, want $want")
+    }
+  }
+
+  test("quality columns compute the declared ratios") {
+    val r = TextStats.qualityColumns(one("the cat sat"), "text").head()
+    assert(r.getAs[Long]("n_tok") == 3)
+    // 11 chars / 3 tokens
+    assert(math.abs(r.getAs[Double]("mean_tok_len") - 3.6667) < 1e-4)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.3333) < 1e-4)
+    assert(r.getAs[Double]("symbol_ratio") == 0.0)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val a = one("a b c").select(TextStats.fingerprint(col("text"))).head().getLong(0)
+    val b = one("c b a").select(TextStats.fingerprint(col("text"))).head().getLong(0)
+    val a2 = one("a b c").select(TextStats.fingerprint(col("text"))).head().getLong(0)
+    assert(a == a2 && a != b)
+  }
+}
