@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.8).
+  *
+  * The reference pins the Kafka connector on its classpath but never
+  * calls `readStream` (reference `main.py:22`) — the latent intent is
+  * scoring flow records as they arrive. Here every windowed transform is
+  * a plain `DataFrame => DataFrame`, applied identically to a batch
+  * frame (where `withWatermark` is a no-op and the DuckDB oracle can
+  * check it — queries Q21–Q23) or to a streaming frame from
+  * `readStream` (file source, rate source, or Kafka when a broker
+  * exists). Batch/stream parity is asserted in StreamingSpec.
+  *
+  * Scale notes: watermarks bound state (late rows beyond the watermark
+  * are dropped, so the state store holds only open windows);
+  * `dropDuplicatesWithinWatermark` keeps the dedup state window-bounded
+  * instead of unbounded-forever; per-event scoring is a stateless map
+  * and needs no state store at all.
+  */
+object EventStreams {
+
+  /** Tumbling 5-minute count/sum per event_type (streaming Q21). */
+  def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 10-minute window, 2-minute slide (streaming Q22). */
+  def sliding(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "2 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+
+  /** 30-minute-gap session windows per user (streaming Q23). */
+  def sessions(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"), col("sum_value"))
+
+  /** Stateful exact dedup on event_id with watermark-bounded state:
+    * duplicates arriving within the watermark horizon are dropped, state
+    * older than the watermark is evicted (vs dropDuplicates, whose state
+    * grows forever — unusable at 100 TB/day). */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateless per-event scoring: broadcast-join a fitted index map
+    * (the StringIndexer-transform shape, E2) onto the stream — the
+    * streaming-safe form of `pipelineModel.transform(streamDf)`. */
+  def scoreEvents(events: DataFrame, indexerModel: DataFrame): DataFrame =
+    graft.ml.RelationalML.stringIndexerTransform(
+      events, "event_type", indexerModel, "event_type_idx")
+
+  /** File-source stream over an events-shaped parquet directory — the
+    * test/dev stand-in for the Kafka source below. maxFilesPerTrigger
+    * bounds micro-batch size. */
+  def fromParquetDir(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    // the file source only accepts directories; a single-file fixture is
+    // streamed from its parent dir with a glob pinned to the file
+    val p = java.nio.file.Paths.get(path)
+    val (dir, glob) =
+      if (java.nio.file.Files.isRegularFile(p))
+        (p.getParent.toString, p.getFileName.toString)
+      else (path, "*")
+    val raw = spark.readStream
+      .schema(Tables.events)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Kafka source plan (reference main.py:22 declares exactly this
+    * connector). Builder only — no broker exists in the test env; the
+    * value payload is JSON with the events schema. */
+  def fromKafka(spark: SparkSession, bootstrap: String,
+      topic: String): DataFrame = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+    raw.select(from_json(col("value").cast("string"),
+        Tables.events).as("e"))
+      .select(col("e.*"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

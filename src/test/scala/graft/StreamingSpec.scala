@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming behavior: batch/stream parity for the windowed transforms,
+  * watermark late-drop, and watermark-bounded dedup. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(min: Int) =
+    java.sql.Timestamp.valueOf(s"2024-01-01 00:00:00").toInstant
+      .plusSeconds(min * 60L) match {
+      case i => java.sql.Timestamp.from(i)
+    }
+
+  private def runStream(stream: MemoryStream[Ev],
+      plan: org.apache.spark.sql.DataFrame,
+      mode: OutputMode,
+      batches: Seq[Seq[Ev]]): Seq[org.apache.spark.sql.Row] = {
+    val name = s"sink_${System.nanoTime()}"
+    val q = plan.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      batches.foreach { b =>
+        stream.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).collect().toSeq
+  }
+
+  test("tumbling stream equals the batch plan on the same data") {
+    import spark.implicits._
+    val events = (0 until 30).map(i =>
+      Ev(i.toLong, ts(i), i % 3L, if (i % 2 == 0) "click" else "view", i * 1.0))
+    val stream = MemoryStream[Ev](spark)
+    val got = runStream(stream, EventStreams.tumbling(stream.toDF()),
+      OutputMode.Complete(), Seq(events.take(15), events.drop(15)))
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = EventStreams.tumbling(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("append mode + watermark drops late rows and finalizes windows") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val plan = EventStreams.tumbling(stream.toDF(), watermark = "0 seconds")
+    val rows = runStream(stream, plan, OutputMode.Append(), Seq(
+      Seq(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "click", 1.0)),
+      // advances watermark far past the first window => it finalizes
+      Seq(Ev(3, ts(60), 1, "click", 1.0)),
+      // late arrival inside the long-closed first window => dropped
+      Seq(Ev(4, ts(3), 1, "click", 99.0))))
+    val firstWindow = rows.filter(_.getTimestamp(0).equals(ts(0)))
+    assert(firstWindow.map(_.getLong(2)).sum == 2, s"late row not dropped: $rows")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val plan = EventStreams.dedupWithinWatermark(stream.toDF(), "1 hour")
+    val rows = runStream(stream, plan, OutputMode.Append(), Seq(
+      Seq(Ev(1, ts(1), 1, "click", 1.0)),
+      Seq(Ev(1, ts(2), 1, "click", 1.0),   // same id, within watermark
+        Ev(2, ts(3), 1, "view", 2.0))))
+    assert(rows.map(_.getAs[Long]("event_id")).sorted == Seq(1L, 2L))
+  }
+
+  test("session stream merges across micro-batches like the batch plan") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 1.0),
+      Ev(3, ts(70), 1, "click", 1.0), // > 30min gap => second session
+      Ev(4, ts(5), 2, "view", 1.0))
+    val stream = MemoryStream[Ev](spark)
+    val got = runStream(stream, EventStreams.sessions(stream.toDF()),
+      OutputMode.Complete(), Seq(events.take(2), events.drop(2)))
+      .map(r => (r.getLong(0), r.getLong(3))).sorted
+    val want = EventStreams.sessions(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted
+    assert(got.sameElements(want))
+    assert(got.count(_._1 == 1L) == 2)
+  }
+
+  test("per-event scoring applies a fitted indexer map to the stream") {
+    import spark.implicits._
+    val fitDf = Seq("click", "click", "view").toDF("event_type")
+    val model = graft.ml.RelationalML.stringIndexerFit(fitDf, "event_type")
+    val stream = MemoryStream[Ev](spark)
+    val rows = runStream(stream,
+      EventStreams.scoreEvents(stream.toDF(), model),
+      OutputMode.Append(),
+      Seq(Seq(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 1, "view", 2.0))))
+    val byType = rows.map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("event_type_idx"))).toMap
+    assert(byType == Map("click" -> 0L, "view" -> 1L))
+  }
+}
