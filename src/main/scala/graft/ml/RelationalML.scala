@@ -107,4 +107,45 @@ object RelationalML {
     * columns into one ArrayType(Double) column, in declared order. */
   def assemble(cols: Seq[String], out: String): Column =
     array(cols.map(c => col(c).cast("double")): _*).as(out)
+
+  /** PCA fit (E6, reference `data_preprocessing.py:47`): the sample
+    * covariance matrix is one distributed aggregation — d*(d+3)/2 sums
+    * (pair products + means), O(d^2) driver state, never O(rows) — then
+    * a driver-local Breeze eigendecomposition, exactly MLlib's shape
+    * (treeAggregate Gramian + local SVD). Returns the top-k principal
+    * components as rows, eigenvalue-descending. Component SIGN is
+    * arbitrary (both engines pick one) — compare |projections| in tests
+    * (SURVEY §5.2). */
+  def pcaFit(df: DataFrame, cols: Seq[String], k: Int): Array[Array[Double]] = {
+    val d = cols.length
+    require(k <= d, s"k=$k > d=$d")
+    val pairs = for (i <- 0 until d; j <- i until d) yield (i, j)
+    val aggs = cols.map(c => avg(col(c)).as(s"m_$c")) ++
+      pairs.map { case (i, j) =>
+        sum(col(cols(i)) * col(cols(j))).as(s"s_${i}_$j") } ++
+      Seq(count(lit(1)).as("n"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val means = (0 until d).map(row.getDouble(_)).toArray
+    val n = row.getLong(row.length - 1).toDouble
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    pairs.zipWithIndex.foreach { case ((i, j), pi) =>
+      val sij = row.getDouble(d + pi)
+      val c = (sij - n * means(i) * means(j)) / (n - 1)
+      cov(i, j) = c; cov(j, i) = c
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // eigSym returns ascending eigenvalues — take the top k, descending
+    (1 to k).map(i => es.eigenvectors(::, d - i).toArray).toArray
+  }
+
+  /** PCA transform: k dot products per row against the broadcast
+    * component matrix — a stateless codegen'd map, streaming-safe. */
+  def pcaTransform(df: DataFrame, cols: Seq[String],
+      components: Array[Array[Double]], out: String): DataFrame = {
+    val projections = components.map { comp =>
+      cols.zipWithIndex.map { case (c, i) => col(c) * lit(comp(i)) }
+        .reduce(_ + _)
+    }
+    df.withColumn(out, array(projections: _*))
+  }
 }
