@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Multimodal, Similarity}
+
+/** Multimodal-column queries: binary payloads + typed metadata derived
+  * deterministically from `documents` (no binary fixture table exists).
+  * The metadata aggregation is oracle-checkable — byte lengths prove the
+  * binary column plumbing end-to-end; decode/feature extraction is the
+  * stubbed-codec path (rows-only check).
+  */
+object MultimodalOps {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val entries: Seq[Entry] = Seq(
+
+    // X5 — metadata + payload-size aggregation over the media table.
+    // Binary payload length is computed Spark-side on the binary column
+    // and oracle-side on the UTF-8 encoding of the source text.
+    Entry("x5_media_meta",
+      (s, dir) => {
+        val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        media.toDF()
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("bytes"))).as("total_bytes"),
+            sum(col("width").cast("long")).as("sum_w"),
+            sum(col("n_frames").cast("long")).as("sum_frames"))
+          .orderBy("kind")
+      },
+      Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                     count(*) AS n,
+                     CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                     CAST(sum(n_chars % 64 + 1) AS BIGINT) AS sum_w,
+                     CAST(sum(doc_id % 7 + 1) AS BIGINT) AS sum_frames
+              FROM documents GROUP BY kind ORDER BY kind""")),
+
+    // X5b — stubbed decode -> feature extraction -> cosine top-10 vs the
+    // media_id=0 probe: the multimodal-to-similarity composition. The
+    // stub codec is engine-side only -> rows-only check.
+    Entry("x5_media_features",
+      (s, dir) => {
+        val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        val feats = Multimodal.extractFeatures(media).toDF()
+        Similarity.cosineTopK(feats, "feature", "media_id", 0L, 10)
+      },
+      None)
+  )
+}

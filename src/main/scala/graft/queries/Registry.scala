@@ -17,5 +17,5 @@ object Registry {
   /** Full declared inventory (SURVEY.md §2.9 + LLM-pipeline extensions). */
   def all: Seq[Entry] =
     Relational.entries ++ MLRelational.entries ++ TimeWindows.entries ++
-      TextOps.entries ++ SimilarityOps.entries
+      TextOps.entries ++ SimilarityOps.entries ++ MultimodalOps.entries
 }
