@@ -184,6 +184,25 @@ object Relational {
               GROUP BY ROLLUP(r_name, n_name)
               ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
 
+    // Q9b — CUBE over the same star join (all four grouping sets).
+    Entry("q09b_cube",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 4).as("acctbal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+                     round(sum(c_acctbal), 4) AS acctbal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY CUBE(r_name, n_name)
+              ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
+
     // Q10 — ranking window (the StringIndexer-fit ordering primitive, E2).
     Entry("q10_rank_window",
       (s, dir) => {
@@ -239,6 +258,38 @@ object Relational {
                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
                     FROM orders)
               WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // Q12b — lag/lead offsets: per-user inter-event value deltas.
+    Entry("q24_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            round(col("value") - lag("value", 1).over(w), 4).as("delta_prev"),
+            round(lead("value", 1).over(w) - col("value"), 4).as("delta_next"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                     round(value - lag(value, 1) OVER w, 4) AS delta_prev,
+                     round(lead(value, 1) OVER w - value, 4) AS delta_next
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY user_id, event_id""")),
+
+    // Q25 — distinct aggregation (exact; the approx_count_distinct HLL
+    // variant is engine-specific and lives in DistinctSpec, not the
+    // cross-engine hash gate).
+    Entry("q25_distinct_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                     count(DISTINCT o_custkey) AS n_cust,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
 
     // Q13 — date bucketing: revenue by ship year / order month.
     Entry("q13_date_year",

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{Sources, Tables}
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("CSV round-trip preserves rows; explicit schema matches inference") {
+    val cust = Tables.load(spark, dir, "customer")
+    val path = tmp("csv")
+    Sources.writeCsv(cust, path)
+    val explicit = Sources.csv(spark, path, Tables.customer)
+    val inferred = Sources.csvInferred(spark, path)
+    assert(explicit.count() == cust.count())
+    assert(inferred.count() == cust.count())
+    // same data through both read shapes — but note inference NARROWS
+    // small long keys to int (the schema-drift risk the explicit path
+    // avoids), so compare numerically, not by type
+    val a = explicit.orderBy("c_custkey").collect()
+    val b = inferred.orderBy("c_custkey").collect()
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getAs[Number](0).longValue())
+      assert(math.abs(x.getDouble(3) - y.getAs[Number](3).doubleValue()) < 1e-9)
+    }
+  }
+
+  test("partitioned write enables partition pruning at the scan") {
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val path = tmp("part")
+    Sources.writePartitioned(orders, path, Seq("o_year"))
+    val back = spark.read.parquet(path)
+    val years = back.select("o_year").distinct().collect().map(_.getInt(0))
+    assert(years.length > 1)
+    val probe = back.filter(col("o_year") === years.min)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(600))
+    // pruned scan reads strictly fewer files than the full table
+    assert(probe.count() < orders.count())
+    assert(probe.count() ==
+      orders.filter(col("o_year") === years.min).count())
+  }
+
+  test("JSON source reads an events-shaped dump") {
+    val events = Tables.load(spark, dir, "events").limit(100)
+    val path = tmp("json")
+    events.write.mode("overwrite").json(path)
+    val schema = org.apache.spark.sql.types.StructType(
+      Tables.events.fields.map(f =>
+        if (f.name == "ts")
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)
+        else f))
+    val back = Sources.json(spark, path, schema)
+    assert(back.count() == 100)
+    assert(back.agg(sum("value")).head().getDouble(0) ==
+      events.agg(sum("value")).head().getDouble(0))
+  }
+}
