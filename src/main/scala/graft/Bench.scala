@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: every registered query on SPARK_GRAFT_SF_DIR,
+  * one JSON line of per-query seconds.
+  *
+  * Each query is materialized through the `noop` sink — a plain
+  * `.count()` would let Catalyst prune every unprojected column and
+  * skip most of the measured work (q01's scan-project counts in
+  * milliseconds without ever reading the projected columns). A short
+  * warmup run of the flagship query first pays the one-time JIT /
+  * codegen / filesystem costs so per-query numbers measure the query,
+  * not the JVM.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,14 +21,25 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // warmup: flagship agg + one scan over each heavy input table
+    try {
+      exec(SparkEntry.queries("q08_agg_tpch_q1"))
+      exec(SparkEntry.queries("q16_indexer_events"))
+      exec(SparkEntry.queries("t_token_count"))
+    } catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
