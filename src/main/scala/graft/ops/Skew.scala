@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for the 100 TB path.
+  *
+  * AQE's skew-join splitting (on in GraftSession) handles most runtime
+  * skew; these explicit forms cover what AQE cannot — a hot key so large
+  * that even a split shuffle partition overwhelms one task's build side,
+  * or aggregation skew ahead of any join.
+  *
+  * Both are pure plan rewrites with identical semantics to the naive
+  * form (asserted in ScaleSpec).
+  */
+object Skew {
+
+  /** Equi-join where `left` carries skewed join keys. Every left row
+    * gets a deterministic salt in [0, saltFactor) (hashed from the full
+    * row, so re-runs agree); the right side is replicated saltFactor
+    * times; the join key becomes (key, salt). A hot key's rows now land
+    * on saltFactor different reducers instead of one. Cost: right side
+    * shuffles saltFactor x — use for big-left / modest-right joins.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, saltFactor: Int): DataFrame = {
+    val salt = pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*),
+      lit(saltFactor))
+    val saltedLeft = left.withColumn("__salt", salt)
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<long>")))
+    saltedLeft.join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+          saltedLeft("__salt") === saltedRight("__salt"))
+      .drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial-aggregate on
+    * (key, salt), then final-aggregate on key. Correct for algebraic
+    * aggregates (sum/count/min/max — pass partials and a combiner).
+    * Spark's hash aggregate already does map-side partials; this adds a
+    * REDUCE-side split for keys whose partials still overwhelm one task.
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      saltFactor: Int): DataFrame = {
+    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+      lit(saltFactor))
+    df.withColumn("__salt", salt)
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum("__psum").as(s"sum_$valueCol"), sum("__pcnt").as("n"))
+  }
+}

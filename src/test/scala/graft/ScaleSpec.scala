@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Bucketing, Skew}
+import graft.sources.Tables
+
+/** Scale patterns: salting preserves semantics while splitting hot keys;
+  * bucketing removes the join shuffle entirely. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted join key includes the salt in the join condition") {
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey")
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey")
+    val plan = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), plan.take(800))
+  }
+
+  test("saltedSumCount equals plain groupBy aggregation") {
+    val events = Tables.load(spark, dir, "events")
+    val plain = events.groupBy("event_type")
+      .agg(round(sum("value"), 4).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(events, "event_type", "value", 8)
+      .select(col("event_type"), round(col("sum_value"), 4).as("s"), col("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed-by-key join plans with zero exchange") {
+    val base = java.nio.file.Files.createTempDirectory("bucketed")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_b", s"$base/li", "l_orderkey", 8)
+    Bucketing.writeBucketed(o, "o_b", s"$base/o", "o_orderkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      assert(Bucketing.isExchangeFree(joined),
+        joined.queryExecution.executedPlan.toString.take(1200))
+      assert(joined.count() == li.count()) // every lineitem has its order
+      // the same join on unbucketed parquet DOES shuffle both sides
+      val unbucketed = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      assert(!Bucketing.isExchangeFree(unbucketed))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}
