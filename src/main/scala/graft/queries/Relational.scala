@@ -291,6 +291,30 @@ object Relational {
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")),
 
+    // Q26 — as-of join (ops.AsOf): for every click, the user's latest
+    // purchase value at or before the click. Oracle = DuckDB ASOF JOIN.
+    Entry("q26_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value")
+        graft.ops.AsOf.asofJoin(clicks, purchases, "user_id", "ts",
+          Seq("value"))
+          .select(col("user_id"), col("event_id"),
+            round(col("asof_value"), 4).as("last_purchase"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT l.user_id, l.event_id,
+                     round(r.value, 4) AS last_purchase
+              FROM (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'click') l
+              ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') r
+                ON l.user_id = r.user_id AND l.ts >= r.ts
+              ORDER BY l.user_id, l.event_id""")),
+
     // Q13 — date bucketing: revenue by ship year / order month.
     Entry("q13_date_year",
       (s, dir) => t(s, dir, "lineitem")
