@@ -315,6 +315,34 @@ object Relational {
                 ON l.user_id = r.user_id AND l.ts >= r.ts
               ORDER BY l.user_id, l.event_id""")),
 
+    // Q27 — banded range join (ops.RangeJoin): per error event, count
+    // the same user's clicks in the preceding 10 minutes.
+    Entry("q27_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select("user_id", "ts", "event_id")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "value")
+        graft.ops.RangeJoin.bandJoin(errors, clicks, "user_id", "ts",
+          600L, Seq("value"))
+          .groupBy("user_id", "event_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            round(sum("r_value"), 4).as("click_value"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT l.user_id, l.event_id, count(*) AS n_clicks,
+                     round(sum(r.value), 4) AS click_value
+              FROM (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'error') l
+              JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'click') r
+                ON l.user_id = r.user_id
+               AND r.ts >= l.ts - INTERVAL 600 SECONDS
+               AND r.ts < l.ts
+              GROUP BY l.user_id, l.event_id
+              ORDER BY l.user_id, l.event_id""")),
+
     // Q13 — date bucketing: revenue by ship year / order month.
     Entry("q13_date_year",
       (s, dir) => t(s, dir, "lineitem")
