@@ -224,4 +224,54 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** All pairs with simhash hamming distance <= maxDist — EXACT result
+    * via pigeonhole banding, never an all-pairs loop: the 64-bit
+    * signature splits into (maxDist+1) bands, and any pair within
+    * maxDist bits differs in at most maxDist bands, so at least one
+    * band matches exactly. Candidates come from an equi-join on
+    * (band index, band bits) — the same shuffle shape as MinHash LSH —
+    * then the full hamming predicate verifies. A naive
+    * `a.join(b, hamming(h1,h2) <= k)` plans as a broadcast nested loop:
+    * O(n^2) comparisons regardless of how few pairs qualify.
+    * Input: (idCol, simhash) from [[simhash]]. Output: (d1, d2, dist).
+    */
+  def simhashNearDupPairs(sigs: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
+    val bands = maxDist + 1
+    val width = 64 / bands
+    // band b = bits [b*width, (b+1)*width); the last band absorbs the
+    // remainder bits so all 64 participate
+    val bandBits = (0 until bands).map { b =>
+      val w = if (b == bands - 1) 64 - b * width else width
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask)
+    }
+    val exploded = sigs.select(col(idCol), col("simhash"),
+        posexplode(array(bandBits: _*)))
+      .select(col(idCol), col("simhash"), col("pos").as("band"),
+        col("col").as("bandval"))
+    val a = exploded.select(col(idCol).as("d1"), col("simhash").as("h1"),
+      col("band"), col("bandval"))
+    val b = exploded.select(col(idCol).as("d2"), col("simhash").as("h2"),
+      col("band").as("band2"), col("bandval").as("bandval2"))
+    // emit each qualifying pair from its FIRST matching band only (all
+    // earlier bands must differ) — exact dedup with zero extra shuffle,
+    // where a .distinct() would re-shuffle every candidate pair
+    val xor = col("h1").bitwiseXOR(col("h2"))
+    def bandDiffers(j: Int): Column = {
+      val w = if (j == bands - 1) 64 - j * width else width
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(xor, j * width).bitwiseAND(mask) =!= 0L
+    }
+    val firstMatch = (0 until bands).map { bnd =>
+      (col("band") === bnd) &&
+        (0 until bnd).map(bandDiffers).foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    a.join(b, col("band") === col("band2") &&
+        col("bandval") === col("bandval2") && col("d1") < col("d2"))
+      .filter(hamming(col("h1"), col("h2")) <= maxDist && firstMatch)
+      .select(col("d1"), col("d2"),
+        hamming(col("h1"), col("h2")).cast("long").as("dist"))
+  }
 }

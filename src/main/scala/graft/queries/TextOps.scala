@@ -107,18 +107,14 @@ object TextOps {
         .orderBy("d1", "d2"),
       None),
 
-    // SimHash signatures + hamming-close pairs (<= 6 of 64 bits).
+    // SimHash signatures + hamming-close pairs (<= 6 of 64 bits) via
+    // exact pigeonhole banding — equi-join candidates, no O(n^2) loop.
     Entry("x4_simhash",
       (s, dir) => {
         val sets = Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id",
           "source")
         val sigs = Dedup.simhash(sets, "doc_id")
-        val a = sigs.select(col("doc_id").as("d1"), col("simhash").as("h1"))
-        val b = sigs.select(col("doc_id").as("d2"), col("simhash").as("h2"))
-        a.join(b, col("d1") < col("d2"))
-          .withColumn("dist", Dedup.hamming(col("h1"), col("h2")))
-          .filter(col("dist") <= 6)
-          .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"))
+        Dedup.simhashNearDupPairs(sigs, "doc_id", 6)
           .orderBy("d1", "d2")
       },
       None),

@@ -90,6 +90,31 @@ class DedupSpec extends AnyFunSuite {
       java.lang.Long.bitCount(sig(1L) ^ sig(4L)))
   }
 
+  test("pigeonhole-banded simhash pairs equal the brute-force result") {
+    val dir = TestSpark.sf0001
+    val sets = Dedup.tokenSets(
+      graft.sources.Tables.load(spark, dir, "documents"),
+      "text", "doc_id", "source")
+    val sigs = Dedup.simhash(sets, "doc_id")
+    val banded = Dedup.simhashNearDupPairs(sigs, "doc_id", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = sigs.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = sigs.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    val brute = a.join(b, col("d1") < col("d2"))
+      .withColumn("dist", Dedup.hamming(col("h1"), col("h2")))
+      .filter(col("dist") <= 6)
+      .select(col("d1"), col("d2"), col("dist").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute && banded.nonEmpty)
+  }
+
+  test("banded simhash plans an equi-join, not a nested loop") {
+    val sets = Dedup.tokenSets(docs, "text", "doc_id", "source")
+    val plan = Dedup.simhashNearDupPairs(Dedup.simhash(sets, "doc_id"),
+      "doc_id", 6).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("dedup is idempotent") {
     val once = Dedup.exact(docs, "text", "doc_id")
     val twice = Dedup.exact(once, "text", "doc_id")
