@@ -1,7 +1,18 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.types._
+
+/** Typed rows for the fixture tables where a case-class Encoder aids
+  * compile-time safety (SURVEY §1.4); `Tables.load` stays the dynamic
+  * `DataFrame` path. */
+object Typed {
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class Document(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+  case class Embedding(vec_id: Long, embedding: Array[Float], label: Int)
+}
 
 /** Fixture-table loaders with explicit schemas.
   *
@@ -96,6 +107,20 @@ object Tables {
     "supplier" -> supplier, "part" -> part, "orders" -> orders,
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
+
+  /** Typed loaders: same scans, case-class rows. */
+  def events(spark: SparkSession, dir: String): Dataset[Typed.Event] = {
+    import spark.implicits._
+    load(spark, dir, "events").as[Typed.Event]
+  }
+  def documents(spark: SparkSession, dir: String): Dataset[Typed.Document] = {
+    import spark.implicits._
+    load(spark, dir, "documents").as[Typed.Document]
+  }
+  def embeddings(spark: SparkSession, dir: String): Dataset[Typed.Embedding] = {
+    import spark.implicits._
+    load(spark, dir, "embeddings").as[Typed.Embedding]
+  }
 
   /** Load a fixture table from `dir` with its declared schema. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

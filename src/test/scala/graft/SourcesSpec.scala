@@ -62,4 +62,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.agg(sum("value")).head().getDouble(0) ==
       events.agg(sum("value")).head().getDouble(0))
   }
+
+  test("typed loaders expose case-class rows over the same scans") {
+    val docs = Tables.documents(spark, dir)
+    val first = docs.filter(_.doc_id == 0L).head()
+    assert(first.text.nonEmpty && first.n_chars == first.text.length)
+    val ev = Tables.events(spark, dir).head()
+    assert(ev.event_id >= 0L && ev.ts != null)
+    val emb = Tables.embeddings(spark, dir).head()
+    assert(emb.embedding.length == 64)
+  }
 }
