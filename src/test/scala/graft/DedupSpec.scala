@@ -90,6 +90,18 @@ class DedupSpec extends AnyFunSuite {
       java.lang.Long.bitCount(sig(1L) ^ sig(4L)))
   }
 
+  test("prefix-filtered Jaccard equals the plain all-pairs result") {
+    val dir = TestSpark.sf0001
+    val sets = Dedup.tokenSets(
+      graft.sources.Tables.load(spark, dir, "documents"),
+      "text", "doc_id", "source")
+    val plain = Dedup.jaccardPairs(sets, "doc_id", "source", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = Dedup.jaccardPairsPrefix(sets, "doc_id", "source", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == plain && plain.nonEmpty)
+  }
+
   test("pigeonhole-banded simhash pairs equal the brute-force result") {
     val dir = TestSpark.sf0001
     val sets = Dedup.tokenSets(
