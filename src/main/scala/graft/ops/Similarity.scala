@@ -19,6 +19,10 @@ object Similarity {
 
   private def toD(c: Column): Column = c.cast("array<double>")
 
+  /** Generic higher-order-function dot product (any numeric arrays).
+    * The DataFrame-level operators below use the fused codegen
+    * [[graft.functions.VecDot]] instead — identical values (same
+    * left-to-right sum order), no per-pair intermediate array. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(toD(a), toD(b), (x, y) => x * y), lit(0.0),
       (acc, x) => acc + x)
@@ -27,6 +31,14 @@ object Similarity {
     sqrt(aggregate(transform(toD(a), x => x * x), lit(0.0), (acc, x) => acc + x))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused codegen dot/norm/cosine (registers vec_dot in the session). */
+  private def fdot(df: DataFrame)(a: Column, b: Column): Column =
+    graft.functions.VecDot.vecDot(df.sparkSession, a, b)
+  private def fnorm(df: DataFrame)(a: Column): Column =
+    sqrt(fdot(df)(a, a))
+  private def fcosine(df: DataFrame)(a: Column, b: Column): Column =
+    fdot(df)(a, b) / (fnorm(df)(a) * fnorm(df)(b))
 
   /** Exact cosine top-k of `df.vecCol` against the single probe vector
     * taken from row `probeId`. The probe side is one row — broadcast —
@@ -38,7 +50,7 @@ object Similarity {
       .select(col(vecCol).as("__probe"))
     df.crossJoin(broadcast(probe))
       .select(col(idCol),
-        round(cosine(col(vecCol), col("__probe")), 4).as("cos_sim"))
+        round(fcosine(df)(col(vecCol), col("__probe")), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
   }
@@ -66,7 +78,7 @@ object Similarity {
     val cands = bucketed.crossJoin(broadcast(probe))
       .filter(hammingLong(col("__bkt"), col("__pbkt")) <= 1)
     cands.select(col(idCol),
-        round(cosine(col(vecCol), col("__probe")), 4).as("cos_sim"))
+        round(fcosine(df)(col(vecCol), col("__probe")), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
   }
@@ -85,13 +97,14 @@ object Similarity {
     // form recomputes both norms inside every pair — 3x the per-pair
     // array traversals). Per candidate pair only the dot product remains.
     val b1 = df.select(col(idCol).as("d1"), col(vecCol).as("v1"),
-      norm(col(vecCol)).as("nrm1"), signBucket(col(vecCol), nBits).as("bkt"))
+      fnorm(df)(col(vecCol)).as("nrm1"),
+      signBucket(col(vecCol), nBits).as("bkt"))
     val b2 = df.select(col(idCol).as("d2"), col(vecCol).as("v2"),
-      norm(col(vecCol)).as("nrm2"),
+      fnorm(df)(col(vecCol)).as("nrm2"),
       signBucket(col(vecCol), nBits).as("bkt2"))
     b1.join(b2, col("bkt") === col("bkt2") && col("d1") < col("d2"))
       .withColumn("cos_sim",
-        dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
+        fdot(df)(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos_sim") >= threshold)
       .select(col("d1"), col("d2"), round(col("cos_sim"), 4).as("cos_sim"))
   }

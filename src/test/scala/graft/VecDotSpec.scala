@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VecDot
+import graft.ops.Similarity
+
+class VecDotSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("vec_dot equals the higher-order-function form bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-1.5f, 2.5f, 0.125f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VecDot.vecDot(spark, col("a"), col("b")).as("fused"),
+      Similarity.dot(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("vec_dot accepts double arrays and mixed types") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3f, 4f))).toDF("a", "b")
+    val v = df.select(VecDot.vecDot(spark, col("a"), col("b")))
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("vec_dot rejects non-numeric-array inputs at analysis") {
+    import spark.implicits._
+    VecDot.register(spark)
+    val df = Seq(("x", 1)).toDF("s", "i")
+    val e = intercept[Exception](df.selectExpr("vec_dot(s, i)").collect())
+    assert(e.getMessage.toLowerCase.contains("vec_dot"))
+  }
+
+  test("vec_dot is callable from SQL") {
+    VecDot.register(spark)
+    val v = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(10.0D, 20.0D)) AS d")
+      .head().getDouble(0)
+    assert(v == 50.0)
+  }
+
+  test("vec_dot participates in whole-stage codegen over a real scan") {
+    // a local relation constant-folds before execution; a parquet scan
+    // exercises the doGenCode path
+    val emb = graft.sources.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.select(
+      VecDot.vecDot(spark, col("embedding"), col("embedding")).as("d"))
+    // the "*(n)" stage prefix marks WholeStageCodegen spans
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(400))
+    assert(plan.contains("vecdot"), plan.take(600))
+    // sanity: ||v||^2 > 0 for every fixture vector
+    assert(q.collect().forall(_.getDouble(0) > 0))
+  }
+
+  test("null array yields null, not a crash") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    val r = df.select(VecDot.vecDot(spark, col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+}
