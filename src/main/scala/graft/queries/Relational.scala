@@ -213,14 +213,17 @@ object Relational {
           .select(col("o_custkey"), col("o_orderkey"),
             round(col("o_totalprice"), 4).as("price"),
             row_number().over(wRn).cast("long").as("rn"),
-            rank().over(wRk).cast("long").as("rk"))
+            rank().over(wRk).cast("long").as("rk"),
+            dense_rank().over(wRk).cast("long").as("drk"))
           .orderBy("o_custkey", "rn")
       },
       Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
                      row_number() OVER (PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey) AS rn,
                      rank() OVER (PARTITION BY o_custkey
-                       ORDER BY o_totalprice DESC) AS rk
+                       ORDER BY o_totalprice DESC) AS rk,
+                     dense_rank() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC) AS drk
               FROM orders ORDER BY o_custkey, rn""")),
 
     // Q11 — analytic window with an explicit frame: running sum per user.
@@ -376,6 +379,26 @@ object Relational {
                      count(*) AS n, round(avg(value), 4) AS avg_value
               FROM events GROUP BY k ORDER BY k NULLS FIRST""")),
 
+    // Q13d — parsed-JSON map functions: from_json + map_keys.
+    Entry("q13d_json_map",
+      (s, dir) => {
+        val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+        t(s, dir, "events")
+          .select(coalesce(size(map_keys(m)).cast("long"), lit(-1L))
+            .as("n_keys"),
+            m.getItem("k").as("k"))
+          .groupBy("n_keys")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+          .orderBy("n_keys")
+      },
+      Some("""SELECT coalesce(len(json_keys(props)), -1) AS n_keys,
+                     count(*) AS n,
+                     CAST(sum(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)) AS BIGINT) AS sum_k
+              FROM events GROUP BY n_keys ORDER BY n_keys""")),
+
     // Q14 — INTERSECT / EXCEPT (distinct set semantics in both engines).
     Entry("q14_intersect",
       (s, dir) => {
@@ -416,6 +439,61 @@ object Relational {
                      substring(p_name, 1, 5) AS name_pfx,
                      concat_ws('|', p_brand, p_type) AS brand_type
               FROM part ORDER BY p_partkey""")),
+
+    // Q15c — math scalar functions over lineitem.
+    Entry("q15_math_fns",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(abs(col("l_discount") - lit(0.05)), 4).as("abs_d"),
+          round(sqrt(col("l_quantity")), 4).as("sqrt_q"),
+          round(log(col("l_extendedprice") + lit(1.0)), 4).as("log_p"),
+          round(pow(col("l_tax"), 2), 4).as("tax_sq"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round(abs(l_discount - 0.05), 4) AS abs_d,
+                     round(sqrt(l_quantity), 4) AS sqrt_q,
+                     round(ln(l_extendedprice + 1.0), 4) AS log_p,
+                     round(pow(l_tax, 2), 4) AS tax_sq
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // Q15d — regexp extraction.
+    Entry("q15_regexp",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     regexp_extract(p_type, '^(\w+)', 1) AS type_head
+              FROM part ORDER BY p_partkey""")),
+
+    // Q13c — month-of-year seasonality across all years.
+    Entry("q13c_month_of_year",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(month(col("l_shipdate")).cast("long").as("mon"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))
+        .orderBy("mon"),
+      Some("""SELECT month(l_shipdate) AS mon, count(*) AS n,
+                     round(sum(l_quantity), 4) AS qty
+              FROM lineitem GROUP BY mon ORDER BY mon""")),
+
+    // Q28 — array functions: per-order sorted quantity list, projected
+    // back to scalars (array stringification differs across engines).
+    Entry("q28_array_fns",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).cast("long").as("n"),
+          round(element_at(col("qs"), 1), 4).as("q_min"),
+          round(element_at(col("qs"), -1), 4).as("q_max"),
+          round(aggregate(col("qs"), lit(0.0), (a, x) => a + x), 4)
+            .as("q_sum"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, count(*) AS n,
+                     round(min(l_quantity), 4) AS q_min,
+                     round(max(l_quantity), 4) AS q_max,
+                     round(sum(l_quantity), 4) AS q_sum
+              FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
 
     // Q15b — generator: split + explode token counts.
     Entry("q15_explode_tokens",
