@@ -108,6 +108,28 @@ object RelationalML {
   def assemble(cols: Seq[String], out: String): Column =
     array(cols.map(c => col(c).cast("double")): _*).as(out)
 
+  /** Pipeline composition (E7, reference `main.py:60-64`,
+    * `data_preprocessing.py:50-58`) in relational form: an ordered chain
+    * of DataFrame => DataFrame transforms. Fit state for each stage is
+    * produced by the stage's fit function on the TRAIN frame only; the
+    * composed transform then applies to train and test alike. */
+  def pipeline(stages: Seq[DataFrame => DataFrame]): DataFrame => DataFrame =
+    stages.reduceLeft(_ andThen _)
+
+  /** The reference's full preprocess chain (minus PCA) as one relational
+    * fit: impute numerics -> scale numerics -> index label, fit on
+    * `train` only. Returns the composed transform. */
+  def preprocessFit(train: DataFrame, numCols: Seq[String],
+      labelCol: String): DataFrame => DataFrame = {
+    val means = imputerFit(train, numCols)
+    val stds = scalerFit(imputerTransform(train, means), numCols)
+    val labelMap = stringIndexerFit(train, labelCol)
+    pipeline(Seq(
+      df => imputerTransform(df, means),
+      df => scalerTransform(df, stds),
+      df => stringIndexerTransform(df, labelCol, labelMap, "label")))
+  }
+
   /** PCA fit (E6, reference `data_preprocessing.py:47`): the sample
     * covariance matrix is one distributed aggregation — d*(d+3)/2 sums
     * (pair products + means), O(d^2) driver state, never O(rows) — then

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.ml.RelationalML
+import graft.ops.Dedup
+
+/** Property-based invariants (SURVEY §5.3) — scalacheck generators over
+  * small in-memory frames; few cases per property (each runs Spark
+  * jobs). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(8).withWorkers(1)
+
+  private def check(prop: Prop): Unit = {
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val wordsGen =
+    Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+
+  test("union is positional UNION ALL: counts always add") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(-100L, 100L)),
+        Gen.listOf(Gen.chooseNum(-100L, 100L))) { (xs, ys) =>
+      val a = xs.toDF("v"); val b = ys.toDF("v")
+      a.union(b).count() == xs.length + ys.length
+    })
+  }
+
+  test("indexer fit is a bijection onto 0..n-1; unseen maps to null") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w"))) {
+      vals =>
+        val df = vals.toDF("v")
+        val fit = RelationalML.stringIndexerFit(df, "v").collect()
+        val idxs = fit.map(_.getAs[Long]("idx")).sorted
+        val bijective = idxs.sameElements(0L until vals.distinct.length.toLong)
+        val unseen = RelationalML.stringIndexerTransform(
+          Seq("NOPE").toDF("v"), "v",
+          RelationalML.stringIndexerFit(df, "v"), "idx")
+          .head().isNullAt(1)
+        bijective && unseen
+    })
+  }
+
+  test("scaling already-unit-variance data is an identity (tolerance)") {
+    import spark.implicits._
+    check(Prop.forAll(
+        Gen.listOfN(8, Gen.chooseNum(-50.0, 50.0)).suchThat(xs =>
+          xs.distinct.length > 1)) { xs =>
+      val df = xs.toDF("x")
+      val once = RelationalML.scalerTransform(df,
+        RelationalML.scalerFit(df, Seq("x"))).select("x_scaled")
+        .as[Double].collect().sorted
+      val df2 = once.toSeq.toDF("x")
+      val twice = RelationalML.scalerTransform(df2,
+        RelationalML.scalerFit(df2, Seq("x"))).select("x_scaled")
+        .as[Double].collect().sorted
+      once.zip(twice).forall { case (a, b) => math.abs(a - b) < 1e-9 }
+    })
+  }
+
+  test("exact dedup is idempotent and keeps one row per distinct text") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(wordsGen.map(_.mkString(" ")))) {
+      texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val once = Dedup.exact(df, "text", "doc_id")
+        once.count() == texts.distinct.length &&
+          Dedup.exact(once, "text", "doc_id").count() == once.count()
+    })
+  }
+
+  test("jaccard pairs are symmetric-free (d1 < d2) and within [t, 1]") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(6, wordsGen.map(_.mkString(" ")))) {
+      texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "b") }
+          .toDF("doc_id", "text", "source")
+        val sets = Dedup.tokenSets(df, "text", "doc_id", "source")
+        val pairs = Dedup.jaccardPairs(sets, "doc_id", "source", 0.3)
+          .collect()
+        pairs.forall { r =>
+          r.getLong(0) < r.getLong(1) &&
+            r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0
+        }
+    })
+  }
+}

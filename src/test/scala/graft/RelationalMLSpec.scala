@@ -96,6 +96,22 @@ class RelationalMLSpec extends AnyFunSuite {
     assert(cRow == "0,0")
   }
 
+  test("relational pipeline composes fit-on-train transforms (E7)") {
+    import spark.implicits._
+    val train = Seq((1.0, "yes"), (3.0, "no"), (Double.NaN, "yes"))
+      .toDF("x", "lbl")
+    val test = Seq((2.0, "yes"), (Double.NaN, "no")).toDF("x", "lbl")
+    val transform = RelationalML.preprocessFit(train, Seq("x"), "lbl")
+    val out = transform(test).select("x_scaled", "label").collect()
+    // NaN imputed with TRAIN mean (2.0), then divided by TRAIN stddev of
+    // imputed column; labels indexed by TRAIN frequency (yes=0, no=1)
+    val trainStd = math.sqrt(((1.0 - 2.0) * (1.0 - 2.0) +
+      (3.0 - 2.0) * (3.0 - 2.0) + 0.0) / 2)
+    assert(math.abs(out(0).getDouble(0) - 2.0 / trainStd) < 1e-12)
+    assert(math.abs(out(1).getDouble(0) - 2.0 / trainStd) < 1e-12)
+    assert(out(0).getLong(1) == 0L && out(1).getLong(1) == 1L)
+  }
+
   test("assemble concatenates scalars in declared order") {
     val df = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
     val out = df.select(RelationalML.assemble(Seq("c", "a", "b"), "f"))
