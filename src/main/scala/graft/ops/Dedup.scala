@@ -155,6 +155,19 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** MinHash signatures via the single-buffer imperative aggregate
+    * ([[graft.functions.MinHashAgg]]): identical output to
+    * [[minhashSignatures]] (same chained xxhash64 family, asserted in
+    * MinHashAggSpec), but one aggregate with a long[k] buffer instead
+    * of k independent min columns. */
+  def minhashSignaturesAgg(sets: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val spark = sets.sparkSession
+    sets.groupBy(col(idCol))
+      .agg(graft.functions.MinHashAgg
+        .minhashAgg(spark, col("tok"), numHashes).as("sig"))
+  }
+
   /** LSH banding: split the `numHashes`-long signature into `bands`
     * bands; docs sharing any band bucket are candidates. Returns
     * candidate pairs (d1, d2), dedup'd. The self-join key is
@@ -207,7 +220,7 @@ object Dedup {
     val reps = exact(df, textCol, idCol)
     val sets = reps.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
-    val sigs = minhashSignatures(sets, idCol, numHashes)
+    val sigs = minhashSignaturesAgg(sets, idCol, numHashes)
     val cands = lshCandidates(sigs, idCol, bands, numHashes)
     jaccardOnPairs(cands, sets, idCol, threshold)
   }
@@ -233,7 +246,7 @@ object Dedup {
     val reps = exact(df, textCol, idCol)
     val sets = reps.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
-    val sigs = minhashSignatures(sets, idCol, numHashes)
+    val sigs = minhashSignaturesAgg(sets, idCol, numHashes)
     val buckets = bucketRows(sigs, idCol, bands, numHashes)
     val bucketMin = buckets.groupBy("band", "bucket")
       .agg(min(col(idCol)).as("bmin"))
