@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{MinHashAgg, VecDot}
+
+/** Session-extension installer for the engine's custom Catalyst
+  * functions — the deployment path for a real cluster:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * or programmatically via `SparkSession.builder.withExtensions(new
+  * GraftExtensions) ` (GraftSession does this). The per-session
+  * `VecDot.register` / `MinHashAgg.register` calls remain as a fallback
+  * for sessions built without extensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot takes exactly 2 arguments")
+        VecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "minhash_agg takes (column, numHashes literal)")
+        val k = args(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"numHashes must be an integer literal, got $other")
+        }
+        MinHashAgg(args.head, k).toAggregateExpression()
+      }))
+  }
+}

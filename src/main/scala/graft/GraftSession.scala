@@ -15,6 +15,7 @@ object GraftSession {
 
   /** Apply engine defaults to an arbitrary builder. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

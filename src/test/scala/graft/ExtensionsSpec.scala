@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions installs vec_dot and minhash_agg at session build —
+  * no explicit register() call needed on a GraftSession. */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("custom functions are available via SQL from session extensions") {
+    val d = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+    import spark.implicits._
+    Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("id", "tok")
+      .createOrReplaceTempView("ext_toks")
+    val sigs = spark.sql(
+      "SELECT id, minhash_agg(tok, 4) AS sig FROM ext_toks GROUP BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 4 && sigs(2L).length == 4)
+    assert(sigs(1L) != sigs(2L))
+  }
+}
