@@ -60,7 +60,9 @@ object MLRelational {
               FROM lineitem""")),
 
     // Q17b — Scaler transform: x / std (no centering — withMean=false,
-    // SURVEY §7.4.1) on 5 deterministic probe rows.
+    // SURVEY §7.4.1) on a deterministic probe SET (the order-0 rows).
+    // NOT order-by + limit: (l_orderkey, l_linenumber) is not unique at
+    // sf0.1, so a LIMIT under ties legitimately differs across engines.
     Entry("q17_scale_probe",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
@@ -69,14 +71,14 @@ object MLRelational {
           stddev_samp(col("l_extendedprice")).as("sp"),
           stddev_samp(col("l_discount")).as("sd"),
           stddev_samp(col("l_tax")).as("st"))
-        li.crossJoin(broadcast(stds))
+        li.filter(col("l_orderkey") === 0)
+          .crossJoin(broadcast(stds))
           .select(col("l_orderkey"), col("l_linenumber"),
             round(col("l_quantity") / col("sq"), 4).as("qty_scaled"),
             round(col("l_extendedprice") / col("sp"), 4).as("price_scaled"),
             round(col("l_discount") / col("sd"), 4).as("disc_scaled"),
             round(col("l_tax") / col("st"), 4).as("tax_scaled"))
-          .orderBy("l_orderkey", "l_linenumber")
-          .limit(5)
+          .orderBy("l_linenumber", "qty_scaled")
       },
       Some("""WITH s AS (SELECT stddev_samp(l_quantity) AS sq,
                                 stddev_samp(l_extendedprice) AS sp,
@@ -89,7 +91,8 @@ object MLRelational {
                      round(l_discount / sd, 4) AS disc_scaled,
                      round(l_tax / st, 4) AS tax_scaled
               FROM lineitem CROSS JOIN s
-              ORDER BY l_orderkey, l_linenumber LIMIT 5""")),
+              WHERE l_orderkey = 0
+              ORDER BY l_linenumber, qty_scaled""")),
 
     // Q18 — accuracy as SQL (M6, reference cnn_model.py:94-101):
     // avg(pred = label) with a seeded deterministic prediction.
