@@ -41,6 +41,20 @@ object RelationalML {
     df.join(m, df(c) === m(s"__val_$c"), "left").drop(s"__val_$c")
   }
 
+  /** Multi-column StringIndexer fit in ONE Spark job (the reference
+    * eagerly fits one indexer per categorical column — one job each,
+    * `data_preprocessing.py:27`; SURVEY §4 collapses them): explode
+    * (column-name, value) pairs, aggregate counts once, rank within
+    * each column. Returned frame: (column, value, cnt, idx). */
+  def stringIndexerFitMulti(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = df.select(explode(map(
+      cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)))
+      .toDF("column", "value")
+    val w = Window.partitionBy("column").orderBy(desc("cnt"), asc("value"))
+    pairs.groupBy("column", "value").agg(count(lit(1)).as("cnt"))
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** Imputer fit (E1, reference `data_preprocessing.py:24`): per-column
     * mean ignoring null AND NaN (MLlib strategy `mean`). One aggregation
     * over all columns at once — the reference runs these per-stage; we

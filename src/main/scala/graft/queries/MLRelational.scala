@@ -94,6 +94,37 @@ object MLRelational {
               WHERE l_orderkey = 0
               ORDER BY l_linenumber, qty_scaled""")),
 
+    // Q17c — Imputer transform as SQL (E1): nulls injected
+    // deterministically (every linenumber-1 quantity), mean computed
+    // over the REMAINING rows (MLlib ignores null/NaN at fit), filled
+    // in place, aggregated per returnflag to keep the output small.
+    Entry("q17c_impute",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("q", when(col("l_linenumber") === 1, lit(null))
+            .otherwise(col("l_quantity")))
+        val mean = li.agg(avg("q").as("m"))
+        li.crossJoin(broadcast(mean))
+          .withColumn("q_imp", coalesce(col("q"), col("m")))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum("q_imp"), 4).as("sum_imputed"),
+            sum(col("q").isNull.cast("long")).as("n_filled"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH li AS (
+                SELECT l_returnflag,
+                       CASE WHEN l_linenumber = 1 THEN NULL
+                            ELSE l_quantity END AS q
+                FROM lineitem),
+              m AS (SELECT avg(q) AS m FROM li)
+              SELECT l_returnflag, count(*) AS n,
+                     round(sum(coalesce(q, m)), 4) AS sum_imputed,
+                     CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_filled
+              FROM li CROSS JOIN m
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Q18 — accuracy as SQL (M6, reference cnn_model.py:94-101):
     // avg(pred = label) with a seeded deterministic prediction.
     Entry("q18_accuracy",

@@ -36,6 +36,21 @@ class RelationalMLSpec extends AnyFunSuite {
     assert(ours == mllib)
   }
 
+  test("multi-column indexer fit matches per-column fits in one job") {
+    val cust = graft.sources.Tables.load(spark, TestSpark.sf0001, "customer")
+    val multi = RelationalML.stringIndexerFitMulti(cust,
+      Seq("c_mktsegment", "c_name"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("idx"))
+      .toMap
+    Seq("c_mktsegment", "c_name").foreach { c =>
+      RelationalML.stringIndexerFit(cust, c).collect().foreach { r =>
+        assert(multi((c, r.getString(0))) == r.getAs[Long]("idx"),
+          s"$c/${r.getString(0)}")
+      }
+    }
+  }
+
   test("imputer mean matches MLlib (nulls and NaNs ignored)") {
     val df = Seq[(java.lang.Double, java.lang.Double)](
       (1.0, 10.0), (3.0, Double.NaN), (null, 20.0), (5.0, 30.0))
