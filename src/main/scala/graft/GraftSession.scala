@@ -25,6 +25,28 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
+  /** Builder shaped for a real multi-executor cluster at the 100 TB
+    * target (no master set — spark-submit provides it). The knobs and
+    * why:
+    *  - shuffle partitions ~3x total executor cores: every core busy
+    *    through stragglers, partitions small enough to fit executor
+    *    memory; AQE coalesces the excess at runtime;
+    *  - 256 MiB scan partitions: fewer, fuller input tasks than the
+    *    128 MiB default — scan task scheduling overhead matters at
+    *    100k+ files;
+    *  - 64 MiB AQE advisory size: post-shuffle partitions merge toward
+    *    a size that balances task overhead vs spill risk;
+    *  - broadcast threshold stays default (10 MiB): dimensions broadcast,
+    *    facts never do.
+    */
+  def clusterBuilder(totalExecutorCores: Int): SparkSession.Builder =
+    configure(SparkSession.builder()
+      .config("spark.sql.shuffle.partitions",
+        (totalExecutorCores * 3).toString)
+      .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (64L << 20).toString))
+
   /** Local session for tests / drivers. `cores` also sizes the shuffle
     * fan-out: on a real cluster this would be ~2-3x total executor cores,
     * never the 200 default. */

@@ -82,6 +82,29 @@ object EventStreams {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** foreachBatch scoring sink (SURVEY §2.8): score each micro-batch
+    * with the fitted indexer map and append it as parquet, plus a tiny
+    * per-batch metrics row — the pattern for "model scoring + metrics"
+    * where the sink needs batch-level transactionality that row-level
+    * sinks can't give. Returns the started query (caller stops it). */
+  def scoreToParquet(events: DataFrame, indexerModel: DataFrame,
+      outDir: String, metricsDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val scored = graft.ml.RelationalML.stringIndexerTransform(
+          batch.toDF(), "event_type", indexerModel, "event_type_idx")
+        scored.write.mode("append").parquet(outDir)
+        Seq((batchId, scored.count()))
+          .toDF("batch_id", "n_scored")
+          .write.mode("append").parquet(metricsDir)
+        ()
+      }
+      .start()
+  }
+
   /** Kafka source plan (reference main.py:22 declares exactly this
     * connector). Builder only — no broker exists in the test env; the
     * value payload is JSON with the events schema. */

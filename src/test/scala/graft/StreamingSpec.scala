@@ -91,6 +91,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count(_._1 == 1L) == 2)
   }
 
+  test("foreachBatch sink scores micro-batches to parquet with metrics") {
+    import spark.implicits._
+    val fitDf = Seq("click", "view", "click").toDF("event_type")
+    val model = graft.ml.RelationalML.stringIndexerFit(fitDf, "event_type")
+    val out = java.nio.file.Files.createTempDirectory("scored").toString
+    val metrics = java.nio.file.Files.createTempDirectory("metrics").toString
+    val stream = MemoryStream[Ev](spark)
+    val q = EventStreams.scoreToParquet(stream.toDF(), model,
+      s"$out/data", s"$metrics/data")
+    try {
+      stream.addData(Seq(Ev(1, ts(0), 1, "click", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(2, ts(1), 2, "view", 2.0),
+        Ev(3, ts(2), 1, "click", 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val scored = spark.read.parquet(s"$out/data")
+    assert(scored.count() == 3)
+    assert(scored.filter(col("event_type") === "click")
+      .select("event_type_idx").distinct().head().getLong(0) == 0L)
+    val m = spark.read.parquet(s"$metrics/data")
+      .orderBy("batch_id").collect()
+    assert(m.map(_.getLong(1)).sum == 3)
+    assert(m.length == 2) // one metrics row per micro-batch
+  }
+
   test("per-event scoring applies a fitted indexer map to the stream") {
     import spark.implicits._
     val fitDf = Seq("click", "click", "view").toDF("event_type")
