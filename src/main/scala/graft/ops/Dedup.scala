@@ -257,6 +257,38 @@ object Dedup {
     jaccardOnPairs(keeper, sets, idCol, threshold)
   }
 
+  /** Resolve keeper ASSIGNMENT CHAINS to final cluster roots by pointer
+    * jumping: `assign` is (d1 = keeper, d2 = doc) from
+    * [[minhashLshDedup]]; when c's keeper b is itself assigned to a,
+    * c must land on a. Each iteration replaces every root by its own
+    * root (path halving), converging in O(log chain-depth) iterations —
+    * the iterative-join pattern for connected components without a
+    * graph library. Each iteration's result is persisted and the
+    * previous one released, so lineage stays one join deep.
+    * Output: (doc, root) for every doc that ends up re-rooted.
+    */
+  def resolveClusters(assign: DataFrame): DataFrame = {
+    var m = assign.select(col("d2").as("doc"), col("d1").as("root"))
+      .persist()
+    var changed = true
+    while (changed) {
+      val r = m.select(col("doc").as("r_doc"), col("root").as("r_root"))
+      val next = m.join(r, col("root") === col("r_doc"), "left")
+        .select(col("doc"),
+          coalesce(col("r_root"), col("root")).as("root"),
+          (coalesce(col("r_root"), col("root")) =!= col("root"))
+            .as("moved"))
+        .persist()
+      changed = next.filter(col("moved")).limit(1).count() > 0
+      val prev = m
+      m = next.select("doc", "root").persist()
+      m.count() // materialize before releasing parents
+      prev.unpersist()
+      next.unpersist()
+    }
+    m
+  }
+
   /** SimHash: 64-bit signature; bit j is the sign of the sum over tokens
     * of (+1/-1) at bit j of xxhash64(tok). One hash aggregation with 64
     * codegen'd sum columns — no UDF, no per-bit shuffle.

@@ -127,6 +127,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("resolveClusters collapses keeper chains to their root") {
+    import spark.implicits._
+    // chain: 5 -> 3, 3 -> 1; separate pair: 10 -> 9
+    val assign = Seq((3L, 5L), (1L, 3L), (9L, 10L)).toDF("d1", "d2")
+    val roots = Dedup.resolveClusters(assign)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots == Map(5L -> 1L, 3L -> 1L, 10L -> 9L))
+  }
+
+  test("resolveClusters on the LSH assignment yields self-free roots") {
+    val out = Dedup.minhashLshDedup(docs, "text", "doc_id", 16, 4, 0.5)
+    val roots = Dedup.resolveClusters(out)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every resolved root must not itself be assigned elsewhere
+    val assigned = out.collect().map(_.getLong(1)).toSet
+    assert(roots.values.forall(r => !assigned.contains(r)))
+  }
+
   test("dedup is idempotent") {
     val once = Dedup.exact(docs, "text", "doc_id")
     val twice = Dedup.exact(once, "text", "doc_id")
