@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashAgg, VecDot}
+import graft.functions.{MinHashAgg, TopKAgg, VecDot}
 
 /** Session-extension installer for the engine's custom Catalyst
   * functions — the deployment path for a real cluster:
@@ -40,6 +40,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"numHashes must be an integer literal, got $other")
         }
         MinHashAgg(args.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "topk_agg takes (score, id, k literal)")
+        val k = args(2).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"k must be an integer literal, got $other")
+        }
+        TopKAgg(args.head, args(1), k).toAggregateExpression()
       }))
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TopKAgg
+import graft.sources.Tables
+
+class TopKAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("heap aggregate equals the window top-k on the fixture") {
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAgg = orders
+      .groupBy("o_custkey")
+      .agg(TopKAgg.topkAgg(spark, col("o_totalprice"), col("o_orderkey"), 3)
+        .as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("merge across partitions is repartition-invariant") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (i % 17L, i * 0.37 % 100, i.toLong))
+      .toDF("g", "score", "id")
+    def run(d: org.apache.spark.sql.DataFrame) = d.groupBy("g")
+      .agg(TopKAgg.topkAgg(spark, col("score"), col("id"), 5).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getLong(1)))).toMap
+    assert(run(df) == run(df.repartition(13)))
+  }
+
+  test("score ties break toward the smaller id") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0, 30L), (1L, 5.0, 10L), (1L, 5.0, 20L))
+      .toDF("g", "score", "id")
+    val top = df.groupBy("g")
+      .agg(TopKAgg.topkAgg(spark, col("score"), col("id"), 2).as("t"))
+      .select(explode(col("t"))).select("col.id")
+      .collect().map(_.getLong(0))
+    assert(top.sameElements(Array(10L, 20L)))
+  }
+
+  test("aggregate plan has partial aggregation before the shuffle") {
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+    val plan = orders.groupBy("o_custkey")
+      .agg(TopKAgg.topkAgg(spark, col("o_totalprice"), col("o_orderkey"), 3)
+        .as("t"))
+      .queryExecution.executedPlan.toString
+    // two aggregate operators around the exchange = map-side partials
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
+      plan.take(800))
+  }
+}
