@@ -346,6 +346,28 @@ object Relational {
               GROUP BY l.user_id, l.event_id
               ORDER BY l.user_id, l.event_id""")),
 
+    // Q12b — the same top-3-per-customer via the bounded-heap custom
+    // aggregate (graft.functions.TopKAgg): k rows per group shuffle
+    // instead of the window form's full sort. Same oracle as Q12.
+    Entry("q12b_topk_agg",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val top = o.groupBy("o_custkey")
+          .agg(graft.functions.TopKAgg
+            .topkAgg(s, col("o_totalprice"), col("o_orderkey"), 3).as("t"))
+          .select(col("o_custkey"), posexplode(col("t")))
+        top.select(col("o_custkey"), col("col.id").as("o_orderkey"),
+            round(col("col.score"), 4).as("price"),
+            (col("pos") + 1).cast("long").as("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price, rn
+              FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                           row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                    FROM orders)
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
     // Q13 — date bucketing: revenue by ship year / order month.
     Entry("q13_date_year",
       (s, dir) => t(s, dir, "lineitem")
