@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{CorpusClean, DataSplit}
+import graft.sources.Tables
+
+class DataPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("hash split is disjoint, exhaustive, and repartition-stable") {
+    val docs = Tables.load(spark, dir, "documents")
+    val (train, test) = DataSplit.trainTest(docs, "text", 0.2)
+    assert(train.count() + test.count() == docs.count())
+    assert(train.join(test, Seq("doc_id"), "inner").count() == 0)
+    // membership survives a relayout
+    val (train2, _) = DataSplit.trainTest(docs.repartition(7), "text", 0.2)
+    assert(train2.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(train.select("doc_id").collect().map(_.getLong(0)).sorted))
+    // keyed by TEXT: duplicate contents never straddle the split
+    val frac = test.count().toDouble / docs.count()
+    assert(frac > 0.1 && frac < 0.3, s"test fraction $frac")
+  }
+
+  test("fold assignment covers 0..k-1 roughly evenly") {
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.select(DataSplit.foldColumn("text", 5).as("fold"))
+      .groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0L until 5L).toSet)
+    val n = docs.count().toDouble
+    counts.values.foreach(c => assert(c / n > 0.1 && c / n < 0.3))
+  }
+
+  test("stratified sample respects per-stratum fractions") {
+    val docs = Tables.load(spark, dir, "documents")
+    val sampled = DataSplit.stratifiedSample(docs, "lang", "text",
+      Map("en" -> 0.5, "de" -> 1.0))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("de", 0L) == totals("de"))  // keep all
+    val enFrac = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac")
+    assert(!byLang.contains("fr")) // unlisted stratum dropped
+  }
+
+  test("corpus clean composes filters and dedup with a faithful audit") {
+    val docs = Tables.load(spark, dir, "documents")
+    val (cleaned, audit) = CorpusClean.clean(docs, "text", "doc_id")
+    val stages = audit.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // chained: every stage's input is the previous stage's output
+    assert(stages("quality_filter")._1 == docs.count())
+    assert(stages("exact_dedup")._1 == stages("quality_filter")._2)
+    assert(stages("near_dedup")._1 == stages("exact_dedup")._2)
+    assert(cleaned.count() == stages("near_dedup")._2)
+    // monotone non-increasing, and dedup actually dropped something on
+    // this duplicate-heavy corpus
+    assert(stages("near_dedup")._2 < docs.count())
+    // cleaning is idempotent: a second pass drops nothing further
+    val (cleaned2, _) = CorpusClean.clean(cleaned, "text", "doc_id")
+    assert(cleaned2.count() == cleaned.count())
+  }
+}
