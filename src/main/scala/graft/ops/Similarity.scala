@@ -86,6 +86,46 @@ object Similarity {
   private def hammingLong(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** IVF (inverted-file) approximate top-k: vectors are bucketed by
+    * their nearest of `nCentroids` k-means centroids at INDEX time (one
+    * MLlib KMeans fit, seeded — deterministic); at QUERY time only the
+    * `nProbe` centroid cells nearest the probe are scanned. The
+    * complementary ANN to [[cosineTopKApprox]]'s sign-LSH: data-adapted
+    * cells (better recall on clustered embeddings) at the cost of a
+    * training pass. Index time is one fit + one narrow map; query cost
+    * is |data| * nProbe / nCentroids scans.
+    */
+  def cosineTopKIvf(df: DataFrame, vecCol: String, idCol: String,
+      probeId: Long, k: Int, nCentroids: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val assembled = df.withColumn("__fv", array_to_vector(toD(col(vecCol))))
+    val model = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+    val fitted = model.fit(assembled)
+    val indexed = fitted.transform(assembled)
+    // query: rank cells by distance from the probe vector, probe the
+    // nearest nProbe cells
+    val probeVec = df.filter(col(idCol) === probeId)
+      .select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toArray
+    val cells = fitted.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(probeVec)
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val probe = df.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__probe"))
+    indexed.filter(col("__cell").isInCollection(cells.toSeq))
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+        round(fcosine(df)(col(vecCol), col("__probe")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, blocked by
     * sign bucket so the self-join is bucket-local. Exact within-bucket;
     * cross-bucket near-dups at the orthant boundary are the accepted

@@ -52,6 +52,15 @@ object SimilarityOps {
         t(s, dir, "embeddings"), "embedding", "vec_id", 0L, 10, 8),
       Some(cosineSql("bit_count(xor(bkt, pbkt)) <= 1"))),
 
+    // X2c — IVF (k-means-cell) ANN top-10: the data-adapted ANN beside
+    // the sign-LSH variant. KMeans cells are engine-side (seeded MLlib
+    // fit) -> rows-only check; recall vs exact asserted in
+    // SimilaritySpec.
+    Entry("x2_cosine_topk_ivf",
+      (s, dir) => Similarity.cosineTopKIvf(
+        t(s, dir, "embeddings"), "embedding", "vec_id", 0L, 10, 16, 2),
+      None),
+
     // Embedding-cosine near-duplicate pairs, sign-bucket blocked
     // (8 bits = 256 buckets: ~16x fewer within-bucket pairs than 4).
     Entry("x2_embedding_neardup",

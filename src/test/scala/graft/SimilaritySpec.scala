@@ -49,6 +49,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L), (0L, 4L), (1L, 4L)))
   }
 
+  test("IVF top-k recovers most of the exact top-k on the fixture") {
+    val dir = TestSpark.sf0001
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val exact = Similarity.cosineTopK(emb, "embedding", "vec_id", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.cosineTopKIvf(emb, "embedding", "vec_id", 0L, 10,
+      nCentroids = 8, nProbe = 3)
+      .collect().map(_.getLong(0))
+    assert(ivf.length == 10)
+    assert(ivf.head == 0L) // the probe's own cell is always probed
+    // data-adapted cells: expect solid overlap with the exact answer
+    assert(exact.intersect(ivf.toSet).size >= 5,
+      s"recall too low: exact=$exact ivf=${ivf.toSet}")
+  }
+
   test("brute-force and ANN top-k agree on the fixture probe") {
     val dir = TestSpark.sf0001
     val emb = graft.sources.Tables.load(spark, dir, "embeddings")

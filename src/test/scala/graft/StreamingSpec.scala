@@ -91,6 +91,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count(_._1 == 1L) == 2)
   }
 
+  test("session append mode finalizes closed sessions and drops late rows") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val plan = EventStreams.sessions(stream.toDF(), watermark = "0 seconds")
+    val rows = runStream(stream, plan, OutputMode.Append(), Seq(
+      Seq(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(5), 1, "click", 1.0)),
+      // watermark jumps far past the session's end (ts(5)+30min) => closed
+      Seq(Ev(3, ts(120), 1, "click", 1.0)),
+      // late event inside the closed session window => dropped
+      Seq(Ev(4, ts(6), 1, "click", 99.0))))
+    val first = rows.filter(_.getTimestamp(1).equals(ts(0)))
+    assert(first.length == 1, s"expected one finalized session: $rows")
+    assert(first.head.getLong(3) == 2, s"late row merged into closed session")
+  }
+
   test("foreachBatch sink scores micro-batches to parquet with metrics") {
     import spark.implicits._
     val fitDf = Seq("click", "view", "click").toDF("event_type")
