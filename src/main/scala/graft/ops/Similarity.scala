@@ -101,7 +101,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val assembled = df.withColumn("__fv", array_to_vector(toD(col(vecCol))))
-    val model = new KMeans().setK(nCentroids).setSeed(42L)
+    // few iterations suffice: cells only need to be roughly Voronoi —
+    // ANN recall is set by nProbe, not centroid convergence
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
     val fitted = model.fit(assembled)
     val indexed = fitted.transform(assembled)
