@@ -306,6 +306,18 @@ object Dedup {
       .select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash signatures via the single-buffer imperative aggregate
+    * ([[graft.functions.SimHashAgg]]): identical output to [[simhash]]
+    * (same xxhash64 bit votes, asserted in SimHashAggSpec), but one
+    * hash + one 64-counter update per token instead of 64 independent
+    * `sum(when(...))` aggregate columns each re-hashing the token. */
+  def simhashAgg(sets: DataFrame, idCol: String): DataFrame = {
+    val spark = sets.sparkSession
+    sets.groupBy(col(idCol))
+      .agg(graft.functions.SimHashAgg
+        .simhashAgg(spark, col("tok")).as("simhash"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -113,7 +113,7 @@ object TextOps {
       (s, dir) => {
         val sets = Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id",
           "source")
-        val sigs = Dedup.simhash(sets, "doc_id")
+        val sigs = Dedup.simhashAgg(sets, "doc_id")
         Dedup.simhashNearDupPairs(sigs, "doc_id", 6)
           .orderBy("d1", "d2")
       },
