@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Round-3 analytic surface extensions: distribution window functions,
+  * correlation/covariance aggregates, explicit grouping sets, unpivot
+  * (melt), correlated/scalar/IN subqueries via the SQL entry point, and
+  * source/sink roundtrips (CSV with header+inferSchema — the reference's
+  * S1 read semantics, `main.py:34-41` — JSON lines, and a partitioned
+  * parquet sink with a partition-pruned read-back).
+  *
+  * Scale notes: the window queries sort within `o_custkey` partitions
+  * (one shuffle, no global sort before the final ORDER BY); grouping
+  * sets expand in the aggregate exchange, not the scan; the partitioned
+  * sink writes one directory per `l_returnflag` so the read-back filter
+  * prunes 2/3 of the files before any IO.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Deterministic scratch dir per (query, sf-dir) for sink roundtrips. */
+  private def scratch(name: String, dir: String): String =
+    s"/tmp/graft_q/$name/${new java.io.File(dir).getName}"
+
+  val entries: Seq[Entry] = Seq(
+
+    // Q10b — distribution window functions: ntile / percent_rank /
+    // cume_dist / first / last / nth over a totally ordered per-customer
+    // window (price desc, orderkey tiebreak → deterministic across
+    // engines; pct values are exact IEEE divisions of small ints).
+    Entry("q10b_window_fns",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val wFull = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            ntile(4).over(w).cast("long").as("tile"),
+            round(percent_rank().over(w), 4).as("pct_rank"),
+            round(cume_dist().over(w), 4).as("cdist"),
+            first(col("o_orderkey")).over(w).as("first_ok"),
+            last(col("o_orderkey")).over(wFull).as("last_ok"),
+            nth_value(col("o_orderkey"), 2).over(wFull).as("second_ok"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                     ntile(4) OVER w AS tile,
+                     round(percent_rank() OVER w, 4) AS pct_rank,
+                     round(cume_dist() OVER w, 4) AS cdist,
+                     first_value(o_orderkey) OVER w AS first_ok,
+                     last_value(o_orderkey) OVER
+                       (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS last_ok,
+                     nth_value(o_orderkey, 2) OVER
+                       (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS second_ok
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC)
+              ORDER BY o_orderkey""")),
+
+    // Q17e — correlation / covariance aggregates per return flag
+    // (the bivariate-statistics side of the E5 summarizer semantics).
+    Entry("q17e_corr",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(corr("l_quantity", "l_extendedprice"), 4).as("r"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("cov_s"),
+          round(covar_pop("l_quantity", "l_extendedprice"), 4).as("cov_p"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+                     round(corr(l_quantity, l_extendedprice), 4) AS r,
+                     round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+                     round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Q29 — explicit GROUPING SETS (beyond rollup/cube: an arbitrary
+    // set list — here (region, nation), (nation), ()) over the
+    // broadcast star join. Spark 4's Dataset.groupingSets API.
+    Entry("q29_grouping_sets",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("n_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 4).as("acctbal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+                     round(sum(c_acctbal), 4) AS acctbal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
+              ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    // Q30 — unpivot/melt: wide part metrics to (key, metric, value)
+    // long form. Oracle uses the UNION ALL expansion (same semantics,
+    // no dialect-specific UNPIVOT syntax).
+    Entry("q30_unpivot",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+        .select(col("p_partkey"), col("metric"),
+          round(col("value"), 4).as("value"))
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, 'p_size' AS metric,
+                     round(CAST(p_size AS DOUBLE), 4) AS value FROM part
+              UNION ALL
+              SELECT p_partkey, 'p_retailprice' AS metric,
+                     round(p_retailprice, 4) AS value FROM part
+              ORDER BY p_partkey, metric""")),
+
+    // Q31 — subquery surface through the SQL entry point: correlated
+    // EXISTS, scalar subquery, and IN-subquery in one predicate.
+    Entry("q31_subqueries",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("q31_customer")
+        t(s, dir, "orders").createOrReplaceTempView("q31_orders")
+        t(s, dir, "nation").createOrReplaceTempView("q31_nation")
+        s.sql("""SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+                 FROM q31_customer c
+                 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM q31_customer)
+                   AND c_nationkey IN (SELECT n_nationkey FROM q31_nation
+                                       WHERE n_regionkey <= 2)
+                   AND EXISTS (SELECT 1 FROM q31_orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_totalprice > 150000)
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+              FROM customer c
+              WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+                AND c_nationkey IN (SELECT n_nationkey FROM nation
+                                    WHERE n_regionkey <= 2)
+                AND EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 150000)
+              ORDER BY c_custkey""")),
+
+    // S1 — CSV sink + source roundtrip with the reference's exact read
+    // options (header=true, inferSchema=true → the two-pass scan,
+    // main.py:34-41), then an aggregation over the re-read table.
+    Entry("s1_csv_roundtrip",
+      (s, dir) => {
+        val tmp = scratch("s1_csv", dir)
+        t(s, dir, "nation").write.mode("overwrite")
+          .option("header", "true").csv(tmp)
+        s.read.option("header", "true").option("inferSchema", "true")
+          .csv(tmp)
+          .groupBy(col("n_regionkey").cast("long").as("region"))
+          .agg(count(lit(1)).as("n"), min("n_name").as("first_nation"))
+          .orderBy("region")
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS region, count(*) AS n,
+                     min(n_name) AS first_nation
+              FROM nation GROUP BY region ORDER BY region""")),
+
+    // S2 — JSON-lines sink + source roundtrip (schema re-inferred from
+    // the JSON values on read), aggregated per event type.
+    Entry("s2_jsonl_roundtrip",
+      (s, dir) => {
+        val tmp = scratch("s2_jsonl", dir)
+        t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+          .write.mode("overwrite").json(tmp)
+        s.read.json(tmp)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                     round(sum(value), 4) AS total
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // W1 — partitioned parquet sink: write lineitem partitioned by
+    // l_returnflag, read back with a partition-pruned filter (the 'R'
+    // directory only — verified via PushedFilters/partition pruning in
+    // AnalyticsSpec) and aggregate by line status.
+    Entry("w1_partitioned_sink",
+      (s, dir) => {
+        val tmp = scratch("w1_part", dir)
+        t(s, dir, "lineitem")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("l_returnflag") === "R")
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus, count(*) AS n,
+                     round(sum(l_quantity), 4) AS qty
+              FROM lineitem WHERE l_returnflag = 'R'
+              GROUP BY l_linestatus ORDER BY l_linestatus"""))
+  )
+}

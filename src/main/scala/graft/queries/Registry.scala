@@ -16,6 +16,7 @@ final case class Entry(
 object Registry {
   /** Full declared inventory (SURVEY.md §2.9 + LLM-pipeline extensions). */
   def all: Seq[Entry] =
-    Relational.entries ++ MLRelational.entries ++ TimeWindows.entries ++
-      TextOps.entries ++ SimilarityOps.entries ++ MultimodalOps.entries
+    Relational.entries ++ Analytics.entries ++ MLRelational.entries ++
+      TimeWindows.entries ++ TextOps.entries ++ SimilarityOps.entries ++
+      MultimodalOps.entries
 }

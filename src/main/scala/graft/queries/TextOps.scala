@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.ops.{Dedup, TextStats}
 
@@ -168,6 +169,72 @@ object TextOps {
                      len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
               FROM documents ORDER BY doc_id""")),
+
+    // TF-IDF: per-doc top-3 terms by tf * ln(N/df). The rank key is the
+    // ROUNDED score (then term asc) so cross-engine ordering can't flip
+    // on sub-ulp ln() differences between libm implementations.
+    Entry("t_tfidf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val total = docs.agg(count(lit(1)).as("n_total"))
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfq, "tok").crossJoin(total)
+          .withColumn("tfidf", round(col("tf") *
+            log(col("n_total").cast("double") / col("df")), 4))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("tok").asc)
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "rk", "tok", "tf", "df", "tfidf")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              tfq AS (SELECT doc_id, tok, count(*) AS tf
+                      FROM toks GROUP BY 1, 2),
+              dfq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY 1),
+              tot AS (SELECT count(*) AS n_total FROM documents),
+              scored AS (
+                SELECT doc_id, tok, tf, df,
+                       round(tf * ln(n_total * 1.0 / df), 4) AS tfidf
+                FROM tfq JOIN dfq USING (tok) CROSS JOIN tot),
+              ranked AS (
+                SELECT *, row_number() OVER
+                  (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk
+                FROM scored)
+              SELECT doc_id, rk, tok, tf, df, tfidf
+              FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // X6 — deterministic, engine-portable stratified sampling: the
+    // sampling decision is a leading-hex-digit test on md5(text) (md5 is
+    // identical everywhere, unlike each engine's internal hash), with a
+    // higher rate for 'en' docs — the reproducible-split primitive a
+    // training-data pipeline needs (no rand(), re-runs select the same
+    // rows on any engine).
+    Entry("x6_sample",
+      (s, dir) => {
+        val hex = substring(md5(col("text")), 1, 1)
+        val keep = when(col("lang") === "en",
+          hex.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+          .otherwise(hex.isin("0", "1", "2", "3"))
+        t(s, dir, "documents").filter(keep)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_sampled,
+                     CAST(sum(n_chars) AS BIGINT) AS chars
+              FROM documents
+              WHERE CASE WHEN lang = 'en'
+                    THEN substring(md5(text), 1, 1) IN
+                         ('0','1','2','3','4','5','6','7')
+                    ELSE substring(md5(text), 1, 1) IN ('0','1','2','3')
+                    END
+              GROUP BY lang ORDER BY lang""")),
 
     // Rolling-hash document fingerprint (order-sensitive).
     Entry("t_fingerprint",

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{Analytics, Registry}
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def run(name: String) =
+    Registry.all.find(_.name == name).get.run(spark, sf)
+
+  test("q10b ntile is within [1,4] and pct_rank/cdist within [0,1]") {
+    val rows = run("q10b_window_fns").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tile = r.getLong(2)
+      assert(tile >= 1 && tile <= 4)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q29 grouping sets emits exactly the three declared sets") {
+    val rows = run("q29_grouping_sets").collect()
+    val byShape = rows.groupBy(r => (r.isNullAt(0), r.isNullAt(1)))
+    // (r_name,n_name) detail rows, (n_name)-only rows, one grand total
+    assert(byShape((true, true)).length == 1)
+    assert(byShape((true, false)).nonEmpty)  // n_name set
+    assert(byShape((false, false)).nonEmpty) // full detail
+    assert(!byShape.contains((false, true))) // (r_name) alone not declared
+    val grand = byShape((true, true)).head.getLong(2)
+    assert(grand == byShape((false, false)).map(_.getLong(2)).sum)
+  }
+
+  test("q30 unpivot emits two metric rows per part") {
+    val parts = spark.read.parquet(s"$sf/part.parquet").count()
+    val out = run("q30_unpivot")
+    assert(out.count() == 2 * parts)
+    assert(out.select("metric").distinct().count() == 2)
+  }
+
+  test("w1 partitioned sink read-back prunes partitions on l_returnflag") {
+    val plan = run("w1_partitioned_sink").queryExecution.executedPlan.toString
+    // the filter must land in the scan's partition filters, not a
+    // post-scan Filter over all partitions
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("l_returnflag"), plan.take(2000))
+  }
+
+  test("s1 csv roundtrip re-infers integer schema from csv text") {
+    val tmp = s"/tmp/graft_spec/s1_csv"
+    spark.read.parquet(s"$sf/nation.parquet").write.mode("overwrite")
+      .option("header", "true").csv(tmp)
+    val inferred = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(tmp).schema
+    assert(inferred("n_nationkey").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("x6 sampling is deterministic and rate-stratified by lang") {
+    val a = run("x6_sample").collect().map(r => r.getString(0) -> r.getLong(1))
+    val b = run("x6_sample").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(a.sameElements(b))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = a.toMap.map { case (l, n) => l -> n.toDouble / docs(l) }
+    // en sampled at ~1/2, everything else at ~1/4 (loose bounds — the
+    // fixture slices are small)
+    assert(rates("en") > 0.3)
+  }
+
+  test("t_tfidf ranks by rounded score with term tiebreak") {
+    val rows = run("t_tfidf").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val scores = sorted.map(_.getDouble(5))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+      assert(sorted.length <= 3)
+    }
+  }
+}
