@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashAgg, TopKAgg, VecDot}
+import graft.functions.{MinHashAgg, SimHashAgg, TopKAgg, VecDot}
 
 /** Session-extension installer for the engine's custom Catalyst
   * functions — the deployment path for a real cluster:
@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"numHashes must be an integer literal, got $other")
         }
         MinHashAgg(args.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_agg takes (column)")
+        SimHashAgg(args.head).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("topk_agg"),

@@ -150,6 +150,24 @@ object Analytics {
                               AND o.o_totalprice > 150000)
               ORDER BY c_custkey""")),
 
+    // Q32 — salted skew join through the oracle gate: the explicit
+    // skew-mitigation rewrite (ops.Skew.saltedJoin — salt on the fact
+    // side, replicate the other side saltFactor times) must produce
+    // results identical to the plain equi-join the oracle runs. Float
+    // sums are made order-safe by comparing (n, sum(int qty)).
+    Entry("q32_salted_join",
+      (s, dir) => graft.ops.Skew.saltedJoin(
+        t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey", 4)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // S1 — CSV sink + source roundtrip with the reference's exact read
     // options (header=true, inferSchema=true → the two-pass scan,
     // main.py:34-41), then an aggregation over the re-read table.

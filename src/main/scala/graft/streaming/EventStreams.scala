@@ -55,6 +55,29 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases landing within [click_ts, click_ts + horizon]. Both sides
+    * carry watermarks and the join condition bounds event time in BOTH
+    * directions, so the state store can evict rows once the watermark
+    * passes the interval — without the time bound, stream-stream join
+    * state grows forever. Works identically on batch frames (watermark
+    * is a no-op there), which is how StreamingSpec asserts parity. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+        col("ts").as("buy_ts"), col("value").as("buy_value"))
+    c.join(p, col("user_id") === col("buy_user") &&
+      col("buy_ts") >= col("click_ts") &&
+      col("buy_ts") <= col("click_ts") + expr(s"interval $horizon"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("buy_id"), col("buy_ts"), col("buy_value"))
+  }
+
   /** Stateless per-event scoring: broadcast-join a fitted index map
     * (the StringIndexer-transform shape, E2) onto the stream — the
     * streaming-safe form of `pipelineModel.transform(streamDf)`. */

@@ -75,6 +75,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("event_id")).sorted == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import spark.implicits._
+    val clickEvs = Seq(Ev(1, ts(0), 1, "click", 0.0),
+      Ev(2, ts(5), 2, "click", 0.0))
+    val buyEvs = Seq(Ev(10, ts(4), 1, "purchase", 9.5),
+      Ev(11, ts(30), 1, "purchase", 3.0), // outside the 10-min horizon
+      Ev(12, ts(6), 2, "purchase", 1.0))
+    val clicks = MemoryStream[Ev](spark)
+    val buys = MemoryStream[Ev](spark)
+    val plan = EventStreams.clickPurchaseJoin(clicks.toDF(), buys.toDF())
+    val name = s"sink_${System.nanoTime()}"
+    val q = plan.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(clickEvs)
+      buys.addData(buyEvs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("buy_id"))).toSet
+    val batch = EventStreams.clickPurchaseJoin(
+      clickEvs.toDF(), buyEvs.toDF()).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("buy_id"))).toSet
+    assert(streamed == Set((1L, 10L), (2L, 12L)))
+    assert(batch == streamed)
+  }
+
   test("session stream merges across micro-batches like the batch plan") {
     import spark.implicits._
     val events = Seq(
