@@ -82,6 +82,27 @@ object SimilarityOps {
                     FROM pairs, range(1, 65) t(i) GROUP BY d1, d2)
               SELECT d1, d2, round(dp / (na * nb), 4) AS cos_sim FROM d
               WHERE dp / (na * nb) >= 0.95
-              ORDER BY d1, d2"""))
+              ORDER BY d1, d2""")),
+
+    // X2e — per-label embedding stats over fixed dimensions (the
+    // column-statistics pass an embedding store runs for drift checks):
+    // count + per-dimension sums, no explode — element_at is 1-based in
+    // both engines, floats widened to double before summing.
+    Entry("x2e_dim_stats",
+      (s, dir) => t(s, dir, "embeddings")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(element_at(col("embedding"), 1).cast("double")), 4)
+            .as("sum_d1"),
+          round(sum(element_at(col("embedding"), 2).cast("double")), 4)
+            .as("sum_d2"),
+          round(sum(element_at(col("embedding"), 64).cast("double")), 4)
+            .as("sum_d64"))
+        .orderBy("label"),
+      Some("""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+                     round(sum(CAST(embedding[1] AS DOUBLE)), 4) AS sum_d1,
+                     round(sum(CAST(embedding[2] AS DOUBLE)), 4) AS sum_d2,
+                     round(sum(CAST(embedding[64] AS DOUBLE)), 4) AS sum_d64
+              FROM embeddings GROUP BY label ORDER BY label"""))
   )
 }

@@ -236,6 +236,77 @@ object TextOps {
                     END
               GROUP BY lang ORDER BY lang""")),
 
+    // T6 — decontamination: flag training docs sharing >= 3 distinct
+    // 3-gram shingles with a held-out "benchmark" slice (source='src0'
+    // stands in for the eval set). The overlap join's shuffle key is the
+    // shingle — the same blocked shape as X4, linear in shared shingles,
+    // never docs^2. The real-pipeline form of "did eval data leak into
+    // training data".
+    Entry("t_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val shingles = Dedup.shingleSets(docs, "text", "doc_id", "source", 3)
+        val bench = shingles.filter(col("source") === "src0")
+          .select(col("tok")).distinct()
+        shingles.filter(col("source") =!= "src0")
+          .join(bench, "tok")
+          .groupBy("doc_id")
+          .agg(countDistinct("tok").as("shared_shingles"))
+          .filter(col("shared_shingles") >= 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH grams AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(toks) - 2, 1)),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS tok
+                FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                      FROM documents)),
+              bench AS (SELECT DISTINCT tok FROM grams WHERE source = 'src0')
+              SELECT doc_id, count(DISTINCT tok) AS shared_shingles
+              FROM grams JOIN bench USING (tok)
+              WHERE source != 'src0'
+              GROUP BY doc_id HAVING count(DISTINCT tok) >= 3
+              ORDER BY doc_id""")),
+
+    // T7 — repetition detection: distinct-token ratio per doc (low ratio
+    // = boilerplate/looping text, a standard pretraining quality cut).
+    Entry("t_repetition",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_tok"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"))
+          .withColumn("distinct_ratio",
+            round(col("n_distinct") / col("n_tok"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tok,
+                     len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                     round(len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')), 4) AS distinct_ratio
+              FROM documents ORDER BY doc_id""")),
+
+    // T8 — PII-style redaction stats: digit runs masked, counts +
+    // post-redaction length per doc (the masking pass a training
+    // pipeline runs before tokenization; DuckDB needs the explicit 'g'
+    // flag for replace-all, Spark replaces all by default).
+    Entry("t_redact",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_digit_runs"),
+          length(regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+            .cast("long").as("redacted_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+                     length(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))
+                       AS redacted_len
+              FROM documents ORDER BY doc_id""")),
+
     // Rolling-hash document fingerprint (order-sensitive).
     Entry("t_fingerprint",
       (s, dir) => t(s, dir, "documents")
