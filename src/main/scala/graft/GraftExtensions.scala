@@ -20,6 +20,9 @@ import graft.functions.{MinHashAgg, SimHashAgg, TopKAgg, VecDot}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // naive bit_count(a^b) <= k joins plan as BroadcastNestedLoopJoin;
+    // this rule rewrites them to the exact pigeonhole banded equi-join
+    ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
