@@ -181,7 +181,7 @@ object TextOps {
           explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val scored = tf.join(dfq, "tok").crossJoin(total)
+        val scored = tf.join(dfq, "tok").crossJoin(broadcast(total))
           .withColumn("tfidf", round(col("tf") *
             log(col("n_total").cast("double") / col("df")), 4))
         val w = Window.partitionBy("doc_id")

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Registry
+
+/** Registry-wide physical-plan audit: every declared query must compile
+  * to a plan that survives a 100x scale-up. One suite instead of
+  * per-query assertions so a NEW query is audited the moment it is
+  * registered — no way to ship an accidental nested loop.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private val plans: Map[String, String] =
+    Registry.all.map { e =>
+      e.name -> e.run(spark, sf).queryExecution.executedPlan.toString
+    }.toMap
+
+  // Queries allowed to contain a BroadcastNestedLoopJoin: each one
+  // cross-joins a BY-CONSTRUCTION single-row broadcast side (a global
+  // aggregate or a fixed probe vector) onto the fact side — O(n) work,
+  // scale-safe. Anything else showing a nested loop is a bug.
+  private val singleRowBroadcasts = Set(
+    "q17_fit_stats", "q17_scale_probe", "q17c_impute", // fit statistics
+    "x2_cosine_topk", "x2_cosine_topk_ann", "x2_cosine_topk_ivf", // probe
+    "x5_media_features", // probe via cosineTopK
+    "t_tfidf") // corpus-total doc count
+
+  test("no query plans an unjustified nested-loop or cartesian join") {
+    val offenders = plans.collect {
+      case (n, p) if (p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("CartesianProduct")) && !singleRowBroadcasts(n) => n
+    }
+    assert(offenders.isEmpty, s"nested-loop plans: $offenders")
+  }
+
+  test("justified nested loops broadcast the single-row side") {
+    singleRowBroadcasts.filter(plans(_).contains("NestedLoop"))
+      .foreach { n =>
+        assert(plans(n).contains("BroadcastNestedLoopJoin"),
+          s"$n: single-row side not broadcast\n${plans(n).take(800)}")
+      }
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    // q02's range predicate must reach the scan, not sit in a Filter
+    // above a full read
+    assert(plans("q02_filter").contains("PushedFilters: ["),
+      plans("q02_filter").take(1200))
+    assert(plans("q02_filter").contains("l_discount"),
+      plans("q02_filter").take(1200))
+  }
+
+  test("projection-only queries prune the read schema") {
+    // q01 projects 3 of lineitem's 11 columns; the scan must not read
+    // the rest (ReadSchema lists only what's needed)
+    val p = plans("q01_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in plan: ${p.take(800)}"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("dimension joins broadcast, fact-fact joins shuffle") {
+    assert(plans("q05_broadcast_join").contains("BroadcastHashJoin"),
+      plans("q05_broadcast_join").take(1200))
+    // lineitem x orders must NOT broadcast a fact side at scale — the
+    // local fixture is tiny so AQE may still choose broadcast; assert
+    // the plan at least keys the join on the equi-columns
+    assert(plans("q04_join_agg").contains("l_orderkey"),
+      plans("q04_join_agg").take(1200))
+  }
+
+  test("aggregations are two-phase (partial then final)") {
+    val p = plans("q08_agg_tpch_q1")
+    assert(p.contains("partial"), p.take(1200))
+    assert(p.contains("HashAggregate"), p.take(1200))
+  }
+
+  test("whole-stage codegen covers the relational core") {
+    // AQE prints the unfinalized plan until first execution — run the
+    // query through the noop sink, then inspect the FINAL plan
+    Seq("q01_scan_project", "q02_filter", "q08_agg_tpch_q1").foreach { q =>
+      val df = Registry.all.find(_.name == q).get.run(spark, sf)
+      df.collect() // finalizes THIS QueryExecution's adaptive plan
+      val finalPlan = df.queryExecution.executedPlan.toString
+      // codegen'd operators print with the `*(stageId)` star marker
+      assert(finalPlan.contains("*("), s"$q lost codegen:\n$finalPlan")
+    }
+  }
+}
