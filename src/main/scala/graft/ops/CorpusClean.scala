@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * canonical order (cheap row-local filters first, exact dedup next,
   * near-dedup last, because each stage shrinks the next stage's input):
   *
-  *  1. quality gate: row-local ratio filters (no shuffle);
-  *  2. exact dedup: one hash aggregation on the content digest;
-  *  3. near-dedup: MinHash+LSH keeper assignment, transitively resolved
+  *  1. quality gate: row-local ratio filters incl. repetition
+  *     (distinct-token ratio) — no shuffle;
+  *  2. redaction: digit-run masking (transform, not filter — before
+  *     dedup so docs differing only in masked digits collapse);
+  *  3. decontamination: drop docs overlapping the benchmark slice by
+  *     >= k distinct shingles (shingle-keyed join);
+  *  4. exact dedup: one hash aggregation on the content digest;
+  *  5. near-dedup: MinHash+LSH keeper assignment, transitively resolved
   *     ([[Dedup.resolveClusters]]), non-roots dropped.
   *
   * Returns the surviving documents plus a per-stage audit frame — a
@@ -22,6 +27,10 @@ object CorpusClean {
       minTokens: Long = 5,
       maxSymbolRatio: Double = 0.3,
       maxStopwordRatio: Double = 0.9,
+      minDistinctRatio: Double = 0.0, // repetition gate (0 = off)
+      redactDigits: Boolean = false,  // mask digit runs before dedup
+      benchmark: Option[DataFrame] = None, // decontamination slice
+      contaminationShingles: Int = 3,
       minHashes: Int = 32,
       bands: Int = 8,
       jaccardThreshold: Double = 0.8)
@@ -33,14 +42,40 @@ object CorpusClean {
     import spark.implicits._
 
     val n0 = docs.count()
+    val toks = split(col(textCol), " ")
     val quality = TextStats.qualityColumns(docs, textCol)
       .filter(col("n_tok") >= config.minTokens &&
         col("symbol_ratio") <= config.maxSymbolRatio &&
-        col("stopword_ratio") <= config.maxStopwordRatio)
+        col("stopword_ratio") <= config.maxStopwordRatio &&
+        (size(array_distinct(toks)) / size(toks)) >= config.minDistinctRatio)
       .drop("n_tok", "mean_tok_len", "stopword_ratio", "symbol_ratio")
     val n1 = quality.count()
 
-    val exact = Dedup.exact(quality, textCol, idCol)
+    // redaction is a transform, not a filter (rows_in == rows_out) —
+    // run BEFORE dedup so docs differing only in masked digits collapse
+    val redacted =
+      if (config.redactDigits)
+        quality.withColumn(textCol,
+          regexp_replace(col(textCol), "[0-9]+", "<NUM>"))
+      else quality
+
+    // decontamination: drop docs sharing >= contaminationShingles
+    // distinct 3-grams with the benchmark slice (shingle-keyed join)
+    val (decon, n2a) = config.benchmark match {
+      case Some(bench) =>
+        val benchShingles = Dedup.shingleTokens(bench, textCol, idCol, 3)
+          .select("tok").distinct()
+        val contaminated = Dedup.shingleTokens(redacted, textCol, idCol, 3)
+          .join(benchShingles, "tok")
+          .groupBy(idCol).agg(countDistinct("tok").as("shared"))
+          .filter(col("shared") >= config.contaminationShingles)
+          .select(idCol)
+        val kept = redacted.join(contaminated, Seq(idCol), "left_anti")
+        (kept, kept.count())
+      case None => (redacted, n1)
+    }
+
+    val exact = Dedup.exact(decon, textCol, idCol)
     val n2 = exact.count()
 
     val assignments = Dedup.minhashLshDedup(exact, textCol, idCol,
@@ -52,7 +87,8 @@ object CorpusClean {
 
     val audit = Seq(
       ("quality_filter", n0, n1),
-      ("exact_dedup", n1, n2),
+      ("decontaminate", n1, n2a),
+      ("exact_dedup", n2a, n2),
       ("near_dedup", n2, n3)
     ).toDF("stage", "rows_in", "rows_out")
     (cleaned, audit)

@@ -40,17 +40,25 @@ object Dedup {
     df.select(col(idCol), col(blockCol),
         explode(array_distinct(split(col(textCol), " "))).as("tok"))
 
+  /** Distinct n-gram array for a text column. */
+  private def gramsOf(textCol: String, n: Int): Column = {
+    val toks = split(col(textCol), " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
   /** N-gram (shingle) sets per doc in long form: (idCol, blockCol, tok)
     * where tok is the space-joined n-gram of consecutive tokens. */
   def shingleSets(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+      blockCol: String, n: Int): DataFrame =
     df.select(col(idCol), col(blockCol),
-      explode(array_distinct(grams)).as("tok"))
-  }
+      explode(gramsOf(textCol, n)).as("tok"))
+
+  /** Unblocked variant: (idCol, tok) shingles. */
+  def shingleTokens(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), explode(gramsOf(textCol, n)).as("tok"))
 
   /** All-pairs Jaccard similarity >= threshold within a blocking column.
     * `sets` is the long form from tokenSets/shingleSets. Output:

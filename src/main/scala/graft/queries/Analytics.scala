@@ -168,6 +168,38 @@ object Analytics {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Q33 — mergeable HLL sketches, two-level: per-(priority, status)
+    // DataSketches HLL built with hll_sketch_agg, then UNIONED up to
+    // priority level with hll_union_agg — the pre-aggregated sketch
+    // table pattern that replaces exact count-distinct at 100 TB
+    // (sketches merge associatively, so daily partials roll up without
+    // re-reading raw data). Estimate is engine-side → rows-only check;
+    // SketchSpec bounds its error against the exact q25 counts.
+    Entry("q33_hll_distinct",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .groupBy("o_orderpriority")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_custs"))
+        .orderBy("o_orderpriority"),
+      None),
+
+    // Q34 — approximate quantiles per return flag (Greenwald-Khanna
+    // style sketch behind percentile_approx; mergeable across
+    // partitions). Engine-side sketch → rows-only; SketchSpec brackets
+    // it against the exact percentile.
+    Entry("q34_approx_quantile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile_approx(col("l_extendedprice"), lit(0.5),
+            lit(10000)), 4).as("p50"),
+          round(percentile_approx(col("l_extendedprice"), lit(0.95),
+            lit(10000)), 4).as("p95"))
+        .orderBy("l_returnflag"),
+      None),
+
     // S1 — CSV sink + source roundtrip with the reference's exact read
     // options (header=true, inferSchema=true → the two-pass scan,
     // main.py:34-41), then an aggregation over the re-read table.

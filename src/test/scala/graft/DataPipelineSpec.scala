@@ -54,7 +54,8 @@ class DataPipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     // chained: every stage's input is the previous stage's output
     assert(stages("quality_filter")._1 == docs.count())
-    assert(stages("exact_dedup")._1 == stages("quality_filter")._2)
+    assert(stages("decontaminate")._1 == stages("quality_filter")._2)
+    assert(stages("exact_dedup")._1 == stages("decontaminate")._2)
     assert(stages("near_dedup")._1 == stages("exact_dedup")._2)
     assert(cleaned.count() == stages("near_dedup")._2)
     // monotone non-increasing, and dedup actually dropped something on
@@ -63,5 +64,22 @@ class DataPipelineSpec extends AnyFunSuite {
     // cleaning is idempotent: a second pass drops nothing further
     val (cleaned2, _) = CorpusClean.clean(cleaned, "text", "doc_id")
     assert(cleaned2.count() == cleaned.count())
+  }
+
+  test("corpus clean redacts digits and decontaminates vs a benchmark") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = docs.filter(col("source") === "src0")
+    val train = docs.filter(col("source") =!= "src0")
+    val cfg = CorpusClean.Config(redactDigits = true,
+      benchmark = Some(bench), minDistinctRatio = 0.1)
+    val (cleaned, audit) = CorpusClean.clean(train, "text", "doc_id", cfg)
+    val stages = audit.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the fixture corpus shares shingles across sources, so the
+    // decontamination stage must drop something
+    assert(stages("decontaminate")._2 < stages("decontaminate")._1)
+    // redaction happened before dedup: no digit runs survive
+    assert(cleaned.filter(col("text").rlike("[0-9]")).count() == 0)
   }
 }

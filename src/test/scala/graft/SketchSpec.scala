@@ -46,4 +46,38 @@ class SketchSpec extends AnyFunSuite {
     // change the estimate
     assert(whole == repartitioned)
   }
+
+  test("q33 two-level hll union estimates within 5% of exact distinct") {
+    val o = Tables.load(spark, dir, "orders")
+    val exact = o.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.Registry.all
+      .find(_.name == "q33_hll_distinct").get.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (p, n) =>
+      assert(math.abs(approx(p) - n).toDouble / n < 0.05,
+        s"$p: approx=${approx(p)} exact=$n")
+    }
+  }
+
+  test("q34 approx quantiles land between the +/-5pp exact percentiles") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val bounds = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.45)).as("lo50"),
+        percentile(col("l_extendedprice"), lit(0.55)).as("hi50"),
+        percentile(col("l_extendedprice"), lit(0.90)).as("lo95"),
+        percentile(col("l_extendedprice"), lit(1.00)).as("hi95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    graft.queries.Registry.all
+      .find(_.name == "q34_approx_quantile").get.run(spark, dir)
+      .collect().foreach { r =>
+        val (lo50, hi50, lo95, hi95) = bounds(r.getString(0))
+        assert(r.getDouble(1) >= lo50 && r.getDouble(1) <= hi50)
+        assert(r.getDouble(2) >= lo95 && r.getDouble(2) <= hi95)
+      }
+  }
 }
