@@ -78,6 +78,82 @@ object EventStreams {
         col("buy_id"), col("buy_ts"), col("buy_value"))
   }
 
+  /** A closed user session emitted by [[cappedSessions]]. */
+  final case class SessionOut(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Long, total_value: Double,
+      closed_by: String)
+
+  /** Open-session state for [[cappedSessions]] — O(1) per user. */
+  final case class SessionState(start: Long, last: Long, n: Long,
+      sum: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * semantics `session_window` CANNOT express: a session also closes
+    * when it reaches `maxEvents` (runaway-session cap), and each closed
+    * session reports WHY it closed ("gap" | "cap" | "timeout"). State
+    * per user is O(1) (start, last-ts, count, sum); an event-time
+    * timeout tied to the watermark evicts idle users, so state never
+    * grows unboundedly. Works on a stream (Update mode) and, via the
+    * same code path, on a batch Dataset (where every group is final).
+    */
+  def cappedSessions(events: org.apache.spark.sql.Dataset[
+        graft.sources.Typed.Event],
+      gapMinutes: Long = 30, maxEvents: Long = 5,
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val gapMs = gapMinutes * 60000L
+
+    def close(uid: Long, s: SessionState, why: String): SessionOut =
+      SessionOut(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last), s.n, s.sum, why)
+
+    def update(uid: Long, evs: Iterator[graft.sources.Typed.Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(uid, _, "timeout")).toList
+        state.remove()
+        return out.iterator
+      }
+      val sorted = evs.toSeq.sortBy(_.ts.getTime)
+      val closedOut = scala.collection.mutable.ListBuffer[SessionOut]()
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last > gapMs =>
+            closedOut += close(uid, s, "gap")
+            cur = Some(SessionState(t, t, 1L, e.value))
+          case Some(s) =>
+            val grown = SessionState(s.start, math.max(s.last, t),
+              s.n + 1, s.sum + e.value)
+            if (grown.n >= maxEvents) {
+              closedOut += close(uid, grown, "cap")
+              cur = None
+            } else cur = Some(grown)
+          case None => cur = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          // evict this user once the watermark passes last-ts + gap
+          state.setTimeoutTimestamp(s.last + gapMs)
+        case None => state.remove()
+      }
+      closedOut.iterator
+    }
+
+    val wm =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OM.Update(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   /** Stateless per-event scoring: broadcast-join a fitted index map
     * (the StringIndexer-transform shape, E2) onto the stream — the
     * streaming-safe form of `pipelineModel.transform(streamDf)`. */

@@ -102,6 +102,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("cappedSessions closes on gap, cap, and watermark timeout") {
+    import spark.implicits._
+    import graft.sources.Typed.Event
+    def ev(id: Long, min: Int, uid: Long, v: Double) =
+      Event(id, ts(min), uid, "click", v, "{}")
+
+    val stream = MemoryStream[Event](spark)
+    val plan = EventStreams.cappedSessions(stream.toDS(),
+      gapMinutes = 30, maxEvents = 3, watermark = "1 minute")
+    val name = s"sink_${System.nanoTime()}"
+    val q = plan.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1: three quick events => closed by cap in-batch
+      stream.addData(Seq(ev(1, 0, 1, 1.0), ev(2, 1, 1, 2.0),
+        ev(3, 2, 1, 3.0)))
+      q.processAllAvailable()
+      // user 2: two events, then a 40-min gap => "gap" close on arrival
+      stream.addData(Seq(ev(4, 5, 2, 1.0), ev(5, 6, 2, 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(6, 46, 2, 9.0)))
+      q.processAllAvailable()
+      // advance the watermark far past user 2's open session
+      stream.addData(Seq(ev(7, 200, 3, 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(8, 201, 3, 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[String]("closed_by"))).toSet
+    assert(rows.contains((1L, 3L, "cap")), rows)
+    assert(rows.contains((2L, 2L, "gap")), rows)
+    // user 2's post-gap single-event session evicted by the watermark
+    assert(rows.contains((2L, 1L, "timeout")), rows)
+  }
+
+  test("cappedSessions batch run closes the same in-data sessions") {
+    import spark.implicits._
+    import graft.sources.Typed.Event
+    val evs = Seq(
+      Event(1, ts(0), 1, "click", 1.0, "{}"),
+      Event(2, ts(1), 1, "click", 2.0, "{}"),
+      Event(3, ts(2), 1, "click", 3.0, "{}"),
+      Event(4, ts(5), 2, "click", 1.0, "{}"),
+      Event(5, ts(50), 2, "click", 1.0, "{}")) // 45-min gap
+    val out = EventStreams.cappedSessions(evs.toDS(),
+      gapMinutes = 30, maxEvents = 3).collect()
+      .map(r => (r.user_id, r.n_events, r.closed_by)).toSet
+    // cap-closed and gap-closed sessions emit in batch too; open tails
+    // (user 2's second session) need a timeout, which batch never fires
+    assert(out == Set((1L, 3L, "cap"), (2L, 1L, "gap")))
+  }
+
   test("session stream merges across micro-batches like the batch plan") {
     import spark.implicits._
     val events = Seq(
