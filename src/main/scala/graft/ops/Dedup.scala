@@ -64,7 +64,16 @@ object Dedup {
     * `sets` is the long form from tokenSets/shingleSets. Output:
     * (d1, d2, jaccard) with d1 < d2. The intersection is computed by a
     * token-equality self-join *within blocks* — the shuffle key is
-    * (block, tok), so no unblocked quadratic blowup. */
+    * (block, tok), so no unblocked quadratic blowup.
+    *
+    * Measured non-win on the dense fixture (don't re-try): pruning
+    * singleton (block, token) groups before the self-join — they can
+    * never contribute to an intersection — costs an extra frequency
+    * aggregation + semi-join that nearly DOUBLED runtime at sf0.1
+    * (3.1+3.5s -> 5.9+6.7s for the two pair queries), because on a
+    * ~59%-near-dup corpus most tokens are shared. Like prefix
+    * filtering ([[jaccardPairsPrefix]]), it pays off only on sparse
+    * corpora. */
   def jaccardPairs(sets: DataFrame, idCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
