@@ -47,13 +47,16 @@ case class SimHashAgg(
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = XXH64.hashUTF8String(v.asInstanceOf[UTF8String], 42L)
-      var j = 0
-      while (j < 64) {
-        buffer(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
-        j += 1
-      }
+    // null parity with the declarative form: xxhash64(null) evaluates
+    // to the seed (42), so a null token still votes the seed's bits —
+    // skipping it here would break the bit-for-bit equivalence contract
+    val h =
+      if (v == null) 42L
+      else XXH64.hashUTF8String(v.asInstanceOf[UTF8String], 42L)
+    var j = 0
+    while (j < 64) {
+      buffer(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+      j += 1
     }
     buffer
   }

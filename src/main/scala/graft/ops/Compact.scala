@@ -24,8 +24,17 @@ object Compact {
   private def parquetFiles(spark: SparkSession, dir: String) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).filter(s => s.isFile &&
-      s.getPath.getName.endsWith(".parquet"))
+    // recursive: partitioned layouts nest files under key=value dirs —
+    // a top-level listing would see zero files and size the rewrite at
+    // one giant output file
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer[
+      org.apache.hadoop.fs.LocatedFileStatus]()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+    }
+    buf.toArray
   }
 
   private def targetFileCount(bytes: Long, targetBytes: Long): Int =

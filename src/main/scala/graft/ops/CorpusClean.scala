@@ -60,17 +60,30 @@ object CorpusClean {
       else quality
 
     // decontamination: drop docs sharing >= contaminationShingles
-    // distinct 3-grams with the benchmark slice (shingle-keyed join)
+    // distinct 3-grams with the benchmark slice (shingle-keyed join).
+    // The benchmark gets the SAME redaction as the training side —
+    // otherwise masked digit runs would hide digit-bearing overlap
+    // (a verbatim copy of a digit-heavy eval item would slip through).
     val (decon, n2a) = config.benchmark match {
       case Some(bench) =>
-        val benchShingles = Dedup.shingleTokens(bench, textCol, idCol, 3)
+        val benchNorm =
+          if (config.redactDigits)
+            bench.withColumn(textCol,
+              regexp_replace(col(textCol), "[0-9]+", "<NUM>"))
+          else bench
+        val benchShingles = Dedup.shingleTokens(benchNorm, textCol, idCol, 3)
           .select("tok").distinct()
         val contaminated = Dedup.shingleTokens(redacted, textCol, idCol, 3)
           .join(benchShingles, "tok")
           .groupBy(idCol).agg(countDistinct("tok").as("shared"))
           .filter(col("shared") >= config.contaminationShingles)
           .select(idCol)
+        // persisted: the audit count plus every downstream stage
+        // (exact dedup, LSH, final count) re-reads this frame — without
+        // the cache the double shingle-explosion join re-executes per
+        // consumer, and at 100 TB this stage dominates pipeline cost
         val kept = redacted.join(contaminated, Seq(idCol), "left_anti")
+          .persist()
         (kept, kept.count())
       case None => (redacted, n1)
     }

@@ -64,20 +64,29 @@ object Analytics {
                            ORDER BY o_totalprice DESC, o_orderkey ASC)
               ORDER BY o_orderkey""")),
 
-    // Q17e — correlation / covariance aggregates per return flag
-    // (the bivariate-statistics side of the E5 summarizer semantics).
+    // Q17e — correlation + covariance CO-MOMENTS per return flag (the
+    // bivariate side of the E5 summarizer semantics). corr is safe to
+    // round-and-hash (its sqrt denominator is irrational, so the true
+    // value never sits on a rounding half-boundary); raw covariances
+    // are ratios of 2-decimal data and CAN — so the oracle gates the
+    // co-moment sums instead, and AnalyticsSpec asserts Spark's
+    // covar_samp/covar_pop equal the co-moment formulas.
     Entry("q17e_corr",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(corr("l_quantity", "l_extendedprice"), 4).as("r"),
-          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("cov_s"),
-          round(covar_pop("l_quantity", "l_extendedprice"), 4).as("cov_p"))
+          round(sum(col("l_quantity") * col("l_extendedprice")), 2)
+            .as("cm_xy"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, count(*) AS n,
                      round(corr(l_quantity, l_extendedprice), 4) AS r,
-                     round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
-                     round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p
+                     round(sum(l_quantity * l_extendedprice), 2) AS cm_xy,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_price
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Q29 — explicit GROUPING SETS (beyond rollup/cube: an arbitrary

@@ -120,20 +120,26 @@ object EventStreams {
       val sorted = evs.toSeq.sortBy(_.ts.getTime)
       val closedOut = scala.collection.mutable.ListBuffer[SessionOut]()
       var cur = state.getOption
+
+      // a state reaching maxEvents closes immediately — including the
+      // session-OPENING paths, or maxEvents=1 sessions would only close
+      // on their second event
+      def admit(s: SessionState): Option[SessionState] =
+        if (s.n >= maxEvents) {
+          closedOut += close(uid, s, "cap")
+          None
+        } else Some(s)
+
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.last > gapMs =>
             closedOut += close(uid, s, "gap")
-            cur = Some(SessionState(t, t, 1L, e.value))
+            cur = admit(SessionState(t, t, 1L, e.value))
           case Some(s) =>
-            val grown = SessionState(s.start, math.max(s.last, t),
-              s.n + 1, s.sum + e.value)
-            if (grown.n >= maxEvents) {
-              closedOut += close(uid, grown, "cap")
-              cur = None
-            } else cur = Some(grown)
-          case None => cur = Some(SessionState(t, t, 1L, e.value))
+            cur = admit(SessionState(s.start, math.max(s.last, t),
+              s.n + 1, s.sum + e.value))
+          case None => cur = admit(SessionState(t, t, 1L, e.value))
         }
       }
       cur match {

@@ -72,6 +72,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rates("en") > 0.3)
   }
 
+  test("covar_samp/covar_pop equal the q17e co-moment formulas") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val r = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+      sum("l_quantity").as("sx"),
+      sum("l_extendedprice").as("sy"),
+      covar_samp("l_quantity", "l_extendedprice").as("cs"),
+      covar_pop("l_quantity", "l_extendedprice").as("cp")).head()
+    val (n, sxy, sx, sy) =
+      (r.getLong(0).toDouble, r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(r.getDouble(4) - (sxy - sx * sy / n) / (n - 1))
+      / math.abs(r.getDouble(4)) < 1e-9)
+    assert(math.abs(r.getDouble(5) - (sxy / n - (sx / n) * (sy / n)))
+      / math.abs(r.getDouble(5)) < 1e-9)
+  }
+
   test("t_tfidf ranks by rounded score with term tiebreak") {
     val rows = run("t_tfidf").collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>

@@ -29,11 +29,11 @@ class CompactSpec extends AnyFunSuite {
   test("sortedRewrite produces disjoint per-file key ranges") {
     val in = fragmented()
     val out = "/tmp/graft_spec/compact_sorted"
-    // force several output files so range disjointness is observable
-    spark.read.parquet(in)
-      .repartitionByRange(4, col("user_id"))
-      .sortWithinPartitions(col("user_id"))
-      .write.mode("overwrite").parquet(out)
+    // a small targetBytes forces several output files so range
+    // disjointness is observable — and exercises the REAL operator
+    val stats = Compact.sortedRewrite(spark, in, out, Seq("user_id"),
+      targetBytes = 32L << 10)
+    assert(stats.outputFiles >= 3, stats)
     val files = new java.io.File(out).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
     assert(files.length >= 3)
@@ -50,6 +50,19 @@ class CompactSpec extends AnyFunSuite {
       case _ =>
     }
     // row preservation
+    assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(in).count())
+  }
+
+  test("rewrite sizes from nested files in partitioned layouts") {
+    val in = "/tmp/graft_spec/compact_part_in"
+    Tables.load(spark, TestSpark.sf0001, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(in)
+    val out = "/tmp/graft_spec/compact_part_out"
+    val stats = Compact.rewrite(spark, in, out, targetBytes = 64L << 20)
+    // files live under event_type=... subdirs; a non-recursive listing
+    // would report inputFiles=0 and inputBytes=0
+    assert(stats.inputFiles > 0 && stats.inputBytes > 0, stats)
     assert(spark.read.parquet(out).count() ==
       spark.read.parquet(in).count())
   }

@@ -82,4 +82,23 @@ class DataPipelineSpec extends AnyFunSuite {
     // redaction happened before dedup: no digit runs survive
     assert(cleaned.filter(col("text").rlike("[0-9]")).count() == 0)
   }
+
+  test("decontamination sees through digit masking when redacting") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // training doc copies a digit-heavy benchmark item verbatim except
+    // for the digits — after masking both sides, the shingles align
+    val bench = Seq((100L, "call the number 111 222 333 now please today"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "call the number 999 888 777 now please today"),
+      (2L, "a completely different text with no benchmark overlap here"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusClean.Config(minTokens = 1, maxStopwordRatio = 1.0,
+      redactDigits = true, benchmark = Some(bench))
+    val (cleaned, _) = CorpusClean.clean(train, "text", "doc_id", cfg)
+    val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"kept $kept — digit-masked copy not dropped")
+  }
 }

@@ -29,6 +29,17 @@ class SimHashAggSpec extends AnyFunSuite {
     assert(whole == split)
   }
 
+  test("null tokens vote the seed's bits, matching the declarative form") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (1L, None), (2L, None))
+      .toDF("doc_id", "tok")
+    val declarative = Dedup.simhash(df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val imperative = Dedup.simhashAgg(df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(imperative == declarative)
+  }
+
   test("simhash_agg is SQL-callable after registration") {
     graft.functions.SimHashAgg.register(spark)
     import spark.implicits._

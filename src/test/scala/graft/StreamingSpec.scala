@@ -156,6 +156,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set((1L, 3L, "cap"), (2L, 1L, "gap")))
   }
 
+  test("cappedSessions maxEvents=1 closes every event as its own session") {
+    import spark.implicits._
+    import graft.sources.Typed.Event
+    val evs = Seq(
+      Event(1, ts(0), 1, "click", 1.0, "{}"),
+      Event(2, ts(1), 1, "click", 2.0, "{}"))
+    val out = EventStreams.cappedSessions(evs.toDS(),
+      gapMinutes = 30, maxEvents = 1).collect()
+      .map(r => (r.n_events, r.total_value, r.closed_by))
+    assert(out.toSet == Set((1L, 1.0, "cap"), (1L, 2.0, "cap")))
+  }
+
   test("session stream merges across micro-batches like the batch plan") {
     import spark.implicits._
     val events = Seq(
