@@ -307,6 +307,31 @@ object TextOps {
                        AS redacted_len
               FROM documents ORDER BY doc_id""")),
 
+    // X6b — min-wise per-stratum sampling: the k docs with the smallest
+    // md5(text) per lang. One pass, no rand(): the hash IS the sampling
+    // priority, so the sample is deterministic, engine-portable, and
+    // STABLE UNDER CORPUS GROWTH — adding docs can only displace, never
+    // reshuffle, earlier picks (the property reservoir sampling loses).
+    // At scale the window-sort form below is replaceable by topk_agg
+    // (k-row shuffle per group) — proven equal in TopKAggSpec.
+    Entry("x6b_minwise_sample",
+      (s, dir) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(col("pri").asc, col("doc_id").asc)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), md5(col("text")).as("pri"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("lang", "rk", "doc_id", "pri")
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id, pri FROM (
+                SELECT lang, doc_id, md5(text) AS pri,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(text) ASC, doc_id ASC) AS rk
+                FROM documents)
+              WHERE rk <= 3 ORDER BY lang, rk""")),
+
     // Rolling-hash document fingerprint (order-sensitive).
     Entry("t_fingerprint",
       (s, dir) => t(s, dir, "documents")
