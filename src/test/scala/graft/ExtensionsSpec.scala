@@ -20,5 +20,24 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L).length == 4 && sigs(2L).length == 4)
     assert(sigs(1L) != sigs(2L))
+    val sh = spark.sql(
+      "SELECT simhash_agg(tok) AS sh FROM ext_toks WHERE id = 1 GROUP BY id")
+      .head().getLong(0)
+    assert(sh != 0L)
+  }
+
+  test("topk_agg is SQL-callable and HammingJoinRewrite is installed") {
+    import spark.implicits._
+    Seq((1L, 5.0), (2L, 9.0), (3L, 1.0)).toDF("id", "score")
+      .createOrReplaceTempView("ext_scores")
+    val top = spark.sql(
+      "SELECT topk_agg(score, id, 2) AS top FROM ext_scores")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.length == 2)
+    // the optimizer rule arrived via the same extensions injection
+    assert(spark.sessionState.optimizer.extendedOperatorOptimizationRules
+      .exists(_ == graft.plans.HammingJoinRewrite) ||
+      spark.sessionState.optimizer.batches.flatMap(_.rules)
+        .contains(graft.plans.HammingJoinRewrite))
   }
 }
