@@ -40,4 +40,16 @@ object Sources {
   /** Plain CSV sink with header (round-trips through `csv` above). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Parquet sink with an explicit compression codec. The tradeoff at
+    * 100 TB: `zstd` ~30-40% smaller files than the `snappy` default
+    * (less IO + storage, slightly more CPU), `none` only for
+    * scratch data that is written once and read once. Read side needs
+    * nothing — parquet files self-describe their codec per column
+    * chunk, so mixed-codec directories read transparently. */
+  def writeParquet(df: DataFrame, path: String,
+      codec: String = "zstd"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", codec)
+      .parquet(path)
 }

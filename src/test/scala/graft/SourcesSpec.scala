@@ -63,6 +63,31 @@ class SourcesSpec extends AnyFunSuite {
       events.agg(sum("value")).head().getDouble(0))
   }
 
+  test("compression codecs round-trip and zstd beats snappy on size") {
+    val docs = Tables.load(spark, dir, "documents")
+    def bytesOf(p: String): Long = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val zDir = "/tmp/graft_spec/codec_zstd"
+    val sDir = "/tmp/graft_spec/codec_snappy"
+    Sources.writeParquet(docs.coalesce(1), zDir, codec = "zstd")
+    Sources.writeParquet(docs.coalesce(1), sDir, codec = "snappy")
+    assert(spark.read.parquet(zDir).count() == docs.count())
+    assert(spark.read.parquet(sDir).count() == docs.count())
+    val (z, s) = (bytesOf(zDir), bytesOf(sDir))
+    assert(z < s, s"zstd=$z snappy=$s")
+    // mixed-codec directory reads transparently (parquet self-describes)
+    val mixed = "/tmp/graft_spec/codec_mixed"
+    new java.io.File(mixed).mkdirs()
+    Seq(zDir, sDir).zipWithIndex.foreach { case (d, i) =>
+      val f = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$mixed/part-$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(spark.read.parquet(mixed).count() == 2 * docs.count())
+  }
+
   test("typed loaders expose case-class rows over the same scans") {
     val docs = Tables.documents(spark, dir)
     val first = docs.filter(_.doc_id == 0L).head()
