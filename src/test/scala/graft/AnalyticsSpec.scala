@@ -72,6 +72,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rates("en") > 0.3)
   }
 
+  test("q35's bucketed tables join with zero shuffle exchange") {
+    run("q35_bucketed_join").collect() // creates the bucketed tables
+    val sfx = new java.io.File(sf).getName.replace(".", "_")
+    // the fixture dims are small enough to broadcast, which would hide
+    // the bucketing: force the sort-merge path the join takes at scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bare = spark.table(s"q35_li_$sfx")
+        .join(spark.table(s"q35_o_$sfx"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(graft.ops.Bucketing.isExchangeFree(bare),
+        bare.queryExecution.executedPlan.toString.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("covar_samp/covar_pop equal the q17e co-moment formulas") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val r = li.agg(
