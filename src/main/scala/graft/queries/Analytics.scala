@@ -26,6 +26,17 @@ object Analytics {
   private def scratch(name: String, dir: String): String =
     s"/tmp/graft_q/$name/${new java.io.File(dir).getName}"
 
+  /** q35's bucketed table names and data path, shared with the specs so
+    * a rename can't silently desynchronize them. The path carries the
+    * JVM's application id: two concurrent JVMs (Bench + Verify) each
+    * build their own bucketed copy instead of racing on one directory —
+    * within a session the write still happens exactly once. */
+  def q35Tables(s: SparkSession, dir: String): (String, String, String) = {
+    val sfx = new java.io.File(dir).getName.replace(".", "_")
+    (s"q35_li_$sfx", s"q35_o_$sfx",
+      s"${scratch("q35_buckets", dir)}/${s.sparkContext.applicationId}")
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // Q10b — distribution window functions: ntile / percent_rank /
@@ -186,19 +197,18 @@ object Analytics {
     // never shuffling it again.
     Entry("q35_bucketed_join",
       (s, dir) => {
-        val sfx = new java.io.File(dir).getName.replace(".", "_")
-        val base = scratch("q35_buckets", dir)
+        val (liTable, oTable, base) = q35Tables(s, dir)
         // write-once semantics — the whole point of bucketing is that
         // the shuffle is paid at write time ONCE and every later join
         // reuses it, so re-invocations skip the rewrite
-        if (!s.catalog.tableExists(s"q35_li_$sfx"))
+        if (!s.catalog.tableExists(liTable))
           graft.ops.Bucketing.writeBucketed(t(s, dir, "lineitem"),
-            s"q35_li_$sfx", s"$base/li", "l_orderkey", 8)
-        if (!s.catalog.tableExists(s"q35_o_$sfx"))
+            liTable, s"$base/li", "l_orderkey", 8)
+        if (!s.catalog.tableExists(oTable))
           graft.ops.Bucketing.writeBucketed(t(s, dir, "orders"),
-            s"q35_o_$sfx", s"$base/o", "o_orderkey", 8)
-        s.table(s"q35_li_$sfx")
-          .join(s.table(s"q35_o_$sfx"),
+            oTable, s"$base/o", "o_orderkey", 8)
+        s.table(liTable)
+          .join(s.table(oTable),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),

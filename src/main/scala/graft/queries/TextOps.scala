@@ -312,8 +312,10 @@ object TextOps {
     // priority, so the sample is deterministic, engine-portable, and
     // STABLE UNDER CORPUS GROWTH — adding docs can only displace, never
     // reshuffle, earlier picks (the property reservoir sampling loses).
-    // At scale the window-sort form below is replaceable by topk_agg
-    // (k-row shuffle per group) — proven equal in TopKAggSpec.
+    // At scale the window-sort form below would move to a bounded-heap
+    // aggregate carrying k rows per group through the shuffle — a
+    // MIN-priority, numeric-score variant of graft.functions.TopKAgg
+    // (which as shipped keeps the k LARGEST double scores).
     Entry("x6b_minwise_sample",
       (s, dir) => {
         val w = Window.partitionBy("lang")

@@ -74,14 +74,14 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("q35's bucketed tables join with zero shuffle exchange") {
     run("q35_bucketed_join").collect() // creates the bucketed tables
-    val sfx = new java.io.File(sf).getName.replace(".", "_")
+    val (liTable, oTable, _) = Analytics.q35Tables(spark, sf)
     // the fixture dims are small enough to broadcast, which would hide
     // the bucketing: force the sort-merge path the join takes at scale
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val bare = spark.table(s"q35_li_$sfx")
-        .join(spark.table(s"q35_o_$sfx"),
+      val bare = spark.table(liTable)
+        .join(spark.table(oTable),
           col("l_orderkey") === col("o_orderkey"))
       assert(graft.ops.Bucketing.isExchangeFree(bare),
         bare.queryExecution.executedPlan.toString.take(1500))

@@ -67,8 +67,8 @@ class SourcesSpec extends AnyFunSuite {
     val docs = Tables.load(spark, dir, "documents")
     def bytesOf(p: String): Long = new java.io.File(p).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-    val zDir = "/tmp/graft_spec/codec_zstd"
-    val sDir = "/tmp/graft_spec/codec_snappy"
+    val zDir = tmp("codec_zstd")
+    val sDir = tmp("codec_snappy")
     Sources.writeParquet(docs.coalesce(1), zDir, codec = "zstd")
     Sources.writeParquet(docs.coalesce(1), sDir, codec = "snappy")
     assert(spark.read.parquet(zDir).count() == docs.count())
@@ -76,8 +76,7 @@ class SourcesSpec extends AnyFunSuite {
     val (z, s) = (bytesOf(zDir), bytesOf(sDir))
     assert(z < s, s"zstd=$z snappy=$s")
     // mixed-codec directory reads transparently (parquet self-describes)
-    val mixed = "/tmp/graft_spec/codec_mixed"
-    new java.io.File(mixed).mkdirs()
+    val mixed = tmp("codec_mixed")
     Seq(zDir, sDir).zipWithIndex.foreach { case (d, i) =>
       val f = new java.io.File(d).listFiles()
         .filter(_.getName.endsWith(".parquet")).head

@@ -57,32 +57,44 @@ class UnswCompatSpec extends AnyFunSuite {
   }
 
   test("compatLabelLeak reproduces the reference's Label leakage") {
-    def featDim(compat: Boolean): Int = {
+    // assert on the PIPELINE the flag built, not on hand-made column
+    // sets: the numeric assembler's inputCols must carry Label iff the
+    // compat flag is on — a regression dropping the flag fails here
+    def numericAssemblerInputs(compat: Boolean): Set[String] = {
       val p = Pipelines.preprocessPipeline(df, "attack_cat", pcaK = 2,
         compatLabelLeak = compat)
-      val (_, train, _) = Pipelines.fitTransform(p, df, df)
-      train.head().getAs[org.apache.spark.ml.linalg.Vector]("features").size
+      p.getStages.collectFirst {
+        case va: org.apache.spark.ml.feature.VectorAssembler
+            if va.getOutputCol == "numeric_features" =>
+          va.getInputCols.toSet
+      }.getOrElse(fail("no numeric VectorAssembler stage"))
     }
-    // PCA output dim hides the input width; compare pre-PCA by fitting
-    // without checking PCA — feature dim equality of the PCA output is
-    // k either way, so check the leak at the column-partition level AND
-    // assert both pipelines fit+transform end-to-end
-    val (numCompat, _) = Pipelines.featureColumns(df, Set("attack_cat"))
-    val (numDefault, _) =
-      Pipelines.featureColumns(df, Set("attack_cat", "label", "Label"))
-    assert(numCompat.toSet - "Label" == numDefault.toSet)
-    assert(numCompat.contains("Label") && !numDefault.contains("Label"))
-    assert(featDim(compat = true) == 2 && featDim(compat = false) == 2)
+    // the assembler consumes the Imputer's suffixed outputs
+    val compat = numericAssemblerInputs(compat = true)
+    val default = numericAssemblerInputs(compat = false)
+    assert(compat.contains("Label_imp") && !default.contains("Label_imp"))
+    assert(compat - "Label_imp" == default)
+    // and both variants fit + transform end-to-end
+    val p = Pipelines.preprocessPipeline(df, "attack_cat", pcaK = 2,
+      compatLabelLeak = true)
+    val (_, train, _) = Pipelines.fitTransform(p, df, df)
+    assert(train.head()
+      .getAs[org.apache.spark.ml.linalg.Vector]("features").size == 2)
   }
 
   test("unseen test category fails like the reference (handleInvalid)") {
     import org.apache.spark.sql.functions._
     val train = df.filter(col("proto") =!= "arp")
-    val test = df // contains 'arp', unseen at fit time
+    val test = df // contains 'arp' (and arp-only sports), unseen at fit
     val p = Pipelines.preprocessPipeline(train, "attack_cat", pcaK = 2)
     val err = intercept[Exception] {
       Pipelines.fitTransform(p, train, test)._3.collect()
     }
-    assert(err.getMessage != null)
+    // pin the StringIndexer handleInvalid=error behavior specifically
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("Unseen label")),
+      messages(err).mkString(" | "))
   }
 }
