@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: generate an N-times-sf0.1 synthetic workload in /tmp
+  * and run the headline operator classes against it, printing per-stage
+  * seconds. Not part of the correctness gate (data is generated, not
+  * fixture) — this exists to catch scale CLIFFS: a plan that passes at
+  * 600k rows but falls over at 6M+ (driver collects, single-partition
+  * sorts, state blowups) shows up here before it would on a cluster.
+  *
+  * Usage: `sbt "runMain graft.ScaleSmoke [rowsMillions]"` (default 6).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val millions = args.headOption.map(_.toInt).getOrElse(6)
+    val n = millions * 1000000L
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "scale-smoke")
+    import spark.implicits._
+
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[smoke] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val base = "/tmp/graft_smoke"
+    // ~lineitem-shaped facts, deterministic, skewed order sizes
+    time(s"generate ${millions}M fact rows") {
+      spark.range(n).select(
+        (col("id") / 4).cast("long").as("l_orderkey"),
+        pmod(col("id"), lit(200000L)).cast("long").as("l_partkey"),
+        (pmod(col("id") * 2654435761L, lit(50L)) + 1).cast("double")
+          .as("l_quantity"),
+        (pmod(col("id") * 40503L, lit(90000L)) + 10000).cast("double")
+          .as("l_extendedprice"),
+        (pmod(col("id"), lit(11L)) / 100.0).as("l_discount"),
+        concat(lit("F"), pmod(col("id"), lit(3L))).as("l_returnflag"))
+        .write.mode("overwrite").parquet(s"$base/fact")
+    }
+    val fact = spark.read.parquet(s"$base/fact")
+    val orders = time("generate orders dim") {
+      spark.range(n / 4).select(col("id").as("o_orderkey"),
+        pmod(col("id"), lit(150000L)).cast("long").as("o_custkey"),
+        concat(lit("P"), pmod(col("id"), lit(5L))).as("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$base/orders")
+      spark.read.parquet(s"$base/orders")
+    }
+
+    time("hash agg (TPC-H Q1 shape)") {
+      fact.groupBy("l_returnflag")
+        .agg(count(lit(1)), sum("l_quantity"), avg("l_extendedprice"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("fact-fact shuffle join + agg") {
+      fact.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)), sum("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("window rank per customer-scale key") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_extendedprice").desc)
+      fact.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("distinct sketch (HLL)") {
+      fact.groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("top-k agg (bounded heap, no full sort)") {
+      graft.functions.TopKAgg.register(spark)
+      fact.groupBy("l_returnflag")
+        .agg(call_function("topk_agg", col("l_extendedprice"),
+          col("l_orderkey"), lit(10)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    println("[smoke] done")
+    spark.stop()
+  }
+}
