@@ -45,7 +45,17 @@ object GraftSession {
         (totalExecutorCores * 3).toString)
       .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        (64L << 20).toString))
+        (64L << 20).toString)
+      // streaming state off-heap: the default HDFS-backed in-memory
+      // store caps state at executor heap; RocksDB spills to local disk
+      // and changelog-checkpoints incrementally — the difference between
+      // "state fits in RAM" and "state fits on disk" for large windows,
+      // stream-stream joins, and dedup horizons (StreamingSpec proves
+      // the same plans run under this provider)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true"))
 
   /** Local session for tests / drivers. `cores` also sizes the shuffle
     * fan-out: on a real cluster this would be ~2-3x total executor cores,

@@ -81,6 +81,22 @@ object ScaleSmoke {
           col("l_orderkey"), lit(10)))
         .write.format("noop").mode("overwrite").save()
     }
+    // hot-key skew: 20% of fact rows land on ONE join key — the shape
+    // AQE's skew split and Skew.saltedJoin exist for
+    val skewed = fact.withColumn("l_orderkey",
+      when(pmod(col("l_partkey"), lit(5L)) === 0L, lit(42L))
+        .otherwise(col("l_orderkey")))
+    time("skewed join, plain (AQE skew split)") {
+      skewed.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("skewed join, salted (explicit)") {
+      graft.ops.Skew.saltedJoin(skewed, orders,
+        "l_orderkey", "o_orderkey", 4)
+        .groupBy("o_orderpriority").agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
     println("[smoke] done")
     spark.stop()
   }

@@ -156,6 +156,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set((1L, 3L, "cap"), (2L, 1L, "gap")))
   }
 
+  test("stateful plans run unchanged under the RocksDB state store") {
+    import spark.implicits._
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev](spark)
+      val plan = EventStreams.tumbling(stream.toDF(), "1 hour")
+      val rows = runStream(stream, plan, OutputMode.Update(), Seq(
+        Seq(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 1, "click", 2.0)),
+        Seq(Ev(3, ts(2), 1, "click", 4.0))))
+      // same window agg semantics, different state backend
+      assert(rows.map(_.getAs[Long]("n")).max == 3)
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("cappedSessions maxEvents=1 closes every event as its own session") {
     import spark.implicits._
     import graft.sources.Typed.Event
