@@ -50,8 +50,9 @@ object GraftSession {
       // store caps state at executor heap; RocksDB spills to local disk
       // and changelog-checkpoints incrementally — the difference between
       // "state fits in RAM" and "state fits on disk" for large windows,
-      // stream-stream joins, and dedup horizons (StreamingSpec proves
-      // the same plans run under this provider)
+      // stream-stream joins, and dedup horizons (StreamingSpec runs the
+      // windowed agg, watermark dedup, and the flatMapGroupsWithState
+      // sessionizer under this provider)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",

@@ -10,15 +10,16 @@ import org.apache.spark.sql.functions._
   * 600k rows but falls over at 6M+ (driver collects, single-partition
   * sorts, state blowups) shows up here before it would on a cluster.
   *
-  * Usage: `sbt "runMain graft.ScaleSmoke [rowsMillions]"` (default 6).
+  * Usage: `sbt "runMain graft.ScaleSmoke [rowsMillions] [saltFactor]"`
+  * (defaults 6 and 4; data goes to a per-run /tmp dir, removed at exit).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val millions = args.headOption.map(_.toInt).getOrElse(6)
+    val saltFactor = args.lift(1).map(_.toInt).getOrElse(4)
     val n = millions * 1000000L
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "scale-smoke")
-    import spark.implicits._
 
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -27,7 +28,9 @@ object ScaleSmoke {
       r
     }
 
-    val base = "/tmp/graft_smoke"
+    // per-run dir: concurrent smokes never clobber each other's data
+    val base = s"/tmp/graft_smoke/${spark.sparkContext.applicationId}"
+    try {
     // ~lineitem-shaped facts, deterministic, skewed order sizes
     time(s"generate ${millions}M fact rows") {
       spark.range(n).select(
@@ -91,13 +94,16 @@ object ScaleSmoke {
         .groupBy("o_orderpriority").agg(count(lit(1)))
         .write.format("noop").mode("overwrite").save()
     }
-    time("skewed join, salted (explicit)") {
+    time(s"skewed join, salted (saltFactor=$saltFactor)") {
       graft.ops.Skew.saltedJoin(skewed, orders,
-        "l_orderkey", "o_orderkey", 4)
+        "l_orderkey", "o_orderkey", saltFactor)
         .groupBy("o_orderpriority").agg(count(lit(1)))
         .write.format("noop").mode("overwrite").save()
     }
     println("[smoke] done")
-    spark.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      spark.stop()
+    }
   }
 }

@@ -110,13 +110,14 @@ object TextOps {
 
     // SimHash signatures + hamming-close pairs (<= 6 of 64 bits) via
     // exact pigeonhole banding — equi-join candidates, no O(n^2) loop.
+    // No ORDER BY: the rows-only check needs no total order, and the
+    // pair set is ~630k rows at sf0.1 — a free full sort otherwise.
     Entry("x4_simhash",
       (s, dir) => {
         val sets = Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id",
           "source")
         val sigs = Dedup.simhashAgg(sets, "doc_id")
         Dedup.simhashNearDupPairs(sigs, "doc_id", 6)
-          .orderBy("d1", "d2")
       },
       None),
 

@@ -163,6 +163,7 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // windowed aggregation state
       val stream = MemoryStream[Ev](spark)
       val plan = EventStreams.tumbling(stream.toDF(), "1 hour")
       val rows = runStream(stream, plan, OutputMode.Update(), Seq(
@@ -170,6 +171,32 @@ class StreamingSpec extends AnyFunSuite {
         Seq(Ev(3, ts(2), 1, "click", 4.0))))
       // same window agg semantics, different state backend
       assert(rows.map(_.getAs[Long]("n")).max == 3)
+
+      // watermark-bounded dedup state
+      val dstream = MemoryStream[Ev](spark)
+      val drows = runStream(dstream,
+        EventStreams.dedupWithinWatermark(dstream.toDF(), "1 hour"),
+        OutputMode.Append(), Seq(
+          Seq(Ev(1, ts(1), 1, "click", 1.0)),
+          Seq(Ev(1, ts(2), 1, "click", 1.0), Ev(2, ts(3), 1, "view", 2.0))))
+      assert(drows.map(_.getAs[Long]("event_id")).sorted == Seq(1L, 2L))
+
+      // custom flatMapGroupsWithState state (tuple/case-class encoder)
+      import graft.sources.Typed.Event
+      val sstream = MemoryStream[Event](spark)
+      val splan = EventStreams.cappedSessions(sstream.toDS(),
+        gapMinutes = 30, maxEvents = 2, watermark = "1 minute")
+      val name = s"sink_${System.nanoTime()}"
+      val q = splan.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        sstream.addData(Seq(Event(1, ts(0), 1, "click", 1.0, "{}"),
+          Event(2, ts(1), 1, "click", 2.0, "{}")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val sessions = spark.table(name).collect()
+      assert(sessions.exists(r => r.getAs[Long]("n_events") == 2 &&
+        r.getAs[String]("closed_by") == "cap"))
     } finally prev match {
       case Some(p) => spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", p)
