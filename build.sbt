@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Logging policy for the forked bench/verify/test JVMs only. Kept OUT of
+// src/main/resources on purpose: a log4j2.properties inside the library
+// jar would override the logging configuration of any downstream app
+// that depends on the engine.
+javaOptions += s"-Dlog4j2.configurationFile=file:${baseDirectory.value / "conf" / "log4j2.properties"}"
