@@ -41,18 +41,34 @@ object Bench {
       .map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Each attempt records success/failure; a query's time is the min over
+    // SUCCESSFUL attempts only. A failing query must surface as an "err"
+    // entry, never as a fast time-to-exception masquerading as a result.
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val attempts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try exec(fn) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val err = try { exec(fn); None } catch {
+          case e: Throwable =>
+            Some((e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")).take(120)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " "))
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      name -> times.min
+      val ok = attempts.collect { case (t, None) => t }
+      (name, ok.minOption, attempts.flatMap(_._2).lastOption.filter(_ => ok.isEmpty))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The per-query line above is ~4 KB and overflows the driver's 2000-char
+    // tail window (BENCH parsed:null in rounds 1-3). This short final line is
+    // guaranteed to land inside the window and carries the headline number.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
