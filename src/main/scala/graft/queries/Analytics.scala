@@ -22,9 +22,12 @@ object Analytics {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  /** Deterministic scratch dir per (query, sf-dir) for sink roundtrips. */
-  private def scratch(name: String, dir: String): String =
-    s"/tmp/graft_q/$name/${new java.io.File(dir).getName}"
+  /** Scratch dir per (query, sf-dir, JVM) for sink roundtrips. The
+    * applicationId segment keeps concurrent JVMs (Bench + Verify run
+    * side by side, and parallel spec suites execute every registry
+    * entry) from overwriting a directory another JVM is mid-read on. */
+  private def scratch(s: SparkSession, name: String, dir: String): String =
+    s"/tmp/graft_q/$name/${new java.io.File(dir).getName}/${s.sparkContext.applicationId}"
 
   /** q35's bucketed table names and data path, shared with the specs so
     * a rename can't silently desynchronize them. The path carries the
@@ -34,7 +37,7 @@ object Analytics {
   def q35Tables(s: SparkSession, dir: String): (String, String, String) = {
     val sfx = new java.io.File(dir).getName.replace(".", "_")
     (s"q35_li_$sfx", s"q35_o_$sfx",
-      s"${scratch("q35_buckets", dir)}/${s.sparkContext.applicationId}")
+      s"${scratch(s, "q35_buckets", dir)}")
   }
 
   val entries: Seq[Entry] = Seq(
@@ -257,7 +260,7 @@ object Analytics {
     // main.py:34-41), then an aggregation over the re-read table.
     Entry("s1_csv_roundtrip",
       (s, dir) => {
-        val tmp = scratch("s1_csv", dir)
+        val tmp = scratch(s, "s1_csv", dir)
         t(s, dir, "nation").write.mode("overwrite")
           .option("header", "true").csv(tmp)
         s.read.option("header", "true").option("inferSchema", "true")
@@ -274,7 +277,7 @@ object Analytics {
     // the JSON values on read), aggregated per event type.
     Entry("s2_jsonl_roundtrip",
       (s, dir) => {
-        val tmp = scratch("s2_jsonl", dir)
+        val tmp = scratch(s, "s2_jsonl", dir)
         t(s, dir, "events")
           .select("event_id", "user_id", "event_type", "value")
           .write.mode("overwrite").json(tmp)
@@ -293,7 +296,7 @@ object Analytics {
     // AnalyticsSpec) and aggregate by line status.
     Entry("w1_partitioned_sink",
       (s, dir) => {
-        val tmp = scratch("w1_part", dir)
+        val tmp = scratch(s, "w1_part", dir)
         t(s, dir, "lineitem")
           .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
         s.read.parquet(tmp)
