@@ -137,7 +137,15 @@ object EventStreams {
             closedOut += close(uid, s, "gap")
             cur = admit(SessionState(t, t, 1L, e.value))
           case Some(s) =>
-            cur = admit(SessionState(s.start, math.max(s.last, t),
+            // min on start: a late-but-above-watermark event arriving in
+            // a LATER micro-batch can precede the open session's start;
+            // without the min the emitted start would reflect arrival
+            // order, not event time. Gap SPLITS against already-arrived
+            // events remain arrival-order-sensitive across batches (an
+            // exact fix would buffer events until the watermark passes);
+            // documented contract: starts/ends/sums are event-time
+            // correct, cross-batch out-of-order gap splits are best-effort.
+            cur = admit(SessionState(math.min(s.start, t), math.max(s.last, t),
               s.n + 1, s.sum + e.value))
           case None => cur = admit(SessionState(t, t, 1L, e.value))
         }
