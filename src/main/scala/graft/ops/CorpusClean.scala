@@ -33,7 +33,12 @@ object CorpusClean {
       contaminationShingles: Int = 3,
       minHashes: Int = 32,
       bands: Int = 8,
-      jaccardThreshold: Double = 0.8)
+      jaccardThreshold: Double = 0.8,
+      // false = stop after exact dedup (no MinHash pass, no near_dedup
+      // audit row) — for corpora where exact collapse suffices, and for
+      // the oracle-gated audit entry whose DuckDB replica ends at the
+      // ANSI-expressible stages
+      nearDedup: Boolean = true)
 
   /** @return (cleaned corpus, audit rows (stage, rows_in, rows_out)) */
   def clean(docs: DataFrame, textCol: String, idCol: String,
@@ -64,7 +69,7 @@ object CorpusClean {
     // The benchmark gets the SAME redaction as the training side —
     // otherwise masked digit runs would hide digit-bearing overlap
     // (a verbatim copy of a digit-heavy eval item would slip through).
-    val (decon, n2a) = config.benchmark match {
+    val (decon, n2a, cached) = config.benchmark match {
       case Some(bench) =>
         val benchNorm =
           if (config.redactDigits)
@@ -84,26 +89,39 @@ object CorpusClean {
         // consumer, and at 100 TB this stage dominates pipeline cost
         val kept = redacted.join(contaminated, Seq(idCol), "left_anti")
           .persist()
-        (kept, kept.count())
-      case None => (redacted, n1)
+        (kept, kept.count(), Some(kept))
+      case None => (redacted, n1, None)
     }
 
     val exact = Dedup.exact(decon, textCol, idCol)
     val n2 = exact.count()
 
-    val assignments = Dedup.minhashLshDedup(exact, textCol, idCol,
-      config.minHashes, config.bands, config.jaccardThreshold)
-    val dropIds = Dedup.resolveClusters(assignments)
-      .select(col("doc").as(idCol))
-    val cleaned = exact.join(dropIds, Seq(idCol), "left_anti")
-    val n3 = cleaned.count()
+    val (cleaned, nearRow) =
+      if (config.nearDedup) {
+        val assignments = Dedup.minhashLshDedup(exact, textCol, idCol,
+          config.minHashes, config.bands, config.jaccardThreshold)
+        // resolveClusters returns its final iteration persisted; release
+        // it once the keep-count is materialized (same no-leak discipline
+        // as the decontamination cache below)
+        val roots = Dedup.resolveClusters(assignments)
+        val kept = exact.join(roots.select(col("doc").as(idCol)),
+          Seq(idCol), "left_anti")
+        val n3 = kept.count()
+        roots.unpersist()
+        (kept, Seq(("near_dedup", n2, n3)))
+      } else (exact, Nil)
+    // All audit counts are materialized; release the decontamination
+    // cache so repeated clean() calls don't accumulate partitions for
+    // the session lifetime. Re-materializing the returned frame after
+    // this point recomputes the stages — callers that iterate over the
+    // cleaned corpus should persist it themselves.
+    cached.foreach(_.unpersist())
 
-    val audit = Seq(
+    val audit = (Seq(
       ("quality_filter", n0, n1),
       ("decontaminate", n1, n2a),
-      ("exact_dedup", n2a, n2),
-      ("near_dedup", n2, n3)
-    ).toDF("stage", "rows_in", "rows_out")
+      ("exact_dedup", n2a, n2)
+    ) ++ nearRow).toDF("stage", "rows_in", "rows_out")
     (cleaned, audit)
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.ops.{Dedup, TextStats}
+import graft.ops.{CorpusClean, Dedup, TextStats}
 
 /** LLM-pipeline text operators over `documents` (SURVEY.md §2.9 X1/X3/X4
   * plus the training-data-pipeline extensions: language-ID, quality
@@ -346,6 +346,117 @@ object TextOps {
                          list_transform(string_split(text, ' '),
                            t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
                        (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // Q36 — transitive cluster resolution (pointer jumping / iterative
+    // path halving) oracle-gated end to end. The input graph must be
+    // reproducible in BOTH engines, so it is the DECLARATIVE near-dup
+    // graph (exact token-Jaccard >= 0.6 within `source`, the x4 pair
+    // form) reduced to the per-doc min-keeper assignment — the same
+    // (d1 = keeper, d2 = doc) shape minhashLshDedup emits from its
+    // engine-side hash family. Each assignment chain strictly decreases
+    // (keeper < doc), so DuckDB can chase it with WITH RECURSIVE and
+    // take the minimal (= terminal) root per doc; the engine resolves
+    // the identical chains in O(log depth) joins via
+    // [[graft.ops.Dedup.resolveClusters]].
+    Entry("q36_dedup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(
+          Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id", "source"),
+          "doc_id", "source", 0.6)
+        val assign = pairs.groupBy(col("d2"))
+          .agg(min("d1").as("d1")).select("d1", "d2")
+        Dedup.resolveClusters(assign).orderBy("doc")
+      },
+      Some("""WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              assign AS (
+                SELECT d2 AS doc, min(d1) AS root
+                FROM inter
+                JOIN sizes s1 ON d1 = s1.doc_id
+                JOIN sizes s2 ON d2 = s2.doc_id
+                WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
+                GROUP BY d2),
+              chase(doc, root) AS (
+                SELECT doc, root FROM assign
+                UNION ALL
+                SELECT ch.doc, a.root
+                FROM chase ch JOIN assign a ON ch.root = a.doc)
+              SELECT doc, min(root) AS root FROM chase
+              GROUP BY doc ORDER BY doc""")),
+
+    // P1 — the composed CorpusClean pipeline's AUDIT FRAME, oracle-gated:
+    // quality gate -> digit redaction -> decontamination vs the src0
+    // benchmark slice -> exact dedup, each stage's (rows_in, rows_out)
+    // replicated declaratively in DuckDB. The near-dedup stage depends
+    // on the engine-side MinHash family, so its audit row is excluded
+    // here and stays spec-gated (DataPipelineSpec); stages 1-4 are the
+    // ANSI-expressible part of the flagship pipeline.
+    Entry("p1_corpus_audit",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("source") === "src0")
+        val train = docs.filter(col("source") =!= "src0")
+        val cfg = CorpusClean.Config(redactDigits = true,
+          benchmark = Some(bench), minDistinctRatio = 0.1)
+        val (_, audit) = CorpusClean.clean(train, "text", "doc_id", cfg)
+        audit.filter(col("stage") =!= "near_dedup").orderBy("stage")
+      },
+      Some(s"""WITH train AS (
+                SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+              q AS (
+                SELECT doc_id, text FROM train
+                WHERE len(string_split(text, ' ')) >= 5
+                  AND round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
+                        / greatest(length(text), 1), 4) <= 0.3
+                  AND round(len(list_filter(string_split(text, ' '),
+                        t -> t IN $stopSql)) * 1.0
+                        / greatest(len(string_split(text, ' ')), 1), 4) <= 0.9
+                  AND len(list_distinct(string_split(text, ' '))) * 1.0
+                        / len(string_split(text, ' ')) >= 0.1),
+              red AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS text
+                FROM q),
+              benchred AS (
+                SELECT regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS text
+                FROM documents WHERE source = 'src0'),
+              rgrams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(toks) - 2, 1)),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM red)),
+              bgrams AS (
+                SELECT DISTINCT
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(toks) - 2, 1)),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS tok
+                FROM (SELECT string_split(text, ' ') AS toks FROM benchred)),
+              contaminated AS (
+                SELECT doc_id FROM rgrams JOIN bgrams USING (tok)
+                GROUP BY doc_id HAVING count(DISTINCT tok) >= 3),
+              kept AS (
+                SELECT * FROM red
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+              counts AS (
+                SELECT (SELECT count(*) FROM train) AS n0,
+                       (SELECT count(*) FROM q) AS n1,
+                       (SELECT count(*) FROM kept) AS n2a,
+                       (SELECT count(DISTINCT text) FROM kept) AS n2)
+              SELECT 'quality_filter' AS stage, n0 AS rows_in, n1 AS rows_out
+              FROM counts
+              UNION ALL SELECT 'decontaminate', n1, n2a FROM counts
+              UNION ALL SELECT 'exact_dedup', n2a, n2 FROM counts
+              ORDER BY stage"""))
   )
 }
