@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, SparkSession}
+import graft.sources.Tables
+import graft.ml.NeuralForward
+
+/** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
+  * semantics; reference `models/cnn_model.py:21-32` stack shape and
+  * `models/rnn_model.py:19-26`).
+  *
+  * The trick that makes a NEURAL op hash-checkable against DuckDB: use
+  * INTEGER weights over integer-valued inputs. relu (= greatest(0, x)),
+  * max-pooling and dense layers all preserve exact integers in doubles
+  * (magnitudes here stay < 2^30 ≪ 2^53), so both engines compute
+  * bit-identical logits — no rounding tolerance, a strict hash oracle
+  * for convolution/recurrence semantics. The DuckDB side is GENERATED
+  * from the same weight arrays as the Spark plan (one CTE per layer,
+  * loops unrolled), so the two sides cannot drift.
+  *
+  * Scale shape: both queries are a single narrow projection per row —
+  * weights are plan literals (the broadcast-small-model scoring pattern),
+  * zero shuffles, zero state. At 100 TB this is a pure map over the
+  * fact table, bounded by scan bandwidth.
+  */
+object NeuralOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // ---- 8 integer-valued features derived from lineitem, expressed
+  // identically in both engines ----
+  private def featsCol: Column = array(
+    col("l_quantity"),
+    col("l_linenumber").cast("double"),
+    dayofmonth(col("l_shipdate")).cast("double"),
+    month(col("l_shipdate")).cast("double"),
+    (col("l_orderkey") % 97).cast("double"),
+    (col("l_partkey") % 89).cast("double"),
+    (col("l_suppkey") % 83).cast("double"),
+    ((col("l_orderkey") + col("l_linenumber")) % 7).cast("double"))
+
+  private val featsSql = Seq(
+    "CAST(l_quantity AS DOUBLE)",
+    "CAST(l_linenumber AS DOUBLE)",
+    "CAST(day(l_shipdate) AS DOUBLE)",
+    "CAST(month(l_shipdate) AS DOUBLE)",
+    "CAST(l_orderkey % 97 AS DOUBLE)",
+    "CAST(l_partkey % 89 AS DOUBLE)",
+    "CAST(l_suppkey % 83 AS DOUBLE)",
+    "CAST((l_orderkey + l_linenumber) % 7 AS DOUBLE)")
+
+  // ---- CNN weights: conv(k3, f4) -> pool2 -> conv(k2, f3) -> pool2 ->
+  // flatten -> dense(2). Same tabulation as NeuralForwardSpec's stack
+  // test; entries in [-2, 2], deterministic. ----
+  private val w1 = Seq.tabulate(4, 3, 1)((f, j, _) => ((f * 5 + j * 3 + 1) % 5) - 2)
+  private val b1 = Seq.tabulate(4)(f => (f % 3) - 1)
+  private val w2 = Seq.tabulate(3, 2, 4)((f, j, c) => ((f * 7 + j * 5 + c * 3 + 2) % 5) - 2)
+  private val b2 = Seq.tabulate(3)(f => f % 2)
+  private val wd = Seq.tabulate(2, 3)((o, i) => ((o * 3 + i * 2 + 1) % 5) - 2)
+  private val bd = Seq(0, 1)
+
+  // ---- RNN weights: SimpleRNN(3 units, relu) -> dense(2). ----
+  private val rwx = Seq(Seq(1), Seq(-1), Seq(2))
+  private val rwh = Seq(Seq(1, 0, -1), Seq(0, 1, 1), Seq(-1, 1, 0))
+  private val rb = Seq(0, 1, -1)
+  private val rwd = Seq(Seq(1, -1, 2), Seq(2, 1, -1))
+  private val rbd = Seq(0, 1)
+
+  private def d1(v: Seq[Int]) = v.map(_.toDouble)
+  private def d2(v: Seq[Seq[Int]]) = v.map(d1)
+  private def d3(v: Seq[Seq[Seq[Int]]]) = v.map(d2)
+
+  // ---- SQL generation: weighted sum / relu text from the SAME arrays ----
+  private def lin(b: Int, terms: Seq[(Int, String)]): String = {
+    val ts = terms.collect { case (w, x) if w != 0 => s"($w)*$x" }
+    val all = (if (b != 0) Seq(b.toString) else Nil) ++ ts
+    if (all.isEmpty) "0" else all.mkString(" + ")
+  }
+  private def relu(e: String) = s"greatest(0, $e)"
+
+  private def cnnOracle: String = {
+    val fx = featsSql.zipWithIndex.map { case (e, i) => s"$e AS x${i + 1}" }
+    val c1 = for (p <- 0 until 6; f <- 0 until 4) yield
+      s"${relu(lin(b1(f), (0 until 3).map(j => (w1(f)(j)(0), s"x${p + j + 1}"))))} AS c1_${p}_$f"
+    val p1 = for (q <- 0 until 3; f <- 0 until 4) yield
+      s"greatest(c1_${2 * q}_$f, c1_${2 * q + 1}_$f) AS p1_${q}_$f"
+    val c2 = for (p <- 0 until 2; f <- 0 until 3) yield
+      s"${relu(lin(b2(f), for (j <- 0 until 2; c <- 0 until 4) yield (w2(f)(j)(c), s"p1_${p + j}_$c")))} AS c2_${p}_$f"
+    val p2 = for (f <- 0 until 3) yield s"greatest(c2_0_$f, c2_1_$f) AS p2_$f"
+    val lg = for (o <- 0 until 2) yield
+      s"CAST(${lin(bd(o), (0 until 3).map(i => (wd(o)(i), s"p2_$i")))} AS BIGINT) AS logit$o"
+    s"""WITH f AS (SELECT l_orderkey, l_linenumber, ${fx.mkString(", ")} FROM lineitem),
+        c1 AS (SELECT *, ${c1.mkString(", ")} FROM f),
+        p1 AS (SELECT *, ${p1.mkString(", ")} FROM c1),
+        c2 AS (SELECT *, ${c2.mkString(", ")} FROM p1),
+        p2 AS (SELECT *, ${p2.mkString(", ")} FROM c2),
+        o AS (SELECT l_orderkey, l_linenumber, ${lg.mkString(", ")} FROM p2)
+        SELECT *, CASE WHEN logit0 >= logit1 THEN 0 ELSE 1 END AS pred
+        FROM o"""
+  }
+
+  private def rnnOracle: String = {
+    val fx = featsSql.zipWithIndex.map { case (e, i) => s"$e AS x${i + 1}" }
+    val steps = (1 to 8).map { tt =>
+      val cols = (0 until 3).map { u =>
+        val rec = if (tt == 1) Nil
+        else (0 until 3).map(v => (rwh(u)(v), s"h${tt - 1}_$v"))
+        s"${relu(lin(rb(u), Seq((rwx(u).head, s"x$tt")) ++ rec))} AS h${tt}_$u"
+      }
+      val src = if (tt == 1) "f" else s"h${tt - 1}"
+      s"h$tt AS (SELECT *, ${cols.mkString(", ")} FROM $src)"
+    }
+    val lg = for (o <- 0 until 2) yield
+      s"CAST(${lin(rbd(o), (0 until 3).map(u => (rwd(o)(u), s"h8_$u")))} AS BIGINT) AS logit$o"
+    s"""WITH f AS (SELECT l_orderkey, l_linenumber, ${fx.mkString(", ")} FROM lineitem),
+        ${steps.mkString(",\n        ")},
+        o AS (SELECT l_orderkey, l_linenumber, ${lg.mkString(", ")} FROM h8)
+        SELECT *, CASE WHEN logit0 >= logit1 THEN 0 ELSE 1 END AS pred
+        FROM o"""
+  }
+
+  val entries: Seq[Entry] = Seq(
+
+    // Q37 — CNN forward scoring (M2): the reference's Conv1D->pool->
+    // Conv1D->pool->flatten->dense stack shape at fixed weights, scored
+    // distributed over every lineitem row. Exact-integer arithmetic ->
+    // strict hash oracle (see object doc).
+    //
+    // Each layer is STAGED as a named column (chained selects) rather
+    // than one inlined expression: a layer's consumers reference its
+    // output k*channels times, so inlining would duplicate the subtree
+    // combinatorially and the ANALYZER's lambda resolution blows up on
+    // the resulting tree (measured: >10 min at 6 nested layers).
+    // Against attribute references each layer resolves in milliseconds,
+    // and CollapseProject declines to re-inline multi-referenced
+    // non-cheap expressions, so the staged shape survives optimization.
+    Entry("q37_cnn_forward",
+      (s, dir) => {
+        val keys = Seq(col("l_orderkey"), col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .select(keys :+ NeuralForward.singleChannel(featsCol).as("f"): _*)
+          .select(keys :+ NeuralForward.conv1d(col("f"), d3(w1), d1(b1)).as("c1"): _*)
+          .select(keys :+ NeuralForward.maxPool1d(col("c1"), 2).as("p1"): _*)
+          .select(keys :+ NeuralForward.conv1d(col("p1"), d3(w2), d1(b2)).as("c2"): _*)
+          .select(keys :+ NeuralForward.maxPool1d(col("c2"), 2).as("p2"): _*)
+          .select(keys :+ NeuralForward.dense(NeuralForward.flatten1d(col("p2")),
+            d2(wd), d1(bd), "linear").as("lg"): _*)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            element_at(col("lg"), 1).cast("long").as("logit0"),
+            element_at(col("lg"), 2).cast("long").as("logit1"),
+            NeuralForward.argmax(col("lg")).as("pred"))
+      },
+      Some(cnnOracle)),
+
+    // Q38 — SimpleRNN forward scoring (M3): 8-timestep relu recurrence
+    // (the exact-integer stand-in for Keras's default tanh — same
+    // recurrence structure, hash-checkable) + dense head. The DuckDB
+    // side unrolls the 8 steps as chained CTEs from the same weights.
+    // Same staged-column shape as q37 (see note there).
+    Entry("q38_rnn_forward",
+      (s, dir) => {
+        val keys = Seq(col("l_orderkey"), col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .select(keys :+ NeuralForward.singleChannel(featsCol).as("f"): _*)
+          .select(keys :+ NeuralForward.simpleRnn(col("f"),
+            d2(rwx), d2(rwh), d1(rb), "relu").as("h"): _*)
+          .select(keys :+ NeuralForward.dense(col("h"),
+            d2(rwd), d1(rbd), "linear").as("lg"): _*)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            element_at(col("lg"), 1).cast("long").as("logit0"),
+            element_at(col("lg"), 2).cast("long").as("logit1"),
+            NeuralForward.argmax(col("lg")).as("pred"))
+      },
+      Some(rnnOracle))
+  )
+}
