@@ -26,6 +26,11 @@ object RelationalML {
     * is the most frequent. Returned frame: (value, cnt, idx).
     */
   def stringIndexerFit(df: DataFrame, c: String): DataFrame = {
+    // Global (unpartitioned) window = single-partition sort, normally a
+    // scale smell — justified here because its input is the ALREADY
+    // AGGREGATED distinct-category frame: O(cardinality) rows, not
+    // O(data). Same rationale as stringIndexerFitMulti's per-column
+    // window below, which partitions by column name.
     val w = Window.orderBy(desc("cnt"), asc(c))
     df.groupBy(c).agg(count(lit(1)).as("cnt"))
       .withColumn("idx", (row_number().over(w) - 1).cast("long"))
