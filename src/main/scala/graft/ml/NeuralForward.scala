@@ -132,6 +132,70 @@ object NeuralForward {
       }: _*))
   }
 
+  // ---- Static-shape variants ----
+  //
+  // A Keras model FIXES its input length (`input_shape`), so layer
+  // extents are known at plan-build time and the loops can unroll into
+  // plain scalar arithmetic over `Seq[Column]` — no arrays, no
+  // higher-order functions. This matters for throughput: lambda
+  // expressions (transform/aggregate) are interpreted per element and
+  // break whole-stage codegen for their projection, while the unrolled
+  // form is ordinary codegen'd arithmetic (measured ~20x on the q37
+  // stack at sf0.1). Use the HOF forms above only for genuinely
+  // variable-length sequences.
+  //
+  // Caller contract: STAGE each layer's outputs as named columns (one
+  // select per layer) rather than feeding expressions straight into the
+  // next layer — each consumer references a cell k*channels times, so
+  // inlining compounds the tree multiplicatively per layer (and an
+  // inlined recurrence is 3^T). The registry entries (queries/
+  // NeuralOps.scala) show the staged shape.
+
+  /** Conv1D on a static positions x channels grid of scalar columns. */
+  def conv1dStatic(in: Seq[Seq[Column]], w: Seq[Seq[Seq[Double]]],
+      b: Seq[Double], activation: String = "relu"): Seq[Seq[Column]] = {
+    require(w.nonEmpty && b.length == w.length, "one bias per filter")
+    val k = w.head.length
+    require(in.length >= k, s"input length ${in.length} < kernel $k")
+    (0 to in.length - k).map { p =>
+      w.indices.map { f =>
+        val terms = for (j <- 0 until k; c <- w(f)(j).indices)
+          yield in(p + j)(c) * lit(w(f)(j)(c))
+        act(activation)(terms.reduce(_ + _) + lit(b(f)))
+      }
+    }
+  }
+
+  /** MaxPooling1D on a static grid; incomplete tail window dropped. */
+  def maxPool1dStatic(in: Seq[Seq[Column]], pool: Int): Seq[Seq[Column]] =
+    (0 until in.length / pool).map { q =>
+      in(q * pool).indices.map { ch =>
+        (0 until pool).map(r => in(q * pool + r)(ch)).reduce(greatest(_, _))
+      }
+    }
+
+  /** Keras Flatten: position-major. */
+  def flattenStatic(in: Seq[Seq[Column]]): Seq[Column] = in.flatten
+
+  /** Dense on static scalar columns. */
+  def denseStatic(in: Seq[Column], w: Seq[Seq[Double]], b: Seq[Double],
+      activation: String = "relu"): Seq[Column] =
+    w.indices.map(o => act(activation)(
+      w(o).indices.map(i => in(i) * lit(w(o)(i))).reduce(_ + _) + lit(b(o))))
+
+  /** One SimpleRNN step: h' = act(x . wx + h . wh + b). Stage each
+    * step's outputs as named columns before the next (see object note —
+    * an inlined T-step recurrence grows as units^T).
+    */
+  def rnnCell(x: Seq[Column], h: Seq[Column], wx: Seq[Seq[Double]],
+      wh: Seq[Seq[Double]], b: Seq[Double],
+      activation: String = "tanh"): Seq[Column] =
+    wx.indices.map { u =>
+      act(activation)((wx(u).indices.map(c => x(c) * lit(wx(u)(c))) ++
+        wh(u).indices.map(v => h(v) * lit(wh(u)(v)))).reduce(_ + _) +
+        lit(b(u)))
+    }
+
   /** One LSTM gate's weights: w (units x channels), u (units x units),
     * b (units). */
   final case class Gate(w: Seq[Seq[Double]], u: Seq[Seq[Double]],

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
 import graft.ml.NeuralForward
 
@@ -29,7 +29,7 @@ object NeuralOps {
 
   // ---- 8 integer-valued features derived from lineitem, expressed
   // identically in both engines ----
-  private def featsCol: Column = array(
+  private def featCols: Seq[Column] = Seq(
     col("l_quantity"),
     col("l_linenumber").cast("double"),
     dayofmonth(col("l_shipdate")).cast("double"),
@@ -119,57 +119,79 @@ object NeuralOps {
         FROM o"""
   }
 
+  private val keyCols = Seq(col("l_orderkey"), col("l_linenumber"))
+
+  /** Stage a positions x channels grid of scalar expressions as named
+    * columns `{prefix}_{p}_{c}` (one select = one layer, mirroring the
+    * oracle's one-CTE-per-layer shape) and return attribute references
+    * to the staged cells. Staging per layer keeps each expression
+    * resolving against cheap attributes — inlining a layer into its
+    * consumer duplicates cells k*channels times per level (the analyzer
+    * blowup documented in NeuralForward's static-variant note).
+    */
+  private def stageGrid(df: DataFrame, carry: Seq[Column], prefix: String,
+      cells: Seq[Seq[Column]]): (DataFrame, Seq[Seq[Column]]) = {
+    val named = for ((row, p) <- cells.zipWithIndex; (e, c) <- row.zipWithIndex)
+      yield e.as(s"${prefix}_${p}_$c")
+    val out = df.select(carry ++ named: _*)
+    val refs = cells.indices.map(p =>
+      cells(p).indices.map(c => col(s"${prefix}_${p}_$c")))
+    (out, refs)
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // Q37 — CNN forward scoring (M2): the reference's Conv1D->pool->
     // Conv1D->pool->flatten->dense stack shape at fixed weights, scored
     // distributed over every lineitem row. Exact-integer arithmetic ->
-    // strict hash oracle (see object doc).
-    //
-    // Each layer is STAGED as a named column (chained selects) rather
-    // than one inlined expression: a layer's consumers reference its
-    // output k*channels times, so inlining would duplicate the subtree
-    // combinatorially and the ANALYZER's lambda resolution blows up on
-    // the resulting tree (measured: >10 min at 6 nested layers).
-    // Against attribute references each layer resolves in milliseconds,
-    // and CollapseProject declines to re-inline multi-referenced
-    // non-cheap expressions, so the staged shape survives optimization.
+    // strict hash oracle (see object doc). Static-unrolled layers
+    // (plain codegen'd arithmetic, no HOF lambdas), one staged select
+    // per layer.
     Entry("q37_cnn_forward",
       (s, dir) => {
-        val keys = Seq(col("l_orderkey"), col("l_linenumber"))
-        t(s, dir, "lineitem")
-          .select(keys :+ NeuralForward.singleChannel(featsCol).as("f"): _*)
-          .select(keys :+ NeuralForward.conv1d(col("f"), d3(w1), d1(b1)).as("c1"): _*)
-          .select(keys :+ NeuralForward.maxPool1d(col("c1"), 2).as("p1"): _*)
-          .select(keys :+ NeuralForward.conv1d(col("p1"), d3(w2), d1(b2)).as("c2"): _*)
-          .select(keys :+ NeuralForward.maxPool1d(col("c2"), 2).as("p2"): _*)
-          .select(keys :+ NeuralForward.dense(NeuralForward.flatten1d(col("p2")),
-            d2(wd), d1(bd), "linear").as("lg"): _*)
-          .select(col("l_orderkey"), col("l_linenumber"),
-            element_at(col("lg"), 1).cast("long").as("logit0"),
-            element_at(col("lg"), 2).cast("long").as("logit1"),
-            NeuralForward.argmax(col("lg")).as("pred"))
+        val (d0, x) = stageGrid(t(s, dir, "lineitem"), keyCols, "x",
+          featCols.map(Seq(_)))
+        val (dc1, c1) = stageGrid(d0, keyCols, "c1",
+          NeuralForward.conv1dStatic(x, d3(w1), d1(b1)))
+        val (dp1, p1) = stageGrid(dc1, keyCols, "p1",
+          NeuralForward.maxPool1dStatic(c1, 2))
+        val (dc2, c2) = stageGrid(dp1, keyCols, "c2",
+          NeuralForward.conv1dStatic(p1, d3(w2), d1(b2)))
+        val (dp2, p2) = stageGrid(dc2, keyCols, "p2",
+          NeuralForward.maxPool1dStatic(c2, 2))
+        val lg = NeuralForward.denseStatic(
+          NeuralForward.flattenStatic(p2), d2(wd), d1(bd), "linear")
+        dp2.select(keyCols ++ Seq(
+          lg(0).cast("long").as("logit0"),
+          lg(1).cast("long").as("logit1"),
+          // 2-class argmax, first index wins ties (np.argmax parity)
+          when(lg(0) >= lg(1), 0L).otherwise(1L).as("pred")): _*)
       },
       Some(cnnOracle)),
 
     // Q38 — SimpleRNN forward scoring (M3): 8-timestep relu recurrence
     // (the exact-integer stand-in for Keras's default tanh — same
-    // recurrence structure, hash-checkable) + dense head. The DuckDB
-    // side unrolls the 8 steps as chained CTEs from the same weights.
-    // Same staged-column shape as q37 (see note there).
+    // recurrence structure, hash-checkable) + dense head. Each timestep
+    // is one staged select (an inlined recurrence grows units^T); the
+    // DuckDB side unrolls the same 8 steps as chained CTEs.
     Entry("q38_rnn_forward",
       (s, dir) => {
-        val keys = Seq(col("l_orderkey"), col("l_linenumber"))
-        t(s, dir, "lineitem")
-          .select(keys :+ NeuralForward.singleChannel(featsCol).as("f"): _*)
-          .select(keys :+ NeuralForward.simpleRnn(col("f"),
-            d2(rwx), d2(rwh), d1(rb), "relu").as("h"): _*)
-          .select(keys :+ NeuralForward.dense(col("h"),
-            d2(rwd), d1(rbd), "linear").as("lg"): _*)
-          .select(col("l_orderkey"), col("l_linenumber"),
-            element_at(col("lg"), 1).cast("long").as("logit0"),
-            element_at(col("lg"), 2).cast("long").as("logit1"),
-            NeuralForward.argmax(col("lg")).as("pred"))
+        val (d0, x) = stageGrid(t(s, dir, "lineitem"), keyCols, "x",
+          featCols.map(Seq(_)))
+        val xRefs = (0 until 8).map(p => col(s"x_${p}_0"))
+        val (dT, h) = (1 to 8).foldLeft(
+          (d0, Seq.fill(3)(lit(0.0): Column))) { case ((df, hPrev), tt) =>
+          val step = NeuralForward.rnnCell(Seq(xRefs(tt - 1)), hPrev,
+            d2(rwx), d2(rwh), d1(rb), "relu")
+          val named = step.zipWithIndex.map { case (e, u) => e.as(s"h${tt}_$u") }
+          (df.select(keyCols ++ xRefs ++ named: _*),
+            (0 until 3).map(u => col(s"h${tt}_$u")))
+        }
+        val lg = NeuralForward.denseStatic(h, d2(rwd), d1(rbd), "linear")
+        dT.select(keyCols ++ Seq(
+          lg(0).cast("long").as("logit0"),
+          lg(1).cast("long").as("logit1"),
+          when(lg(0) >= lg(1), 0L).otherwise(1L).as("pred")): _*)
       },
       Some(rnnOracle))
   )

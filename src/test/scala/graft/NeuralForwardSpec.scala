@@ -174,6 +174,38 @@ class NeuralForwardSpec extends AnyFunSuite {
     assert(want.exists(v => math.abs(v) > 1e-3), "degenerate LSTM fixture")
   }
 
+  test("static-unrolled layers are value-equal to the HOF forms") {
+    // the registry entries use the static (whole-stage-codegen) forms;
+    // this pins them to the HOF forms the earlier tests validated
+    val feats = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val w1 = Seq.tabulate(4, 3, 1)((f, j, _) => ((f * 5 + j * 3 + 1) % 5) - 2.0)
+    val b1 = Seq.tabulate(4)(f => (f % 3) - 1.0)
+    val wd = Seq.tabulate(2, 12)((o, i) => ((o * 3 + i * 2 + 1) % 5) - 2.0)
+    val bd = Seq(0.0, 1.0)
+
+    val hof = NeuralForward.dense(NeuralForward.flatten1d(
+      NeuralForward.maxPool1d(NeuralForward.conv1d(
+        NeuralForward.singleChannel(arr(feats: _*)), w1, b1), 2)),
+      wd, bd, "linear")
+    val static = NeuralForward.denseStatic(NeuralForward.flattenStatic(
+      NeuralForward.maxPool1dStatic(NeuralForward.conv1dStatic(
+        feats.map(f => Seq(lit(f): org.apache.spark.sql.Column)), w1, b1), 2)),
+      wd, bd, "linear")
+    val got = seqDouble(run1(array(static: _*)))
+    assertClose(got, seqDouble(run1(hof)))
+
+    // recurrence: 8 steps of rnnCell == one aggregate-fold simpleRnn
+    val wx = Seq(Seq(1.0), Seq(-1.0), Seq(2.0))
+    val wh = Seq(Seq(1.0, 0.0, -1.0), Seq(0.0, 1.0, 1.0), Seq(-1.0, 1.0, 0.0))
+    val rb = Seq(0.0, 1.0, -1.0)
+    val hofR = seqDouble(run1(NeuralForward.simpleRnn(
+      NeuralForward.singleChannel(arr(feats: _*)), wx, wh, rb, "relu")))
+    val staticR = feats.foldLeft(Seq.fill(3)(lit(0.0): org.apache.spark.sql.Column)) {
+      (h, x) => NeuralForward.rnnCell(Seq(lit(x)), h, wx, wh, rb, "relu")
+    }
+    assertClose(seqDouble(run1(array(staticR: _*))), hofR)
+  }
+
   test("all-zero LSTM weights give zero output (zero initial state)") {
     val z = Gate(Seq(Seq(0.0)), Seq(Seq(0.0)), Seq(0.0))
     val got = seqDouble(run1(NeuralForward.lstm(
