@@ -206,6 +206,40 @@ class NeuralForwardSpec extends AnyFunSuite {
     assertClose(seqDouble(run1(array(staticR: _*))), hofR)
   }
 
+  test("neural scoring composes with Structured Streaming (stateless projection)") {
+    // The forward pass is a stateless narrow projection, so it runs
+    // unchanged behind readStream — the engine-side form of the
+    // reference's score-incoming-flows path (M5 with true conv
+    // semantics instead of the MLP stand-in).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val w = Seq(Seq(Seq(1.0), Seq(-1.0)), Seq(Seq(0.5), Seq(0.5)))
+    val b = Seq(0.0, 1.0)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), NeuralForward.denseStatic(NeuralForward.flattenStatic(
+        NeuralForward.conv1dStatic(
+          (1 to 4).map(i => Seq(col(s"f$i"))), w, b)),
+        Seq(Seq(1.0, 0.0, 1.0, 0.0, 1.0, 0.0)), Seq(0.0), "linear")(0)
+        .as("score"))
+    val stream = MemoryStream[(Long, Double, Double, Double, Double)](spark)
+    val in = stream.toDF().toDF("id", "f1", "f2", "f3", "f4")
+    val name = s"nf_sink_${System.nanoTime()}"
+    val q = score(in).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 1.0, 2.0, 3.0, 4.0), (2L, 4.0, 3.0, 2.0, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // batch parity is the assertion that matters
+    val want = score(Seq((1L, 1.0, 2.0, 3.0, 4.0), (2L, 4.0, 3.0, 2.0, 1.0))
+      .toDF("id", "f1", "f2", "f3", "f4")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+    assert(got.values.exists(_ != 0.0))
+  }
+
   test("all-zero LSTM weights give zero output (zero initial state)") {
     val z = Gate(Seq(Seq(0.0)), Seq(Seq(0.0)), Seq(0.0))
     val got = seqDouble(run1(NeuralForward.lstm(
