@@ -23,7 +23,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // Entries may persist() internally (iterative dedup resolution, the
+      // IVF probe reuse); release between queries so one query's cache
+      // neither leaks for the session nor distorts the next timing.
+      finally spark.catalog.clearCache()
 
     // warmup: flagship agg + one scan over each heavy input table
     try {
@@ -49,9 +53,12 @@ object Bench {
         val t0 = System.nanoTime()
         val err = try { exec(fn); None } catch {
           case e: Throwable =>
+            // blank ALL JSON-breaking chars: quote, backslash, and every
+            // control char < 0x20 (not just \n\r\t — a \f or NUL in a
+            // Spark error message would corrupt the per-query JSON line)
             Some((e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse("")).take(120)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " "))
+              .map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c))
         }
         ((System.nanoTime() - t0) / 1e9, err)
       }

@@ -58,15 +58,21 @@ object NeuralForward {
     require(w.nonEmpty && b.length == w.length, "one bias per filter")
     val k = w.head.length
     require(w.forall(_.length == k), "ragged kernel")
-    transform(sequence(lit(0), size(in) - k), p =>
-      array(w.indices.map { f =>
-        val terms = for {
-          j <- 0 until k
-          c <- w(f)(j).indices
-        } yield element_at(element_at(in, p + lit(j + 1)), c + 1) *
-          lit(w(f)(j)(c))
-        act(activation)(terms.reduce(_ + _) + lit(b(f)))
-      }: _*))
+    // Guard inputs shorter than the kernel: sequence(0, negative) would
+    // DESCEND ([0,-1]) and feed invalid indices to element_at (ANSI
+    // crash / silent end-relative reads). Keras errors on short inputs;
+    // here a short row yields zero positions and the job stays alive.
+    when(size(in) >= k,
+      transform(sequence(lit(0), size(in) - k), p =>
+        array(w.indices.map { f =>
+          val terms = for {
+            j <- 0 until k
+            c <- w(f)(j).indices
+          } yield element_at(element_at(in, p + lit(j + 1)), c + 1) *
+            lit(w(f)(j)(c))
+          act(activation)(terms.reduce(_ + _) + lit(b(f)))
+        }: _*)))
+      .otherwise(typedLit(Seq.empty[Seq[Double]]))
   }
 
   /** MaxPooling1D: elementwise (per-channel) max over non-overlapping
@@ -75,12 +81,15 @@ object NeuralForward {
     */
   def maxPool1d(in: Column, pool: Int): Column = {
     require(pool >= 1)
-    transform(sequence(lit(0), floor(size(in) / lit(pool)).cast("int") - 1),
-      q =>
-        (1 until pool).foldLeft(element_at(in, q * pool + 1)) { (acc, r) =>
-          zip_with(acc, element_at(in, q * pool + (r + 1)),
-            (a, bb) => greatest(a, bb))
-        })
+    // short-input guard: see conv1d
+    when(size(in) >= pool,
+      transform(sequence(lit(0), floor(size(in) / lit(pool)).cast("int") - 1),
+        q =>
+          (1 until pool).foldLeft(element_at(in, q * pool + 1)) { (acc, r) =>
+            zip_with(acc, element_at(in, q * pool + (r + 1)),
+              (a, bb) => greatest(a, bb))
+          }))
+      .otherwise(typedLit(Seq.empty[Seq[Double]]))
   }
 
   /** Keras Flatten on positions x channels: position-major concatenation. */

@@ -25,9 +25,27 @@ object Analytics {
   /** Scratch dir per (query, sf-dir, JVM) for sink roundtrips. The
     * applicationId segment keeps concurrent JVMs (Bench + Verify run
     * side by side, and parallel spec suites execute every registry
-    * entry) from overwriting a directory another JVM is mid-read on. */
-  private def scratch(s: SparkSession, name: String, dir: String): String =
-    s"/tmp/graft_q/$name/${new java.io.File(dir).getName}/${s.sparkContext.applicationId}"
+    * entry) from overwriting a directory another JVM is mid-read on.
+    * Because each JVM now gets fresh paths, mode("overwrite") no longer
+    * bounds disk use — a shutdown hook deletes this JVM's dirs on exit
+    * (they hold full table copies; leaking them would grow /tmp by
+    * hundreds of MB per round). */
+  private val createdScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit = {
+    sys.addShutdownHook {
+      createdScratch.forEach { p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      }
+    }
+    ()
+  }
+  private def scratch(s: SparkSession, name: String, dir: String): String = {
+    val p = s"/tmp/graft_q/$name/${new java.io.File(dir).getName}/${s.sparkContext.applicationId}"
+    cleanupHook
+    createdScratch.add(p)
+    p
+  }
 
   /** q35's bucketed table names and data path, shared with the specs so
     * a rename can't silently desynchronize them. The path carries the

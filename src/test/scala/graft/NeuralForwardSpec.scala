@@ -93,6 +93,19 @@ class NeuralForwardSpec extends AnyFunSuite {
     assert(out == Seq(Seq(0.0, 2.5), Seq(0.0, 3.5), Seq(0.0, 4.5)))
   }
 
+  test("conv1d/maxPool1d on inputs shorter than kernel/pool yield zero positions") {
+    // sequence(0, negative) would descend and feed invalid element_at
+    // indices — the guard must emit an empty result instead of crashing
+    // (ANSI) or reading end-relative garbage (non-ANSI)
+    val short = NeuralForward.singleChannel(arr(1, 2))
+    val conv = seqSeqDouble(run1(NeuralForward.conv1d(short,
+      Seq(Seq(Seq(1.0), Seq(1.0), Seq(1.0))), Seq(0.0))))
+    assert(conv.isEmpty)
+    val pool = seqSeqDouble(run1(NeuralForward.maxPool1d(
+      arr2(Seq(1.0, 2.0)), 2)))
+    assert(pool.isEmpty)
+  }
+
   test("maxPool1d drops the odd tail (Keras parity)") {
     val in = arr2(Seq(0.0, 2.5), Seq(1.0, 3.5), Seq(9.0, 4.5))
     val out = seqSeqDouble(run1(NeuralForward.maxPool1d(in, 2)))
