@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.ops.{CorpusClean, Dedup, TextStats}
+import graft.ops.{CorpusClean, Dedup, Packing, TextStats}
 
 /** LLM-pipeline text operators over `documents` (SURVEY.md §2.9 X1/X3/X4
   * plus the training-data-pipeline extensions: language-ID, quality
@@ -462,6 +462,58 @@ object TextOps {
               FROM counts
               UNION ALL SELECT 'decontaminate', n1, n2a FROM counts
               UNION ALL SELECT 'exact_dedup', n2a, n2 FROM counts
-              ORDER BY stage"""))
+              ORDER BY stage""")),
+
+    // T9 — vocabulary building: top-50 tokens by corpus frequency with
+    // document frequency. orderBy+limit plans TakeOrderedAndProject
+    // (k rows per partition through the shuffle, never a global sort);
+    // tie order (n desc, token asc) is total, so the rank-50 cut is
+    // deterministic in both engines.
+    Entry("t_vocab",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"), col("doc_id"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
+        .orderBy(desc("n"), asc("token")).limit(50),
+      Some("""SELECT tok AS token, count(*) AS n,
+                     count(DISTINCT doc_id) AS df
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY 1 ORDER BY n DESC, token LIMIT 50""")),
+
+    // P2 — sequence packing (ops.Packing.nextFitPack): greedy next-fit
+    // assignment of documents into capacity-256 training bins, per
+    // source shard in doc_id order — the operator that turns a cleaned
+    // corpus into fixed-length pretraining examples. The engine runs
+    // one sequential mapPartitions fold per shard (parallelism =
+    // shards, linear output); the oracle replays the identical fold as
+    // a per-shard recursive CTE. Capacity 256 at 10-100 tokens/doc
+    // packs ~4 docs/bin.
+    Entry("p2_sequence_pack",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("tk", size(split(col("text"), " ")).cast("long"))
+        Packing.nextFitPack(s, docs, "source", "doc_id", "tk", 256L)
+          .orderBy("shard", "doc")
+      },
+      Some("""WITH RECURSIVE d AS (
+                SELECT source AS shard, doc_id AS doc,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+              rec AS (
+                SELECT shard, rn, doc, toks,
+                       CAST(0 AS BIGINT) AS bin, toks AS fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn, d.doc, d.toks,
+                       CASE WHEN r.fill > 0 AND r.fill + d.toks > 256
+                            THEN r.bin + 1 ELSE r.bin END,
+                       CASE WHEN r.fill > 0 AND r.fill + d.toks > 256
+                            THEN d.toks ELSE r.fill + d.toks END
+                FROM rec r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1)
+              SELECT shard, doc, toks, bin FROM rec
+              ORDER BY shard, doc"""))
   )
 }
