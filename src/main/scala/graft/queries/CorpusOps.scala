@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, SparkSession}
+import graft.sources.Tables
+import graft.ops.Dedup
+
+/** Round-4 LLM-pipeline corpus operators: chunking, boilerplate
+  * detection, domain-mixture budget sampling, and hash-trick linear
+  * quality scoring. All four are narrow, shuffle-minimal shapes a
+  * pretraining pipeline runs corpus-wide, and every decision rule is
+  * engine-portable (md5 / ascii arithmetic, never an engine-internal
+  * hash), so each is strictly hash-oracle-gated against DuckDB.
+  */
+object CorpusOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // ---- p3_chunk constants: token window 32, stride 24 (8-token overlap,
+  // the sliding-window form long-context pretraining uses) ----
+  private val W = 32
+  private val S = 24
+
+  // ---- t_qscore_linear: 64 hash buckets, fixed integer weights in
+  // [-5, 5], bias 2 — the hash-trick linear scorer shape (fasttext-style)
+  // at deterministic weights so logits are exact integers ----
+  private val QW: Seq[Long] = Seq.tabulate(64)(b => (((b * 7 + 3) % 11) - 5).toLong)
+  private val QBias = 2L
+  private val qwSql = QW.mkString("[", ", ", "]")
+
+  /** Portable token->bucket hash: (ascii(first char)*31 + length) % 64.
+    * ascii/length are identical in Spark and DuckDB, unlike either
+    * engine's internal string hash. Collision quality is beside the
+    * point here — the hash-trick contract is "any fixed cheap hash",
+    * and portability is what makes the scorer oracle-checkable.
+    */
+  private def bucket(tok: Column): Column =
+    (ascii(tok) * lit(31) + length(tok)) % lit(64)
+
+  val entries: Seq[Entry] = Seq(
+
+    // P3 — overlapping token-window chunking: every document becomes
+    // ceil stride-covered windows of <= 32 tokens (stride 24), the
+    // doc->training-context explosion step. One generator per row, no
+    // shuffle at all until the contract ORDER BY; output is linear in
+    // total tokens (~1.3x here). Chunk identity is md5 of the joined
+    // window so the gate checks CONTENT, not just counts.
+    Entry("p3_chunk",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+          // windows fully cover the doc: last start <= n - stride
+          .withColumn("nch",
+            when(col("n") <= W, lit(1L))
+              .otherwise(floor((col("n") - lit(W - S + 1)) / lit(S.toDouble))
+                .cast("long") + lit(1L)))
+        base
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L), col("nch") - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            slice(col("toks"), col("chunk_id").cast("int") * S + 1, lit(W))
+              .as("chunk"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("chunk")).cast("long").as("n_tok"),
+            md5(array_join(col("chunk"), " ")).as("h"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n
+                FROM documents),
+              c AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0,
+                         CAST(CASE WHEN n <= $W THEN 0
+                              ELSE floor((n - ${W - S + 1}) / $S.0) END
+                           AS BIGINT))) AS chunk_id
+                FROM d)
+              SELECT doc_id, chunk_id,
+                     len(toks[chunk_id*$S+1 : chunk_id*$S+$W]) AS n_tok,
+                     md5(array_to_string(
+                       toks[chunk_id*$S+1 : chunk_id*$S+$W], ' ')) AS h
+              FROM c ORDER BY doc_id, chunk_id""")),
+
+    // T10 — boilerplate-shingle stats: a 3-gram shingle occurring in >= 5
+    // distinct docs is "boilerplate"; per doc, count distinct shingles,
+    // boilerplate shingles, and the ratio in basis points. Two shuffles
+    // (df count, join back on shingle) — the same shingle-keyed linear
+    // shape as decontamination, never docs^2. The ratio is emitted as
+    // floor(1e4 * ratio) (exact integer in both engines) instead of
+    // round(ratio, 4): counts are small integers, so the true ratio can
+    // land exactly on a x.xxxx5 half-boundary where engines round apart.
+    Entry("t_boilerplate",
+      (s, dir) => {
+        val shingles = Dedup.shingleSets(
+          t(s, dir, "documents"), "text", "doc_id", "source", 3)
+        val dfreq = shingles.groupBy("tok")
+          .agg(count(lit(1)).as("df"))
+        shingles.join(dfreq, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_boiler"))
+          .withColumn("bp_ratio_e4",
+            floor(col("n_boiler") * lit(10000.0) / col("n_shingles"))
+              .cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(toks) - 2, 1)),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents)),
+              dfq AS (SELECT tok, count(*) AS df FROM grams GROUP BY 1)
+              SELECT doc_id, count(*) AS n_shingles,
+                     CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_boiler,
+                     CAST(floor(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END)
+                       * 10000.0 / count(*)) AS BIGINT) AS bp_ratio_e4
+              FROM grams JOIN dfq USING (tok)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // X7 — domain-mixture budget sampling: cap every source at a 500-token
+    // budget (the over-represented-domain rebalancing a pretraining mix
+    // does), selecting docs deterministically by md5 threshold. The
+    // per-source rate becomes an 8-hex-digit threshold string compared
+    // against md5(text)'s prefix — both sides of the comparison are
+    // engine-portable, so the SELECTED SET (not just its size) is
+    // identical on any engine and stable across reruns. Plan shape: one
+    // tiny per-source aggregate, broadcast back to the fact side, one
+    // final per-source aggregate — the 100 TB form (stats frame is
+    // O(domains), never shuffles the corpus twice).
+    Entry("x7_mixture",
+      (s, dir) => {
+        val tk = size(split(col("text"), " ")).cast("long")
+        val docs = t(s, dir, "documents").select(
+          col("source"), col("text"), tk.as("tk"))
+        val stats = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("tk").as("toks"))
+          .withColumn("rate", least(lit(1.0), lit(500.0) / col("toks")))
+          .withColumn("thr", format_string("%08x",
+            floor(col("rate") * lit(4294967296.0)).cast("long")))
+          .drop("rate")
+        val kept = (col("toks") <= 500) ||
+          (substring(md5(col("text")), 1, 8) < col("thr"))
+        docs.join(broadcast(stats), "source")
+          .groupBy("source", "n_docs", "toks", "thr")
+          .agg(sum(when(kept, 1L).otherwise(0L)).as("n_sampled"),
+            sum(when(kept, col("tk")).otherwise(0L)).as("toks_sampled"))
+          .orderBy("source")
+      },
+      Some("""WITH stats AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                         AS toks
+                FROM documents GROUP BY 1),
+              r AS (
+                SELECT source, n_docs, toks,
+                       printf('%08x', CAST(floor(
+                         least(1.0, 500.0 / toks) * 4294967296) AS BIGINT))
+                         AS thr
+                FROM stats)
+              SELECT d.source, r.n_docs, r.toks, r.thr,
+                     CAST(sum(CASE WHEN r.toks <= 500
+                           OR substring(md5(d.text), 1, 8) < r.thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                     CAST(sum(CASE WHEN r.toks <= 500
+                           OR substring(md5(d.text), 1, 8) < r.thr
+                         THEN len(string_split(d.text, ' ')) ELSE 0 END)
+                       AS BIGINT) AS toks_sampled
+              FROM documents d JOIN r ON d.source = r.source
+              GROUP BY 1, 2, 3, 4 ORDER BY d.source""")),
+
+    // T11 — hash-trick linear quality scorer: score(doc) = bias +
+    // sum_t w[bucket(t)] over tokens WITH repetition — the fasttext-style
+    // linear-over-hashed-features classifier a quality-filtering pass
+    // scores the corpus with. Integer weights -> exact integer logits ->
+    // strict hash oracle (same trick as the q37/q38 neural entries). A
+    // single `aggregate` fold per row, weights live in the plan as an
+    // array literal (broadcast-small-model pattern): zero shuffles before
+    // the contract ORDER BY.
+    Entry("t_qscore_linear",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(split(col("text"), " "), lit(QBias),
+            (acc, tok) => acc +
+              element_at(typedLit(QW), (bucket(tok) + 1).cast("int")))
+            .as("score"))
+        .withColumn("keep", (col("score") >= 0).cast("long"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                     CAST($QBias + sum(($qwSql)[
+                       (ascii(tok) * 31 + len(tok)) % 64 + 1])
+                       AS BIGINT) AS score,
+                     CASE WHEN $QBias + sum(($qwSql)[
+                       (ascii(tok) * 31 + len(tok)) % 64 + 1]) >= 0
+                       THEN 1 ELSE 0 END AS keep
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

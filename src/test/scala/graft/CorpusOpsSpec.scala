@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.queries.CorpusOps
+
+/** Hand-computed checks for the round-4 corpus operators (the DuckDB
+  * hash gate proves cross-engine parity; these prove the SEMANTICS are
+  * the intended ones on inputs small enough to verify by hand).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def entry(name: String) =
+    CorpusOps.entries.find(_.name == name).get
+
+  private def docsView(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("corpusops").toString
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("p3_chunk: stride-24 windows of 32 cover every token exactly") {
+    val words60 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val words10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val dir = docsView(Seq((1L, words60, "a"), (2L, words10, "a")))
+    val out = entry("p3_chunk").run(spark, dir)
+      .select("doc_id", "chunk_id", "n_tok").collect().toSeq
+    // doc 1 (60 toks): starts 0/24/48 -> sizes 32, 32, 12
+    // doc 2 (10 toks): one short chunk
+    assert(out == Seq(Row(1L, 0L, 32L), Row(1L, 1L, 32L), Row(1L, 2L, 12L),
+      Row(2L, 0L, 10L)))
+  }
+
+  test("p3_chunk: boundary doc of exactly 32 tokens is one full chunk") {
+    val words32 = (1 to 32).map(i => s"w$i").mkString(" ")
+    val dir = docsView(Seq((1L, words32, "a")))
+    val out = entry("p3_chunk").run(spark, dir)
+      .select("chunk_id", "n_tok").collect().toSeq
+    assert(out == Seq(Row(0L, 32L)))
+  }
+
+  test("t_boilerplate: shingle document-frequency threshold") {
+    // "a b c d" in 5 docs -> its shingles "a b c"/"b c d" have df=5+1=6
+    // and 5 respectively (doc 6 shares "a b c" via "a b c x").
+    val common = (1 to 5).map(i => (i.toLong, "a b c d", "s"))
+    val dir = docsView(common :+ (6L, "a b c x", "s"))
+    val out = entry("t_boilerplate").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1-5: 2 distinct shingles, both df>=5 (abc: 6 docs, bcd: 5)
+    assert(out(1L) == (2L, 2L))
+    // doc 6: shingles "a b c" (df 6, boiler) + "b c x" (df 1)
+    assert(out(6L) == (2L, 1L))
+  }
+
+  test("x7_mixture: small sources kept whole, big sources thresholded") {
+    val small = Seq((1L, "tiny doc here", "s_small"))
+    val big = (1 to 60).map(i =>
+      (100L + i, (1 to 10).map(j => s"tok${i}_$j").mkString(" "), "s_big"))
+    val dir = docsView(small ++ big)
+    val out = entry("x7_mixture").run(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // s_small: 3 tokens <= 500 budget -> everything sampled
+    assert(out("s_small").getAs[Long]("n_sampled") == 1L)
+    assert(out("s_small").getAs[Long]("toks_sampled") == 3L)
+    // s_big: 600 tokens -> rate 5/6; threshold keeps a strict subset
+    val bigRow = out("s_big")
+    assert(bigRow.getAs[Long]("n_sampled") < 60L)
+    assert(bigRow.getAs[Long]("n_sampled") > 30L)
+    // selection is deterministic: rerun matches exactly
+    val again = entry("x7_mixture").run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sampled")).toMap
+    assert(again("s_big") == bigRow.getAs[Long]("n_sampled"))
+  }
+
+  test("t_qscore_linear: score is bias + sum of bucket weights") {
+    // bucket("aa") = (97*31 + 2) % 64 = 3009 % 64 = 1; QW(1) = ((7+3)%11)-5 = 5
+    // bucket("b")  = (98*31 + 1) % 64 = 3039 % 64 = 31; QW(31) = ((220)%11)-5 = -5
+    val dir = docsView(Seq((1L, "aa b aa", "s")))
+    val out = entry("t_qscore_linear").run(spark, dir).collect()
+    assert(out.length == 1)
+    // 2 (bias) + 5 - 5 + 5 = 7, keep = 1
+    assert(out(0).getLong(1) == 7L)
+    assert(out(0).getLong(2) == 1L)
+  }
+}
