@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.ml.NeuralForward
+import graft.ml.{NeuralForward, SignGd}
 
 /** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
   * semantics; reference `models/cnn_model.py:21-32` stack shape and
@@ -121,6 +121,56 @@ object NeuralOps {
 
   private val keyCols = Seq(col("l_orderkey"), col("l_linenumber"))
 
+  // ---- q39 sign-SGD: integer features/target over lineitem; the SQL
+  // strings and the Column expressions are kept side by side so the
+  // oracle replays exactly what the engine trains on ----
+  private val gdX: Seq[(Column, String)] = Seq(
+    col("l_quantity").cast("long") -> "CAST(l_quantity AS BIGINT)",
+    col("l_linenumber").cast("long") -> "CAST(l_linenumber AS BIGINT)",
+    (col("l_partkey") % 89).cast("long") -> "CAST(l_partkey % 89 AS BIGINT)")
+  private val gdY: (Column, String) =
+    ((col("l_orderkey") + col("l_suppkey")) % 40).cast("long") ->
+      "CAST((l_orderkey + l_suppkey) % 40 AS BIGINT)"
+  private val gdSteps = 3
+
+  /** DuckDB replay of [[SignGd.fit]]: step i's gradient/loss CTE
+    * aggregates over the facts joined to step i-1's one-row weight CTE,
+    * and the weight CTE applies the sign update — the same unrolled
+    * chained-CTE scheme as the q37/q38 oracles. */
+  private def signGdOracle: String = {
+    val nw = gdX.length + 1 // bias + features
+    val xNames = (1 to gdX.length).map(i => s"x$i")
+    def pred(tbl: String) =
+      (Seq(s"$tbl.w0") ++ xNames.zipWithIndex.map { case (x, i) =>
+        s"$tbl.w${i + 1} * f.$x"
+      }).mkString(" + ")
+    val f = s"""f AS (SELECT ${gdX.map(_._2).zip(xNames)
+      .map { case (sqlE, n) => s"$sqlE AS $n" }
+      .mkString(", ")}, ${gdY._2} AS y FROM lineitem)"""
+    val ctes = (1 to gdSteps).flatMap { i =>
+      val (resid, from, carry) =
+        if (i == 1) ("(0 - f.y)", "FROM f", "")
+        else (s"(${pred("w")} - f.y)", s"FROM f, w${i - 1} w",
+          s"GROUP BY ${(0 until nw).map(j => s"w.w$j").mkString(", ")}")
+      val gradSel = (Seq(s"CAST(sum($resid) AS BIGINT) AS g0") ++
+        xNames.zipWithIndex.map { case (x, j) =>
+          s"CAST(sum($resid * f.$x) AS BIGINT) AS g${j + 1}"
+        }) :+ s"CAST(sum($resid * $resid) AS BIGINT) AS sse"
+      val wPrev = (0 until nw).map(j => if (i == 1) "0" else s"w$j")
+      val wSel = wPrev.zipWithIndex.map { case (p, j) =>
+        s"CAST($p - sign(g$j) AS BIGINT) AS w$j"
+      }
+      Seq(
+        s"g$i AS (SELECT ${(if (i == 1) Nil
+          else (0 until nw).map(j => s"w.w$j AS w$j")) ++ gradSel mkString ", "} $from $carry)",
+        s"w$i AS (SELECT ${wSel.mkString(", ")}, sse FROM g$i)")
+    }
+    val unions = (1 to gdSteps).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, sse, ${(0 until nw)
+        .map(j => s"w$j").mkString(", ")} FROM w$i").mkString("\n UNION ALL ")
+    s"WITH $f,\n ${ctes.mkString(",\n ")}\n $unions ORDER BY step"
+  }
+
   /** Stage a positions x channels grid of scalar expressions as named
     * columns `{prefix}_{p}_{c}` (one select = one layer, mirroring the
     * oracle's one-CTE-per-layer shape) and return attribute references
@@ -193,6 +243,26 @@ object NeuralOps {
           lg(1).cast("long").as("logit1"),
           when(lg(0) >= lg(1), 0L).otherwise(1L).as("pred")): _*)
       },
-      Some(rnnOracle))
+      Some(rnnOracle)),
+
+    // Q39 — distributed sign-SGD training loop (SignGd): 3 full-batch
+    // steps of y ~ w . x over lineitem. Each step is ONE map-side-
+    // combined aggregation (the data-parallel training shape); integer
+    // features + sign updates keep every weight and loss an exact
+    // integer, so the ITERATIVE trainer itself is hash-oracle-gated —
+    // DuckDB replays the identical steps as chained CTEs and must land
+    // on the same weights. Output: per step, the pre-update loss and
+    // post-update weights (O(steps) rows of fit state).
+    Entry("q39_sign_gd",
+      (s, dir) => {
+        import s.implicits._
+        val steps = SignGd.fit(t(s, dir, "lineitem"),
+          gdX.map(_._1), gdY._1, gdSteps)
+        steps.map(st => (st.step, st.sse,
+            st.w(0), st.w(1), st.w(2), st.w(3)))
+          .toDF("step", "sse", "w0", "w1", "w2", "w3")
+          .orderBy("step")
+      },
+      Some(signGdOracle))
   )
 }
