@@ -1,0 +1,181 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Engine-native full-batch gradient-descent trainer for a 1-hidden-layer
+  * MLP with DETERMINISTIC DROPOUT — the regularizer the reference's Keras
+  * models use (`models/mlp_model.py:19-26`, Dropout 0.3/0.5) that MLlib's
+  * `MultilayerPerceptronClassifier` cannot express (SURVEY §2.6 M1).
+  *
+  * Architecture: x (d) -> dense(h, relu) -> dropout(p) -> dense(k) ->
+  * softmax, trained with cross-entropy on full-batch GD.
+  *
+  * Distribution model (the part that matters at 100 TB): per-row forward
+  * + backward passes are pure Catalyst expression columns (weights are
+  * plan literals — the broadcast-small-model pattern), and one epoch is
+  * ONE aggregation averaging every per-row gradient — partial sums
+  * map-side, a single O(params) row to the driver, O(params) update
+  * there. No per-row UDFs, no parameter shuffling, no driver-side data.
+  *
+  * Dropout without rand(): Keras drops units by drawing train-time
+  * Bernoulli noise; a distributed re-runnable trainer can't depend on
+  * nondeterministic per-task RNG state (retries/speculative tasks would
+  * see different masks). The mask here is a HASH of (row key, epoch,
+  * unit): `xxhash64(rk, epoch, u) % 1000 >= 1000p`, with the kept
+  * activations scaled by 1/(1-p) (inverted dropout, Keras parity). Same
+  * row + epoch + unit -> same mask on any executor, any retry, any
+  * cluster size — training is bit-reproducible while still resampling
+  * masks every epoch.
+  */
+object GdTrainer {
+
+  /** w1: h x d, b1: h, w2: k x h, b2: k. */
+  final case class MlpWeights(w1: Seq[Seq[Double]], b1: Seq[Double],
+      w2: Seq[Seq[Double]], b2: Seq[Double]) {
+    def hidden: Int = w1.length
+    def classes: Int = w2.length
+    require(b1.length == hidden && b2.length == classes &&
+      w2.forall(_.length == hidden), "inconsistent shapes")
+  }
+
+  /** Deterministic small init in [-0.5, 0.5) from `seed` (driver-side;
+    * any fixed scheme works — GD breaks symmetry via distinct values). */
+  def init(d: Int, hidden: Int, classes: Int, seed: Long): MlpWeights = {
+    val rng = new scala.util.Random(seed)
+    def m(r: Int, c: Int) = Seq.fill(r, c)(rng.nextDouble() - 0.5)
+    def v(n: Int) = Seq.fill(n)(rng.nextDouble() - 0.5)
+    MlpWeights(m(hidden, d), v(hidden), m(classes, hidden), v(classes))
+  }
+
+  final case class MlpGrads(w1: Seq[Seq[Double]], b1: Seq[Double],
+      w2: Seq[Seq[Double]], b2: Seq[Double], loss: Double)
+
+  /** Keep-mask for (row, epoch, unit): 1000 hash buckets, drop the first
+    * `floor(1000p)`. p = 0 short-circuits to keep-all (so the no-dropout
+    * path has no hash in the plan at all). */
+  private def keepMask(rk: Column, epoch: Int, u: Int, p: Double): Column =
+    if (p <= 0.0) lit(1.0)
+    else when(pmod(xxhash64(rk, lit(epoch), lit(u)), lit(1000L)) >=
+      lit((1000 * p).toInt), lit(1.0)).otherwise(lit(0.0))
+
+  /** One full-batch pass at `w`: mean cross-entropy loss and mean
+    * gradients, with epoch-`epoch` dropout masks applied. One Spark job.
+    *
+    * `rowKey` must be unique per row (it seeds the dropout mask);
+    * `label` in 0..k-1.
+    */
+  def gradients(df: DataFrame, features: Seq[Column], label: Column,
+      rowKey: Column, w: MlpWeights, epoch: Int, dropout: Double): MlpGrads = {
+    val d = features.length
+    val h = w.hidden
+    val k = w.classes
+    require(dropout >= 0.0 && dropout < 1.0, "dropout in [0, 1)")
+    val scale = 1.0 / (1.0 - dropout)
+
+    // stage 0: features, label, row key as plain attributes
+    val base = df.select(
+      (features.zipWithIndex.map { case (f, i) => f.as(s"x$i") } :+
+        label.cast("int").as("y")) :+ rowKey.as("rk"): _*)
+    val xs = (0 until d).map(i => col(s"x$i"))
+    val carry0 = xs ++ Seq(col("y"), col("rk"))
+
+    // stage 1: pre-activations z1_u, then dropped+scaled activations a1_u
+    // (mask folded into a1; relu' recomputed from z1's sign in backprop)
+    val z1 = (0 until h).map { u =>
+      ((0 until d).map(i => xs(i) * lit(w.w1(u)(i))).reduce(_ + _) +
+        lit(w.b1(u))).as(s"z1_$u")
+    }
+    val s1 = base.select(carry0 ++ z1: _*)
+    val a1 = (0 until h).map { u =>
+      (greatest(col(s"z1_$u"), lit(0.0)) *
+        keepMask(col("rk"), epoch, u, dropout) * lit(scale)).as(s"a1_$u")
+    }
+    val carry1 = carry0 ++ (0 until h).map(u => col(s"z1_$u"))
+    val s2 = s1.select(carry1 ++ a1: _*)
+
+    // stage 2: logits, stable log-softmax pieces, dz2_o = p_o - 1[y=o]
+    val z2 = (0 until k).map { o =>
+      ((0 until h).map(u => col(s"a1_$u") * lit(w.w2(o)(u))).reduce(_ + _) +
+        lit(w.b2(o))).as(s"z2_$o")
+    }
+    val carry2 = carry1 ++ (0 until h).map(u => col(s"a1_$u"))
+    val s3 = s2.select(carry2 ++ z2: _*)
+    val zc = (0 until k).map(o => col(s"z2_$o"))
+    val m = zc.reduce(greatest(_, _))
+    val denom = zc.map(z => exp(z - m)).reduce(_ + _)
+    val logDenom = log(denom) + m
+    val lossCol = (logDenom - (0 until k).map(o =>
+      when(col("y") === o, zc(o)).otherwise(lit(0.0))).reduce(_ + _))
+      .as("loss")
+    val dz2 = (0 until k).map { o =>
+      (exp(zc(o) - m) / denom -
+        when(col("y") === o, 1.0).otherwise(0.0)).as(s"dz2_$o")
+    }
+    val s4 = s3.select(carry2 ++ zc ++ dz2 :+ lossCol: _*)
+
+    // stage 3: dz1_u = (sum_o w2[o][u] dz2_o) * mask*scale * relu'(z1_u)
+    val dz1 = (0 until h).map { u =>
+      ((0 until k).map(o => col(s"dz2_$o") * lit(w.w2(o)(u))).reduce(_ + _) *
+        keepMask(col("rk"), epoch, u, dropout) * lit(scale) *
+        when(col(s"z1_$u") > 0, 1.0).otherwise(0.0)).as(s"dz1_$u")
+    }
+    val s5 = s4.select(carry2 ++ (0 until k).map(o => col(s"dz2_$o")) ++
+      Seq(col("loss")) ++ dz1: _*)
+
+    // one aggregation: mean of every gradient product + mean loss
+    val aggs: Seq[Column] =
+      (for (o <- 0 until k; u <- 0 until h)
+        yield avg(col(s"dz2_$o") * col(s"a1_$u")).as(s"gw2_${o}_$u")) ++
+      (0 until k).map(o => avg(col(s"dz2_$o")).as(s"gb2_$o")) ++
+      (for (u <- 0 until h; i <- 0 until d)
+        yield avg(col(s"dz1_$u") * col(s"x$i")).as(s"gw1_${u}_$i")) ++
+      (0 until h).map(u => avg(col(s"dz1_$u")).as(s"gb1_$u")) :+
+      avg(col("loss")).as("mloss")
+    val row = s5.agg(aggs.head, aggs.tail: _*).head()
+    def g(n: String) = row.getAs[Double](n)
+    MlpGrads(
+      Seq.tabulate(h, d)((u, i) => g(s"gw1_${u}_$i")),
+      Seq.tabulate(h)(u => g(s"gb1_$u")),
+      Seq.tabulate(k, h)((o, u) => g(s"gw2_${o}_$u")),
+      Seq.tabulate(k)(o => g(s"gb2_$o")),
+      g("mloss"))
+  }
+
+  /** Full-batch GD: `epochs` gradient steps from `w0`. Returns the final
+    * weights and the per-epoch mean loss (loss BEFORE each update).
+    * One Spark job per epoch; driver work is O(params). */
+  def fit(df: DataFrame, features: Seq[Column], label: Column,
+      rowKey: Column, w0: MlpWeights, epochs: Int, lr: Double,
+      dropout: Double = 0.0): (MlpWeights, Seq[Double]) = {
+    var w = w0
+    val losses = (1 to epochs).map { e =>
+      val gr = gradients(df, features, label, rowKey, w, e, dropout)
+      w = MlpWeights(
+        w.w1.zip(gr.w1).map { case (r, gRow) =>
+          r.zip(gRow).map { case (x, gx) => x - lr * gx } },
+        w.b1.zip(gr.b1).map { case (x, gx) => x - lr * gx },
+        w.w2.zip(gr.w2).map { case (r, gRow) =>
+          r.zip(gRow).map { case (x, gx) => x - lr * gx } },
+        w.b2.zip(gr.b2).map { case (x, gx) => x - lr * gx })
+      gr.loss
+    }
+    (w, losses)
+  }
+
+  /** Inference column: argmax class under `w`, NO dropout (inverted
+    * dropout trains with scaled activations precisely so inference is
+    * the plain forward pass — Keras parity). First index wins ties. */
+  def predict(features: Seq[Column], w: MlpWeights): Column = {
+    val a1 = (0 until w.hidden).map { u =>
+      greatest(features.indices.map(i =>
+        features(i) * lit(w.w1(u)(i))).reduce(_ + _) + lit(w.b1(u)), lit(0.0))
+    }
+    val z2 = (0 until w.classes).map { o =>
+      (0 until w.hidden).map(u => a1(u) * lit(w.w2(o)(u))).reduce(_ + _) +
+        lit(w.b2(o))
+    }
+    val arr = array(z2: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("long")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.ml.{NeuralForward, SignGd}
+import graft.ml.{GdTrainer, NeuralForward, SignGd}
 
 /** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
   * semantics; reference `models/cnn_model.py:21-32` stack shape and
@@ -263,6 +263,40 @@ object NeuralOps {
           .toDF("step", "sse", "w0", "w1", "w2", "w3")
           .orderBy("step")
       },
-      Some(signGdOracle))
+      Some(signGdOracle)),
+
+    // Q40 — MLP training WITH DROPOUT (GdTrainer): 8 full-batch epochs
+    // of a 6->6->2 softmax MLP over the embeddings table, deterministic
+    // hash-based dropout 0.3 — the reference's Dropout regularizer
+    // (`models/mlp_model.py:19-26`) that MLlib cannot express, as an
+    // engine-native loop (one aggregation per epoch). Float softmax
+    // losses are not ANSI-replayable -> rows-only here; semantics are
+    // gated by GdTrainerSpec (finite-difference gradient check, mask
+    // determinism, learning on a separable fixture). Output: per-epoch
+    // mean loss + final train accuracy. NOTE the fixture's labels are
+    // independent of its embeddings by construction, so accuracy sits at
+    // chance; the observable training signal here is the loss descending
+    // toward the base-rate entropy (~ln 2). GdTrainerSpec is where
+    // actual learning is asserted, on a separable fixture.
+    Entry("q40_mlp_train",
+      (s, dir) => {
+        import s.implicits._
+        val d = 6
+        val emb = t(s, dir, "embeddings").select(
+          (0 until d).map(i =>
+            element_at(col("embedding"), i + 1).cast("double").as(s"f$i")) ++
+            Seq((col("label") % 2).cast("int").as("y"),
+              col("vec_id").as("rk")): _*)
+        val feats = (0 until d).map(i => col(s"f$i"))
+        val w0 = GdTrainer.init(d, 6, 2, seed = 11L)
+        val (w, losses) = GdTrainer.fit(emb, feats, col("y"), col("rk"),
+          w0, epochs = 8, lr = 0.5, dropout = 0.3)
+        val acc = emb.select((GdTrainer.predict(feats, w) === col("y"))
+          .cast("double").as("ok")).agg(avg("ok")).head().getDouble(0)
+        losses.zipWithIndex.map { case (l, e) =>
+          ((e + 1).toLong, math.rint(l * 1e6) / 1e6, math.rint(acc * 1e4) / 1e4)
+        }.toDF("epoch", "loss", "final_acc").orderBy("epoch")
+      },
+      None)
   )
 }
