@@ -168,6 +168,64 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** Per-event output of [[runningTotals]]. */
+  final case class RunningOut(user_id: Long, ts: java.sql.Timestamp,
+      running_n: Long, running_sum: Double)
+
+  /** O(1)-per-user accumulator state for [[runningTotals]]. */
+  final case class RunningAcc(n: Long, sum: Double)
+
+  /** Per-user running event count + value total on the Spark 4
+    * `transformWithState` arbitrary-state API (the successor to
+    * `flatMapGroupsWithState`): typed `ValueState` per key, optional
+    * processing-time TTL so an abandoned user's accumulator ages out of
+    * the store without a timer per key. Emits one row per input event
+    * carrying the post-event totals (Update mode). Within a micro-batch
+    * events are folded in event-time order; cross-batch order is arrival
+    * order (same contract as [[cappedSessions]]).
+    *
+    * Scale shape: state is O(distinct users) x O(1) each, keyed shuffle
+    * only on user_id, and the streaming runtime requires the RocksDB
+    * state store provider — which is what a 100 TB keyspace wants anyway
+    * (state spills to disk instead of executor heap).
+    */
+  def runningTotals(events: org.apache.spark.sql.Dataset[
+        graft.sources.Typed.Event],
+      ttl: Option[java.time.Duration] = None,
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[RunningOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+
+    class Proc extends StatefulProcessor[Long,
+        graft.sources.Typed.Event, RunningOut] {
+      @transient private var acc: ValueState[RunningAcc] = _
+      override def init(outputMode: OM, timeMode: TimeMode): Unit =
+        acc = getHandle.getValueState[RunningAcc]("acc",
+          implicitly[Encoder[RunningAcc]], ttlConf)
+      override def handleInputRows(user: Long,
+          rows: Iterator[graft.sources.Typed.Event],
+          timers: TimerValues): Iterator[RunningOut] = {
+        var a = if (acc.exists()) acc.get() else RunningAcc(0L, 0.0)
+        val out = rows.toSeq.sortBy(_.ts.getTime).map { e =>
+          a = RunningAcc(a.n + 1, a.sum + e.value)
+          RunningOut(user, e.ts, a.n, a.sum)
+        }
+        acc.update(a)
+        out.iterator
+      }
+    }
+
+    val wm =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    wm.groupByKey(_.user_id)
+      .transformWithState(new Proc, TimeMode.None(), OM.Update())
+  }
+
   /** Stateless per-event scoring: broadcast-join a fitted index map
     * (the StringIndexer-transform shape, E2) onto the stream — the
     * streaming-safe form of `pipelineModel.transform(streamDf)`. */

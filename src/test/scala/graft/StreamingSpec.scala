@@ -274,6 +274,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(m.length == 2) // one metrics row per micro-batch
   }
 
+  test("runningTotals (transformWithState) accumulates across micro-batches") {
+    import spark.implicits._
+    import graft.sources.Typed.Event
+    def ev(id: Long, min: Int, uid: Long, v: Double) =
+      Event(id, ts(min), uid, "click", v, "{}")
+    // the transformWithState operator requires the RocksDB state store
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event](spark)
+      val plan = EventStreams.runningTotals(stream.toDS())
+      val name = s"sink_${System.nanoTime()}"
+      val q = plan.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // batch 1: user 1 twice (out of order in the batch), user 2 once
+        stream.addData(Seq(ev(2, 5, 1, 2.0), ev(1, 0, 1, 1.0),
+          ev(3, 1, 2, 5.0)))
+        q.processAllAvailable()
+        // batch 2: state must carry — user 1's third event continues at n=3
+        stream.addData(Seq(ev(4, 9, 1, 4.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("running_n"),
+          r.getAs[Double]("running_sum"))).toSet
+      // in-batch fold is event-time ordered: (1.0 then +2.0), cross-batch +4.0
+      assert(got == Set((1L, 1L, 1.0), (1L, 2L, 3.0), (2L, 1L, 5.0),
+        (1L, 3L, 7.0)))
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("per-event scoring applies a fitted indexer map to the stream") {
     import spark.implicits._
     val fitDf = Seq("click", "click", "view").toDF("event_type")
