@@ -93,11 +93,16 @@ object CorpusOps {
     // land exactly on a x.xxxx5 half-boundary where engines round apart.
     Entry("t_boilerplate",
       (s, dir) => {
+        // shuffle 8-byte shingle hashes, not ~20-char strings: the df
+        // count and the join key only need shingle IDENTITY, and a
+        // 64-bit collision among ~10^5..10^9 distinct shingles is
+        // vanishingly rare (and would fail the hash oracle loudly)
         val shingles = Dedup.shingleSets(
-          t(s, dir, "documents"), "text", "doc_id", "source", 3)
-        val dfreq = shingles.groupBy("tok")
+            t(s, dir, "documents"), "text", "doc_id", "source", 3)
+          .select(col("doc_id"), xxhash64(col("tok")).as("k"))
+        val dfreq = shingles.groupBy("k")
           .agg(count(lit(1)).as("df"))
-        shingles.join(dfreq, "tok")
+        shingles.join(dfreq, "k")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_boiler"))
