@@ -56,8 +56,11 @@ object GdTrainer {
     * path has no hash in the plan at all). */
   private def keepMask(rk: Column, epoch: Int, u: Int, p: Double): Column =
     if (p <= 0.0) lit(1.0)
+    // round, not truncate: 1000 * 0.3 is 299.999... in binary floating
+    // point, and a truncated threshold would drop at 299/1000 while
+    // rescaling by exactly 1/(1-0.3) — a systematic activation bias
     else when(pmod(xxhash64(rk, lit(epoch), lit(u)), lit(1000L)) >=
-      lit((1000 * p).toInt), lit(1.0)).otherwise(lit(0.0))
+      lit(math.round(1000 * p).toInt), lit(1.0)).otherwise(lit(0.0))
 
   /** One full-batch pass at `w`: mean cross-entropy loss and mean
     * gradients, with epoch-`epoch` dropout masks applied. One Spark job.
@@ -133,6 +136,10 @@ object GdTrainer {
       (0 until h).map(u => avg(col(s"dz1_$u")).as(s"gb1_$u")) :+
       avg(col("loss")).as("mloss")
     val row = s5.agg(aggs.head, aggs.tail: _*).head()
+    // avg() over zero rows is null, and getAs[Double] would silently
+    // unbox it to 0.0 — fake zero gradients instead of an error
+    require(row.getAs[Any]("mloss") != null,
+      "GdTrainer.gradients: empty training input")
     def g(n: String) = row.getAs[Double](n)
     MlpGrads(
       Seq.tabulate(h, d)((u, i) => g(s"gw1_${u}_$i")),

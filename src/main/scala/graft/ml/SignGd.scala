@@ -50,6 +50,9 @@ object SignGd {
         .reduce(_ + _) - y
       val sums = feats.map(x => sum(resid * x)) :+ sum(resid * resid)
       val row = df.agg(sums.head, sums.tail: _*).head()
+      // sum() over zero rows is null — fail loudly, not with an opaque
+      // NPE from getLong
+      require(!row.isNullAt(0), "SignGd.fit: empty training input")
       val g = (0 until feats.length).map(row.getLong)
       val sse = row.getLong(feats.length)
       w = w.zip(g).map { case (wj, gj) => wj - eta * java.lang.Long.signum(gj) }

@@ -97,9 +97,13 @@ object CorpusOps {
         // count and the join key only need shingle IDENTITY, and a
         // 64-bit collision among ~10^5..10^9 distinct shingles is
         // vanishingly rare (and would fail the hash oracle loudly)
+        // persist: the frame feeds both the df count and the join probe,
+        // and without it the scan+shingle+explode lineage runs twice
+        // (released by the runner's clearCache, the Q36 pattern)
         val shingles = Dedup.shingleSets(
             t(s, dir, "documents"), "text", "doc_id", "source", 3)
           .select(col("doc_id"), xxhash64(col("tok")).as("k"))
+          .persist()
         val dfreq = shingles.groupBy("k")
           .agg(count(lit(1)).as("df"))
         shingles.join(dfreq, "k")
@@ -139,6 +143,11 @@ object CorpusOps {
     // O(domains), never shuffles the corpus twice).
     Entry("x7_mixture",
       (s, dir) => {
+        // docs is scanned twice (stats pass, then selection pass) and
+        // the split() recomputes — deliberately NOT persisted: caching a
+        // corpus-sized frame to save a narrow codegen'd map is a loss at
+        // the 100 TB target (a real pipeline would materialize tk as a
+        // column once upstream)
         val tk = size(split(col("text"), " ")).cast("long")
         val docs = t(s, dir, "documents").select(
           col("source"), col("text"), tk.as("tk"))

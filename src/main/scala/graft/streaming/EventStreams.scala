@@ -179,7 +179,10 @@ object EventStreams {
     * `transformWithState` arbitrary-state API (the successor to
     * `flatMapGroupsWithState`): typed `ValueState` per key, optional
     * processing-time TTL so an abandoned user's accumulator ages out of
-    * the store without a timer per key. Emits one row per input event
+    * the store without a timer per key (state TTL requires the
+    * processing-time mode, so the query runs in
+    * `TimeMode.ProcessingTime()` exactly when a TTL is set — Spark
+    * rejects a TTL under `TimeMode.None`). Emits one row per input event
     * carrying the post-event totals (Update mode). Within a micro-batch
     * events are folded in event-time order; cross-batch order is arrival
     * order (same contract as [[cappedSessions]]).
@@ -222,8 +225,10 @@ object EventStreams {
     val wm =
       if (events.isStreaming) events.withWatermark("ts", watermark)
       else events
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     wm.groupByKey(_.user_id)
-      .transformWithState(new Proc, TimeMode.None(), OM.Update())
+      .transformWithState(new Proc, timeMode, OM.Update())
   }
 
   /** Stateless per-event scoring: broadcast-join a fitted index map

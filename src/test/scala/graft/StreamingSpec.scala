@@ -305,6 +305,34 @@ class StreamingSpec extends AnyFunSuite {
       // in-batch fold is event-time ordered: (1.0 then +2.0), cross-batch +4.0
       assert(got == Set((1L, 1L, 1.0), (1L, 2L, 3.0), (2L, 1L, 5.0),
         (1L, 3L, 7.0)))
+
+      // TTL path: a ttl switches the query to processing-time mode
+      // (Spark rejects TTL under TimeMode.None). Timer batches keep a
+      // processing-time-mode query perpetually "busy", so neither
+      // processAllAvailable nor Trigger.AvailableNow ever settles —
+      // poll the sink with a deadline instead; the properties under
+      // test are "starts without the TTL/time-mode rejection" and
+      // "folds state correctly".
+      val tstream = MemoryStream[Event](spark)
+      tstream.addData(Seq(ev(5, 0, 9, 2.5), ev(6, 1, 9, 2.5)))
+      val tplan = EventStreams.runningTotals(tstream.toDS(),
+        ttl = Some(java.time.Duration.ofHours(1)))
+      val tname = s"sink_${System.nanoTime()}"
+      val tq = tplan.writeStream.format("memory").queryName(tname)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (spark.table(tname).count() < 2 &&
+            System.nanoTime() < deadline) {
+          tq.exception.foreach(throw _) // surface a failed start loudly
+          Thread.sleep(200L)
+        }
+      } finally tq.stop()
+      val tGot = spark.table(tname).collect()
+        .map(r => (r.getAs[Long]("running_n"), r.getAs[Double]("running_sum")))
+        .toSet
+      // TTL an hour out: both events fold into live state
+      assert(tGot == Set((1L, 2.5), (2L, 5.0)))
     } finally prev match {
       case Some(p) => spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", p)
