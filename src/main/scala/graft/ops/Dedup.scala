@@ -285,8 +285,9 @@ object Dedup {
     * Output: (doc, root) for every doc that ends up re-rooted.
     */
   def resolveClusters(assign: DataFrame): DataFrame = {
-    var m = assign.select(col("d2").as("doc"), col("d1").as("root"))
+    var cached = assign.select(col("d2").as("doc"), col("d1").as("root"))
       .persist()
+    var m = cached
     var changed = true
     while (changed) {
       val r = m.select(col("doc").as("r_doc"), col("root").as("r_root"))
@@ -296,12 +297,14 @@ object Dedup {
           (coalesce(col("r_root"), col("root")) =!= col("root"))
             .as("moved"))
         .persist()
-      changed = next.filter(col("moved")).limit(1).count() > 0
-      val prev = m
-      m = next.select("doc", "root").persist()
-      m.count() // materialize before releasing parents
-      prev.unpersist()
-      next.unpersist()
+      // ONE action per iteration: the count(when) both materializes the
+      // persisted frame (so the parent can be released) and answers the
+      // convergence probe — count never returns null on empty input
+      changed = next.agg(count(when(col("moved"), lit(1))))
+        .head().getLong(0) > 0
+      cached.unpersist()
+      cached = next
+      m = next.select("doc", "root")
     }
     m
   }
