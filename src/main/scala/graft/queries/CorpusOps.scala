@@ -187,6 +187,38 @@ object CorpusOps {
               FROM documents d JOIN r ON d.source = r.source
               GROUP BY 1, 2, 3, 4 ORDER BY d.source""")),
 
+    // X8 — deterministic k-fold assignment (k=5): fold(doc) = first two
+    // md5 hex digits as an integer, mod k — the cross-validation /
+    // train-val-test split primitive. Like x6/x6b the decision is a pure
+    // content hash: engine-portable (the identical fold lands on any
+    // engine), rerun-stable, and append-stable (new docs never move old
+    // ones between folds — the property a random split loses). The
+    // hex->int bridge is strpos over the hex alphabet, identical in both
+    // engines. ops.DataSplit holds the xxhash64 engine-side variant;
+    // this is its oracle-checkable form. One shuffle (the fold/lang agg).
+    Entry("x8_fold_split",
+      (s, dir) => {
+        val hexAlphabet = "0123456789abcdef"
+        def hexAt(i: Int) =
+          expr(s"locate(substring(md5(text), $i, 1), '$hexAlphabet') - 1")
+        val fold = ((hexAt(1) * 16 + hexAt(2)) % 5).cast("long")
+        t(s, dir, "documents")
+          .select(fold.as("fold"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("tk"))
+          .groupBy("fold", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("tk").as("tokens"))
+          .orderBy("fold", "lang")
+      },
+      Some("""SELECT ((strpos('0123456789abcdef',
+                       substring(md5(text), 1, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef',
+                       substring(md5(text), 2, 1)) - 1)) % 5 AS fold,
+                     lang, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS tokens
+              FROM documents
+              GROUP BY 1, 2 ORDER BY fold, lang""")),
+
     // T11 — hash-trick linear quality scorer: score(doc) = bias +
     // sum_t w[bucket(t)] over tokens WITH repetition — the fasttext-style
     // linear-over-hashed-features classifier a quality-filtering pass

@@ -265,6 +265,36 @@ object NeuralOps {
       },
       Some(signGdOracle)),
 
+    // Q41 — LSTM forward scoring (M4): the reference's
+    // `models/lstm_model.py:19-26` recurrence at fixed weights over the
+    // 8-timestep lineitem feature sequence, as a single `aggregate` fold
+    // carrying struct(h, c). Unlike q37/q38 the gates are
+    // sigmoid/tanh — transcendental, so no exact-integer hash oracle
+    // exists (sub-ulp libm differences); rows-only here, with
+    // NeuralForwardSpec asserting equality to a plain-Scala reference
+    // LSTM. Same scale shape as the other forward passes: weights are
+    // plan literals, one narrow projection per row, zero shuffles.
+    Entry("q41_lstm_forward",
+      (s, dir) => {
+        def gate(k: Int) = NeuralForward.Gate(
+          Seq.tabulate(2, 1)((u, _) => 0.1 * (((k * 3 + u * 5 + 1) % 7) - 3)),
+          Seq.tabulate(2, 2)((u, v) => 0.05 * (((k * 5 + u * 2 + v * 3 + 2) % 7) - 3)),
+          Seq.tabulate(2)(u => 0.1 * ((k + u) % 3 - 1)))
+        val w = NeuralForward.LstmWeights(gate(0), gate(1), gate(2), gate(3))
+        // squash magnitudes so gate pre-activations stay in sigmoid's
+        // responsive range: x / 32 over the same 8 integer features
+        val seq8 = NeuralForward.singleChannel(
+          array(featCols.map(_ / lit(32.0)): _*))
+        val h = NeuralForward.lstm(seq8, w)
+        t(s, dir, "lineitem")
+          .select(keyCols :+ h.as("h"): _*)
+          .select(keyCols ++ Seq(
+            round(element_at(col("h"), 1), 4).as("h0"),
+            round(element_at(col("h"), 2), 4).as("h1")): _*)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      None),
+
     // Q40 — MLP training WITH DROPOUT (GdTrainer): 8 full-batch epochs
     // of a 6->6->2 softmax MLP over the embeddings table, deterministic
     // hash-based dropout 0.3 — the reference's Dropout regularizer

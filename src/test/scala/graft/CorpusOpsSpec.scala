@@ -78,6 +78,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again("s_big") == bigRow.getAs[Long]("n_sampled"))
   }
 
+  test("x8_fold_split: folds are exhaustive, in range, and layout-stable") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"doc number $i with tokens", if (i % 3 == 0) "a" else "b"))
+    val dir = docsView(docs)
+    val out = entry("x8_fold_split").run(spark, dir).collect()
+    val folds = out.map(_.getLong(0)).toSet
+    assert(folds.subsetOf((0L to 4L).toSet))
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 40L)
+    // determinism: an 11-partition layout lands on identical aggregates
+    val again = entry("x8_fold_split").run(spark, dir).repartition(11)
+      .collect().sortBy(r => (r.getLong(0), r.getString(1)))
+    assert(again.map(r => (r.getLong(0), r.getString(1),
+      r.getAs[Long]("n_docs"))).toSeq ==
+      out.sortBy(r => (r.getLong(0), r.getString(1)))
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getAs[Long]("n_docs"))).toSeq)
+  }
+
   test("t_qscore_linear: score is bias + sum of bucket weights") {
     // bucket("aa") = (97*31 + 2) % 64 = 3009 % 64 = 1; QW(1) = ((7+3)%11)-5 = 5
     // bucket("b")  = (98*31 + 1) % 64 = 3039 % 64 = 31; QW(31) = ((220)%11)-5 = -5
