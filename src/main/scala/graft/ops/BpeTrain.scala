@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Distributed BPE (byte-pair-encoding) tokenizer TRAINING — the "learn
+  * a vocabulary from the corpus" step of an LLM data pipeline (the
+  * counting/token side of which t_vocab/t_token_count already cover).
+  *
+  * Algorithm (Sennrich et al. 2016, word-frequency formulation): corpus
+  * -> (word, freq) table once; then per merge step, count adjacent
+  * symbol pairs weighted by word freq, take the most frequent pair
+  * (deterministic tie-break: count desc, pair asc), and fuse that pair
+  * inside every word's symbol array, greedy left-to-right — Keras/HF
+  * tokenizer-trainer parity at the semantic level.
+  *
+  * Distribution shape: ONE corpus-wide shuffle total (the initial word
+  * count). Every merge iteration then runs on the vocabulary-sized
+  * frame — pair explode + hash agg + top-1 (TakeOrderedAndProject), one
+  * action per step, previous iteration's cache released after the next
+  * is materialized (the resolveClusters discipline). At 100 TB the
+  * vocab frame is millions of rows, not the corpus: iterating there is
+  * what makes distributed BPE feasible. The merge itself is a pure
+  * `aggregate` fold per word — no UDFs anywhere.
+  */
+object BpeTrain {
+
+  /** One learned merge: `left`+`right` fused at `step` with corpus
+    * weight `n` (sum of word freqs x in-word occurrences). */
+  final case class Merge(step: Long, left: String, right: String, n: Long)
+
+  /** End-of-word marker (classic BPE): keeps "low" + "er" distinct from
+    * "lower"'s interior and makes learned tokens word-boundary-aware. */
+  val EndOfWord = "</w>"
+
+  private def pairsOf(symbols: Column): Column =
+    // guard fully-fused single-symbol words: sequence(1, 0) DESCENDS
+    // ([1,0]) and would feed element_at an out-of-range index
+    when(size(symbols) >= 2,
+      transform(sequence(lit(1), size(symbols) - 1),
+        i => struct(element_at(symbols, i).as("l"),
+          element_at(symbols, i + 1).as("r"))))
+      .otherwise(typedLit(Seq.empty[(String, String)])
+        .cast("array<struct<l:string,r:string>>"))
+
+  /** Greedy left-to-right fuse of (a, b) inside a symbol array — the
+    * fold the probe semantics demand: [a,b,a,b,c] -> [ab,ab,c] and
+    * [a,a,a] -> [aa,a] for the (a,a) merge (no overlap reuse). */
+  def fuse(symbols: Column, a: String, b: String): Column =
+    aggregate(symbols, typedLit(Seq.empty[String]),
+      (acc, s) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** The (word, freq, symbols) table BPE iterates on: one corpus-wide
+    * aggregation, symbols = characters + [[EndOfWord]]. */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("symbols",
+        concat(split(col("word"), ""), array(lit(EndOfWord))))
+
+  /** Learn `steps` merges from the corpus. Stops early if no adjacent
+    * pair occurs at least `minCount` times. */
+  def fit(df: DataFrame, textCol: String, steps: Int,
+      minCount: Long = 2L): Seq[Merge] = {
+    var cached = wordTable(df, textCol).persist()
+    // the step-i top-pair action is also what materializes step i's
+    // fused table, so the step-(i-1) cache is only released AFTER that
+    // action — one job per merge step, never a separate count()
+    var parent: Option[DataFrame] = None
+    var out = List.empty[Merge]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      // weight each in-word pair occurrence by the word's corpus freq
+      val top = cached
+        .select(col("freq"), explode(pairsOf(col("symbols"))).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      parent.foreach(_.unpersist())
+      parent = Some(cached)
+      top.headOption.filter(_.getAs[Long]("n") >= minCount) match {
+        case None => done = true
+        case Some(row) =>
+          val (a, b, n) = (row.getAs[String]("l"), row.getAs[String]("r"),
+            row.getAs[Long]("n"))
+          out ::= Merge(step.toLong, a, b, n)
+          cached = cached.withColumn("symbols",
+            fuse(col("symbols"), a, b)).persist()
+          step += 1
+      }
+    }
+    cached.unpersist()
+    parent.foreach(_.unpersist())
+    out.reverse
+  }
+
+  /** Tokenize a text column with a learned merge list: char-split every
+    * word, then replay the merges in learned order (merge order is the
+    * BPE contract — later merges build on earlier fusions). Output:
+    * array of token arrays, one per word. */
+  def applyMerges(textCol: Column, merges: Seq[Merge]): Column =
+    transform(split(textCol, " "), w => {
+      val init = concat(split(w, ""), array(lit(EndOfWord)))
+      merges.foldLeft(init)((symsCol, m) => fuse(symsCol, m.left, m.right))
+    })
+}

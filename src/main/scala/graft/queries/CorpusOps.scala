@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, SparkSession}
 import graft.sources.Tables
-import graft.ops.Dedup
+import graft.ops.{BpeTrain, Dedup}
 
 /** Round-4 LLM-pipeline corpus operators: chunking, boilerplate
   * detection, domain-mixture budget sampling, and hash-trick linear
@@ -186,6 +186,25 @@ object CorpusOps {
                        AS BIGINT) AS toks_sampled
               FROM documents d JOIN r ON d.source = r.source
               GROUP BY 1, 2, 3, 4 ORDER BY d.source""")),
+
+    // T12 — BPE tokenizer TRAINING (ops.BpeTrain): learn 12 merges from
+    // the corpus, Sennrich-style — one corpus-wide shuffle (the word
+    // count), then every iteration runs on the vocabulary-sized frame
+    // (pair explode + agg + top-1), which is what makes distributed BPE
+    // feasible at 100 TB. Deterministic tie-break -> a reproducible
+    // merge table; rows-only (iterative argmax+fusion has no tractable
+    // ANSI replay), semantics pinned by BpeTrainSpec's exact step-for-
+    // step equality with an in-memory reference implementation.
+    Entry("t_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        BpeTrain.fit(t(s, dir, "documents"), "text", steps = 12,
+            minCount = 2L)
+          .map(m => (m.step, m.left, m.right, m.n))
+          .toDF("step", "left", "right", "n")
+          .orderBy("step")
+      },
+      None),
 
     // X8 — deterministic k-fold assignment (k=5): fold(doc) = first two
     // md5 hex digits as an integer, mod k — the cross-validation /
