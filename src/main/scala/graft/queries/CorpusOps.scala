@@ -206,6 +206,52 @@ object CorpusOps {
       },
       None),
 
+    // T13 — bigram language-model scoring: train corpus bigram counts,
+    // score each doc by the sum of scaled conditional probabilities
+    // floor(1e6 * c(w1,w2) / c(w1·)) over its bigrams — the "does this
+    // read like the corpus" LM-quality filter, kept in exact integers
+    // (floor of an exact-integer-ratio double is identical on any IEEE
+    // engine, unlike summed ln() probabilities which drift sub-ulp per
+    // libm). Three shuffles, all keyed on words/bigrams — linear in
+    // tokens, the same family as TF-IDF.
+    Entry("t_bigram_lm",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val pairs = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("l"),
+              element_at(toks, i + 1).as("r"))))
+          .otherwise(typedLit(Seq.empty[(String, String)])
+            .cast("array<struct<l:string,r:string>>"))
+        val bg = t(s, dir, "documents")
+          .select(col("doc_id"), explode(pairs).as("p"))
+          .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+        val c12 = bg.groupBy("l", "r").agg(count(lit(1)).as("n12"))
+        val c1 = bg.groupBy("l").agg(count(lit(1)).as("n1"))
+        bg.join(c12, Seq("l", "r")).join(c1, Seq("l"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(floor(lit(1000000.0) * col("n12") / col("n1"))
+              .cast("long")).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+              ix AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM t),
+              bg AS (
+                SELECT doc_id, toks[i] AS l, toks[i + 1] AS r FROM ix),
+              c12 AS (SELECT l, r, count(*) AS n12 FROM bg GROUP BY 1, 2),
+              c1 AS (SELECT l, count(*) AS n1 FROM bg GROUP BY 1)
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(CAST(floor(1000000.0 * n12 / n1) AS BIGINT))
+                       AS BIGINT) AS lm_score
+              FROM bg JOIN c12 USING (l, r) JOIN c1 USING (l)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // X8 — deterministic k-fold assignment (k=5): fold(doc) = first two
     // md5 hex digits as an integer, mod k — the cross-validation /
     // train-val-test split primitive. Like x6/x6b the decision is a pure

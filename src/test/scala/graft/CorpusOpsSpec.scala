@@ -96,6 +96,20 @@ class CorpusOpsSpec extends AnyFunSuite {
           r.getAs[Long]("n_docs"))).toSeq)
   }
 
+  test("t_bigram_lm: scaled conditional-probability sums by hand") {
+    // corpus bigrams: doc1 "a b a b" -> (a,b) x2, (b,a) x1
+    //                 doc2 "a b c"   -> (a,b), (b,c)
+    // c12: (a,b)=3 (b,a)=1 (b,c)=1 ; c1: a=3, b=2
+    // p-scaled: (a,b)=floor(1e6*3/3)=1000000, (b,a)=floor(1e6*1/2)=500000,
+    //           (b,c)=500000
+    val dir = docsView(Seq((1L, "a b a b", "s"), (2L, "a b c", "s")))
+    val out = entry("t_bigram_lm").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("lm_score"))).toMap
+    assert(out(1L) == (3L, 2500000L)) // 1e6 + 5e5 + 1e6
+    assert(out(2L) == (2L, 1500000L)) // 1e6 + 5e5
+  }
+
   test("t_qscore_linear: score is bias + sum of bucket weights") {
     // bucket("aa") = (97*31 + 2) % 64 = 3009 % 64 = 1; QW(1) = ((7+3)%11)-5 = 5
     // bucket("b")  = (98*31 + 1) % 64 = 3039 % 64 = 31; QW(31) = ((220)%11)-5 = -5
