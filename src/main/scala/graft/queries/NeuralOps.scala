@@ -121,6 +121,17 @@ object NeuralOps {
 
   private val keyCols = Seq(col("l_orderkey"), col("l_linenumber"))
 
+  // ---- q41 LSTM weights: 2 units, 1 channel, entries in [-0.3, 0.3];
+  // inputs are scaled by 1/32 so gate pre-activations stay in sigmoid's
+  // responsive range ----
+  private[queries] def lstmW: NeuralForward.LstmWeights = {
+    def gate(k: Int) = NeuralForward.Gate(
+      Seq.tabulate(2, 1)((u, _) => 0.1 * (((k * 3 + u * 5 + 1) % 7) - 3)),
+      Seq.tabulate(2, 2)((u, v) => 0.05 * (((k * 5 + u * 2 + v * 3 + 2) % 7) - 3)),
+      Seq.tabulate(2)(u => 0.1 * ((k + u) % 3 - 1)))
+    NeuralForward.LstmWeights(gate(0), gate(1), gate(2), gate(3))
+  }
+
   // ---- q39 sign-SGD: integer features/target over lineitem; the SQL
   // strings and the Column expressions are kept side by side so the
   // oracle replays exactly what the engine trains on ----
@@ -267,31 +278,36 @@ object NeuralOps {
 
     // Q41 — LSTM forward scoring (M4): the reference's
     // `models/lstm_model.py:19-26` recurrence at fixed weights over the
-    // 8-timestep lineitem feature sequence, as a single `aggregate` fold
-    // carrying struct(h, c). Unlike q37/q38 the gates are
-    // sigmoid/tanh — transcendental, so no exact-integer hash oracle
-    // exists (sub-ulp libm differences); rows-only here, with
-    // NeuralForwardSpec asserting equality to a plain-Scala reference
-    // LSTM. Same scale shape as the other forward passes: weights are
-    // plan literals, one narrow projection per row, zero shuffles.
+    // 8-timestep lineitem feature sequence. Static-unrolled via
+    // NeuralForward.lstmStaged (two staged selects per timestep, plain
+    // codegen'd arithmetic) — the HOF `lstm` fold is the right tool for
+    // variable-length sequences but benched ~45x slower here (70s vs
+    // 1.5s at sf0.1, interpreted lambdas). Gates are sigmoid/tanh —
+    // transcendental, so no exact-integer hash oracle exists (sub-ulp
+    // libm differences); rows-only, with NeuralForwardSpec asserting the
+    // staged form ≡ the HOF form ≡ a plain-Scala reference LSTM.
     Entry("q41_lstm_forward",
       (s, dir) => {
-        def gate(k: Int) = NeuralForward.Gate(
-          Seq.tabulate(2, 1)((u, _) => 0.1 * (((k * 3 + u * 5 + 1) % 7) - 3)),
-          Seq.tabulate(2, 2)((u, v) => 0.05 * (((k * 5 + u * 2 + v * 3 + 2) % 7) - 3)),
-          Seq.tabulate(2)(u => 0.1 * ((k + u) % 3 - 1)))
-        val w = NeuralForward.LstmWeights(gate(0), gate(1), gate(2), gate(3))
-        // squash magnitudes so gate pre-activations stay in sigmoid's
-        // responsive range: x / 32 over the same 8 integer features
-        val seq8 = NeuralForward.singleChannel(
-          array(featCols.map(_ / lit(32.0)): _*))
-        val h = NeuralForward.lstm(seq8, w)
-        t(s, dir, "lineitem")
-          .select(keyCols :+ h.as("h"): _*)
-          .select(keyCols ++ Seq(
-            round(element_at(col("h"), 1), 4).as("h0"),
-            round(element_at(col("h"), 2), 4).as("h1")): _*)
-          .orderBy("l_orderkey", "l_linenumber")
+        val w = lstmW
+        // ~80 exp/tanh per row makes this COMPUTE-bound, unlike the
+        // integer q37/q38 maps: an 11 MB fixture parquet is a single
+        // split, which would serialize 48M transcendentals onto one
+        // core. Repartition to the session's parallelism first — at
+        // 100 TB the scan has plenty of splits and this is a no-op
+        // cost-wise, on the fixture it is the difference between 1-way
+        // and 32-way compute (measured 31s -> ~2s at sf0.1).
+        val facts = t(s, dir, "lineitem")
+          .repartition(s.sparkContext.defaultParallelism)
+        val (d0, x) = stageGrid(facts, keyCols, "x",
+          featCols.map(f => Seq(f / lit(32.0))))
+        val (dT, h) = NeuralForward.lstmStaged(d0,
+          keyCols ++ (0 until 8).map(p => col(s"x_${p}_0")), x, w)
+        // no ORDER BY: rows-only entries need no total order (the
+        // x4_simhash precedent), and a range sort would evaluate the
+        // transcendental projection twice (sampling pass + sort pass)
+        dT.select(keyCols ++ Seq(
+          round(h(0), 4).as("h0"),
+          round(h(1), 4).as("h1")): _*)
       },
       None),
 

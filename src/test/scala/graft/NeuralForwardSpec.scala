@@ -187,6 +187,29 @@ class NeuralForwardSpec extends AnyFunSuite {
     assert(want.exists(v => math.abs(v) > 1e-3), "degenerate LSTM fixture")
   }
 
+  test("lstmStaged equals the HOF lstm and the plain-Scala reference") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val in = Seq(Seq(0.8), Seq(-0.4), Seq(1.2), Seq(0.1))
+    def g(seedW: Double, seedU: Double, seedB: Double) = Gate(
+      Seq(Seq(seedW), Seq(-seedW)),
+      Seq(Seq(seedU, -0.1), Seq(0.2, seedU)),
+      Seq(seedB, -seedB))
+    val w = LstmWeights(g(0.5, 0.1, 0.05), g(-0.25, 0.2, 0.1),
+      g(1.0, -0.3, 0.0), g(0.75, 0.15, -0.05))
+    val df = Seq((in(0).head, in(1).head, in(2).head, in(3).head))
+      .toDF("x0", "x1", "x2", "x3")
+    val xs = (0 until 4).map(t => Seq(col(s"x$t")))
+    val (staged, h) = NeuralForward.lstmStaged(df,
+      (0 until 4).map(t => col(s"x$t")), xs, w)
+    val got = staged.select(h(0).as("h0"), h(1).as("h1")).head()
+    val viaHof = seqDouble(run1(NeuralForward.lstm(arr2(in: _*), w)))
+    val want = refLstm(in, w)
+    assertClose(Seq(got.getDouble(0), got.getDouble(1)), viaHof)
+    assertClose(Seq(got.getDouble(0), got.getDouble(1)), want)
+  }
+
   test("static-unrolled layers are value-equal to the HOF forms") {
     // the registry entries use the static (whole-stage-codegen) forms;
     // this pins them to the HOF forms the earlier tests validated
