@@ -223,12 +223,20 @@ object CorpusOps {
               element_at(toks, i + 1).as("r"))))
           .otherwise(typedLit(Seq.empty[(String, String)])
             .cast("array<struct<l:string,r:string>>"))
+        // persist: the bigram frame feeds three consumers (c12, c1, and
+        // the probe side) — without it the explode lineage runs thrice.
+        // Shuffle keys are xxhash64 of the words, not the strings (the
+        // t_boilerplate rationale: identity is all the join needs, and
+        // the oracle would catch a collision loudly).
         val bg = t(s, dir, "documents")
           .select(col("doc_id"), explode(pairs).as("p"))
-          .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
-        val c12 = bg.groupBy("l", "r").agg(count(lit(1)).as("n12"))
-        val c1 = bg.groupBy("l").agg(count(lit(1)).as("n1"))
-        bg.join(c12, Seq("l", "r")).join(c1, Seq("l"))
+          .select(col("doc_id"),
+            xxhash64(col("p.l"), col("p.r")).as("k12"),
+            xxhash64(col("p.l")).as("k1"))
+          .persist()
+        val c12 = bg.groupBy("k12").agg(count(lit(1)).as("n12"))
+        val c1 = bg.groupBy("k1").agg(count(lit(1)).as("n1"))
+        bg.join(c12, Seq("k12")).join(c1, Seq("k1"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
             sum(floor(lit(1000000.0) * col("n12") / col("n1"))
