@@ -219,47 +219,6 @@ object NeuralForward {
     *   c_t = f * c_{t-1} + i * g ; h_t = o * tanh(c_t)
     * Single `aggregate` fold carrying struct(h, c); returns h_T.
     */
-  /** Static-unrolled LSTM over per-timestep scalar columns — the
-    * codegen'd form of [[lstm]] (HOF lambdas are interpreted per
-    * element; the q41 stack measured ~45x slower un-unrolled). Each
-    * timestep stages two selects: (c_t, o-gate pre-activations) first,
-    * then h_t = sigmoid(o)*tanh(c) — the staging bounds expression-tree
-    * growth exactly as the object note prescribes (an inlined gated
-    * recurrence is exponential in T). `xs`: one Seq of channel columns
-    * per timestep; returns the staged frame + final-h attribute refs.
-    */
-  def lstmStaged(df0: DataFrame, carry: Seq[Column], xs: Seq[Seq[Column]],
-      wts: LstmWeights, prefix: String = "lstm"): (DataFrame, Seq[Column]) = {
-    val units = wts.i.b.length
-    def sig(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
-    def pre(g: Gate, x: Seq[Column], h: Seq[Column], u: Int): Column = {
-      val xsum = g.w(u).indices.map(i => x(i) * lit(g.w(u)(i)))
-      val hsum = g.u(u).indices.map(v => h(v) * lit(g.u(u)(v)))
-      (xsum ++ hsum).reduce(_ + _) + lit(g.b(u))
-    }
-    val zeros = Seq.fill(units)(lit(0.0): Column)
-    val init = (df0, zeros, zeros)
-    val (dfT, hT, _) = xs.zipWithIndex.foldLeft(init) {
-      case ((df, h, c), (x, t0)) =>
-        val t = t0 + 1
-        val cNew = (0 until units).map(u =>
-          (sig(pre(wts.f, x, h, u)) * c(u) +
-            sig(pre(wts.i, x, h, u)) * tanh(pre(wts.c, x, h, u)))
-            .as(s"${prefix}_c${t}_$u"))
-        val oPre = (0 until units).map(u =>
-          pre(wts.o, x, h, u).as(s"${prefix}_o${t}_$u"))
-        val staged = df.select(carry ++ cNew ++ oPre: _*)
-        val cRefs = (0 until units).map(u => col(s"${prefix}_c${t}_$u"))
-        val hNew = (0 until units).map(u =>
-          (sig(col(s"${prefix}_o${t}_$u")) * tanh(cRefs(u)))
-            .as(s"${prefix}_h${t}_$u"))
-        val staged2 = staged.select(carry ++ cRefs.map(cc => cc) ++ hNew: _*)
-        val hRefs = (0 until units).map(u => col(s"${prefix}_h${t}_$u"))
-        (staged2, hRefs, cRefs)
-    }
-    (dfT, hT)
-  }
-
   def lstm(in: Column, wts: LstmWeights): Column = {
     val units = wts.i.b.length
     def zeros = array(Seq.fill(units)(lit(0.0)): _*)
@@ -284,5 +243,51 @@ object NeuralForward {
         struct(hNew.as("h"), cNew.as("c"))
       },
       s => s.getField("h"))
+  }
+
+  /** Static-unrolled LSTM over per-timestep scalar columns — the
+    * codegen'd form of [[lstm]] (HOF lambdas are interpreted per
+    * element; the q41 stack measured ~45x slower un-unrolled). Each
+    * timestep stages two selects: (c_t, o-gate pre-activations) first,
+    * then h_t = sigmoid(o)*tanh(c) — the staging bounds expression-tree
+    * growth exactly as the object note prescribes (an inlined gated
+    * recurrence is exponential in T). `xs`: one Seq of channel columns
+    * per timestep; not-yet-consumed timesteps' columns are carried
+    * through each staged select automatically, so `carry` only needs
+    * whatever the CALLER wants to keep (keys etc.). Returns the staged
+    * frame + final-h attribute refs.
+    */
+  def lstmStaged(df0: DataFrame, carry: Seq[Column], xs: Seq[Seq[Column]],
+      wts: LstmWeights, prefix: String = "lstm"): (DataFrame, Seq[Column]) = {
+    val units = wts.i.b.length
+    def sig(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+    def pre(g: Gate, x: Seq[Column], h: Seq[Column], u: Int): Column = {
+      val xsum = g.w(u).indices.map(i => x(i) * lit(g.w(u)(i)))
+      val hsum = g.u(u).indices.map(v => h(v) * lit(g.u(u)(v)))
+      (xsum ++ hsum).reduce(_ + _) + lit(g.b(u))
+    }
+    val zeros = Seq.fill(units)(lit(0.0): Column)
+    val init = (df0, zeros, zeros)
+    val (dfT, hT, _) = xs.zipWithIndex.foldLeft(init) {
+      case ((df, h, c), (x, t0)) =>
+        val t = t0 + 1
+        // timesteps after this one still need their x columns staged
+        val futureX = xs.drop(t0 + 1).flatten
+        val cNew = (0 until units).map(u =>
+          (sig(pre(wts.f, x, h, u)) * c(u) +
+            sig(pre(wts.i, x, h, u)) * tanh(pre(wts.c, x, h, u)))
+            .as(s"${prefix}_c${t}_$u"))
+        val oPre = (0 until units).map(u =>
+          pre(wts.o, x, h, u).as(s"${prefix}_o${t}_$u"))
+        val staged = df.select(carry ++ futureX ++ cNew ++ oPre: _*)
+        val cRefs = (0 until units).map(u => col(s"${prefix}_c${t}_$u"))
+        val hNew = (0 until units).map(u =>
+          (sig(col(s"${prefix}_o${t}_$u")) * tanh(cRefs(u)))
+            .as(s"${prefix}_h${t}_$u"))
+        val staged2 = staged.select(carry ++ futureX ++ cRefs ++ hNew: _*)
+        val hRefs = (0 until units).map(u => col(s"${prefix}_h${t}_$u"))
+        (staged2, hRefs, cRefs)
+    }
+    (dfT, hT)
   }
 }

@@ -33,9 +33,11 @@ object BpeTrain {
     * "lower"'s interior and makes learned tokens word-boundary-aware. */
   val EndOfWord = "</w>"
 
-  private def pairsOf(symbols: Column): Column =
-    // guard fully-fused single-symbol words: sequence(1, 0) DESCENDS
-    // ([1,0]) and would feed element_at an out-of-range index
+  /** Adjacent (l, r) pairs of a string array — shared by BPE pair
+    * counting and bigram extraction (t_bigram_lm). Guards single-element
+    * arrays: sequence(1, 0) DESCENDS ([1,0]) and would feed element_at
+    * an out-of-range index. */
+  def adjacentPairs(symbols: Column): Column =
     when(size(symbols) >= 2,
       transform(sequence(lit(1), size(symbols) - 1),
         i => struct(element_at(symbols, i).as("l"),
@@ -63,7 +65,11 @@ object BpeTrain {
         concat(split(col("word"), ""), array(lit(EndOfWord))))
 
   /** Learn `steps` merges from the corpus. Stops early if no adjacent
-    * pair occurs at least `minCount` times. */
+    * pair occurs at least `minCount` times. Tie-break contract: pairs
+    * with equal counts order by Spark's string comparison, i.e. UTF-8
+    * BINARY order — for supplementary-plane characters (surrogate pairs)
+    * this differs from Java's UTF-16 `compareTo`; any reference
+    * implementation must compare UTF-8 bytes (BpeTrainSpec does). */
   def fit(df: DataFrame, textCol: String, steps: Int,
       minCount: Long = 2L): Seq[Merge] = {
     var cached = wordTable(df, textCol).persist()
@@ -77,7 +83,7 @@ object BpeTrain {
     while (step <= steps && !done) {
       // weight each in-word pair occurrence by the word's corpus freq
       val top = cached
-        .select(col("freq"), explode(pairsOf(col("symbols"))).as("p"))
+        .select(col("freq"), explode(adjacentPairs(col("symbols"))).as("p"))
         .groupBy(col("p.l"), col("p.r")).agg(sum("freq").as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
@@ -101,10 +107,12 @@ object BpeTrain {
 
   /** Tokenize a text column with a learned merge list: char-split every
     * word, then replay the merges in learned order (merge order is the
-    * BPE contract — later merges build on earlier fusions). Output:
-    * array of token arrays, one per word. */
+    * BPE contract — later merges build on earlier fusions). Empty words
+    * (doubled/leading/trailing spaces) are dropped, matching
+    * [[wordTable]]'s training-side filter. Output: array of token
+    * arrays, one per word. */
   def applyMerges(textCol: Column, merges: Seq[Merge]): Column =
-    transform(split(textCol, " "), w => {
+    transform(filter(split(textCol, " "), w => length(w) > 0), w => {
       val init = concat(split(w, ""), array(lit(EndOfWord)))
       merges.foldLeft(init)((symsCol, m) => fuse(symsCol, m.left, m.right))
     })

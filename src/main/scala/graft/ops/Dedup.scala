@@ -306,7 +306,14 @@ object Dedup {
       cached = next
       m = next.select("doc", "root")
     }
-    m
+    // the RETURNED frame must itself hold the cache entry: unpersist is
+    // non-cascading, so handing back a bare projection over the cached
+    // iteration would make the caller's unpersist() a silent no-op and
+    // leak the final cluster map (one extra materialization, loop-total)
+    val out = m.persist()
+    out.count()
+    cached.unpersist()
+    out
   }
 
   /** SimHash: 64-bit signature; bit j is the sign of the sum over tokens

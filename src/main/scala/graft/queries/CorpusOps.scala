@@ -216,13 +216,7 @@ object CorpusOps {
     // tokens, the same family as TF-IDF.
     Entry("t_bigram_lm",
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        val pairs = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("l"),
-              element_at(toks, i + 1).as("r"))))
-          .otherwise(typedLit(Seq.empty[(String, String)])
-            .cast("array<struct<l:string,r:string>>"))
+        val pairs = BpeTrain.adjacentPairs(split(col("text"), " "))
         // persist: the bigram frame feeds three consumers (c12, c1, and
         // the probe side) — without it the explode lineage runs thrice.
         // Shuffle keys are xxhash64 of the words, not the strings (the

@@ -292,16 +292,18 @@ object NeuralOps {
         // ~80 exp/tanh per row makes this COMPUTE-bound, unlike the
         // integer q37/q38 maps: an 11 MB fixture parquet is a single
         // split, which would serialize 48M transcendentals onto one
-        // core. Repartition to the session's parallelism first — at
-        // 100 TB the scan has plenty of splits and this is a no-op
-        // cost-wise, on the fixture it is the difference between 1-way
-        // and 32-way compute (measured 31s -> ~2s at sf0.1).
-        val facts = t(s, dir, "lineitem")
-          .repartition(s.sparkContext.defaultParallelism)
+        // core (measured 31s -> ~2s at sf0.1). Repartition ONLY when
+        // the scan has fewer splits than cores — at 100 TB the scan
+        // has thousands of splits and an unconditional round-robin
+        // repartition would shuffle the whole corpus for nothing.
+        val scan = t(s, dir, "lineitem")
+        val para = s.sparkContext.defaultParallelism
+        val facts =
+          if (scan.rdd.getNumPartitions < para) scan.repartition(para)
+          else scan
         val (d0, x) = stageGrid(facts, keyCols, "x",
           featCols.map(f => Seq(f / lit(32.0))))
-        val (dT, h) = NeuralForward.lstmStaged(d0,
-          keyCols ++ (0 until 8).map(p => col(s"x_${p}_0")), x, w)
+        val (dT, h) = NeuralForward.lstmStaged(d0, keyCols, x, w)
         // no ORDER BY: rows-only entries need no total order (the
         // x4_simhash precedent), and a range sort would evaluate the
         // transcendental projection twice (sampling pass + sort pass)

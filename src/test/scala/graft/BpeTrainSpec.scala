@@ -38,6 +38,20 @@ class BpeTrainSpec extends AnyFunSuite {
           counts(p) = counts.getOrElse(p, 0L) + f
         }
       }
+      // tie-break in UTF-8 BINARY order (the engine contract) — Java's
+      // String compareTo is UTF-16 order, which diverges for
+      // supplementary-plane characters
+      implicit val utf8Order: Ordering[String] = (a: String, b: String) => {
+        val (ab, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val n = math.min(ab.length, bb.length)
+        var i = 0
+        var c = 0
+        while (i < n && c == 0) {
+          c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff)
+          i += 1
+        }
+        if (c != 0) c else java.lang.Integer.compare(ab.length, bb.length)
+      }
       val best = counts.toSeq
         .sortBy { case ((l, r), n) => (-n, l, r) }.headOption
       best.filter(_._2 >= minCount) match {

@@ -86,8 +86,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val folds = out.map(_.getLong(0)).toSet
     assert(folds.subsetOf((0L to 4L).toSet))
     assert(out.map(_.getAs[Long]("n_docs")).sum == 40L)
-    // determinism: an 11-partition layout lands on identical aggregates
-    val again = entry("x8_fold_split").run(spark, dir).repartition(11)
+    // layout stability: rewrite the same docs across 11 INPUT partitions
+    // (fold assignment is content-hashed, so the aggregates must match)
+    val dir11 = java.nio.file.Files
+      .createTempDirectory("corpusops11").toString
+    spark.read.parquet(s"$dir/documents.parquet").repartition(11)
+      .write.mode("overwrite").parquet(s"$dir11/documents.parquet")
+    val again = entry("x8_fold_split").run(spark, dir11)
       .collect().sortBy(r => (r.getLong(0), r.getString(1)))
     assert(again.map(r => (r.getLong(0), r.getString(1),
       r.getAs[Long]("n_docs"))).toSeq ==

@@ -201,8 +201,7 @@ class NeuralForwardSpec extends AnyFunSuite {
     val df = Seq((in(0).head, in(1).head, in(2).head, in(3).head))
       .toDF("x0", "x1", "x2", "x3")
     val xs = (0 until 4).map(t => Seq(col(s"x$t")))
-    val (staged, h) = NeuralForward.lstmStaged(df,
-      (0 until 4).map(t => col(s"x$t")), xs, w)
+    val (staged, h) = NeuralForward.lstmStaged(df, Seq.empty, xs, w)
     val got = staged.select(h(0).as("h0"), h(1).as("h1")).head()
     val viaHof = seqDouble(run1(NeuralForward.lstm(arr2(in: _*), w)))
     val want = refLstm(in, w)
