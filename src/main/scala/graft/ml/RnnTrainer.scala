@@ -1,0 +1,206 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Engine-native full-batch BPTT (backpropagation through time) trainer
+  * for the reference's recurrent architecture shape: SimpleRNN(units,
+  * relu) over a T-step / 1-channel sequence, dense softmax head,
+  * cross-entropy loss (`models/rnn_model.py:19-26` — the TRAINING half
+  * of the M3 gap, whose scoring half q38 already covers; MLlib has no
+  * recurrent trainer, SURVEY §2.6).
+  *
+  * Everything is Catalyst expression columns: the forward recurrence is
+  * staged one select per timestep (h_t as named columns — the q38
+  * discipline, an inlined recurrence is units^T), and the BACKWARD pass
+  * is staged the same way in reverse (dh_t columns per step), so the
+  * whole per-row gradient is plain codegen'd arithmetic. One epoch =
+  * ONE aggregation (mean of every gradient product; partial sums
+  * map-side, an O(params) row to the driver, O(params) update there).
+  * Same 100 TB story as GdTrainer: weights ride in the plan as
+  * literals, the shuffle carries parameter-sized partial sums, never
+  * rows, and nothing is nondeterministic — re-running an epoch
+  * reproduces its gradient bit-for-bit on any partitioning
+  * (order-independence of the mean is within float tolerance).
+  *
+  * BPTT equations (relu RNN, h_0 = 0):
+  *   z_t = wx·x_t + wh·h_{t-1} + b ;  h_t = relu(z_t)
+  *   logits = w2·h_T + b2 ; p = softmax ; L = -ln p_y
+  *   dz2 = p - onehot(y)
+  *   dh_T = w2ᵀ·dz2 ;  dz_t = dh_t ⊙ 1[h_t > 0]
+  *   dh_{t-1} = whᵀ·dz_t
+  *   dwx[u]  = Σ_t dz_t[u]·x_t ;  dwh[u][v] = Σ_t dz_t[u]·h_{t-1}[v]
+  *   db[u]   = Σ_t dz_t[u]    ;  dw2[o][u] = dz2[o]·h_T[u] ; db2 = dz2
+  */
+object RnnTrainer {
+
+  /** wx: units (1 input channel), wh: units x units, b: units,
+    * w2: classes x units, b2: classes. */
+  final case class RnnWeights(wx: Seq[Double], wh: Seq[Seq[Double]],
+      b: Seq[Double], w2: Seq[Seq[Double]], b2: Seq[Double]) {
+    def units: Int = wx.length
+    def classes: Int = w2.length
+    require(wh.length == units && wh.forall(_.length == units) &&
+      b.length == units && w2.forall(_.length == units) &&
+      b2.length == classes, "inconsistent shapes")
+  }
+
+  /** Deterministic small init in [-0.5, 0.5) from `seed`. */
+  def init(units: Int, classes: Int, seed: Long): RnnWeights = {
+    val rng = new scala.util.Random(seed)
+    def v(n: Int) = Seq.fill(n)(rng.nextDouble() - 0.5)
+    RnnWeights(v(units), Seq.fill(units)(v(units)), v(units),
+      Seq.fill(classes)(v(units)), v(classes))
+  }
+
+  final case class RnnGrads(wx: Seq[Double], wh: Seq[Seq[Double]],
+      b: Seq[Double], w2: Seq[Seq[Double]], b2: Seq[Double], loss: Double)
+
+  /** One full-batch BPTT pass at `w`: mean loss + mean gradients.
+    * `xs(t)` is the scalar input at timestep t; `label` in 0..k-1.
+    * One Spark job. */
+  def gradients(df: DataFrame, xs: Seq[Column], label: Column,
+      w: RnnWeights): RnnGrads = {
+    val T = xs.length
+    val units = w.units
+    val k = w.classes
+
+    // stage 0: inputs + label as attributes
+    val base = df.select(xs.zipWithIndex.map { case (x, t) =>
+      x.as(s"x${t + 1}") } :+ label.cast("int").as("y"): _*)
+    val xRef = (1 to T).map(t => col(s"x$t"))
+
+    // ---- forward: one select per timestep, h_t staged ----
+    var cur = base
+    var carry: Seq[Column] = xRef :+ col("y")
+    for (t <- 1 to T) {
+      val hPrev: Int => Column =
+        if (t == 1) _ => lit(0.0) else u => col(s"h${t - 1}_$u")
+      val hNew = (0 until units).map { u =>
+        val rec = (0 until units).map(v => hPrev(v) * lit(w.wh(u)(v)))
+        greatest(
+          (Seq(xRef(t - 1) * lit(w.wx(u))) ++ rec).reduce(_ + _) + lit(w.b(u)),
+          lit(0.0)).as(s"h${t}_$u")
+      }
+      cur = cur.select(carry ++ hNew: _*)
+      carry = carry ++ (0 until units).map(u => col(s"h${t}_$u"))
+    }
+
+    // ---- head: dz2_o = p_o - 1[y=o], loss staged once ----
+    val hT = (0 until units).map(u => col(s"h${T}_$u"))
+    val z2 = (0 until k).map { o =>
+      ((0 until units).map(u => hT(u) * lit(w.w2(o)(u))).reduce(_ + _) +
+        lit(w.b2(o))).as(s"z2_$o")
+    }
+    cur = cur.select(carry ++ z2: _*)
+    val zc = (0 until k).map(o => col(s"z2_$o"))
+    val m = zc.reduce(greatest(_, _))
+    val denom = zc.map(z => exp(z - m)).reduce(_ + _)
+    val lossCol = (log(denom) + m - (0 until k).map(o =>
+      when(col("y") === o, zc(o)).otherwise(lit(0.0))).reduce(_ + _))
+      .as("loss")
+    val dz2 = (0 until k).map { o =>
+      (exp(zc(o) - m) / denom -
+        when(col("y") === o, 1.0).otherwise(0.0)).as(s"dzo_$o")
+    }
+    cur = cur.select(carry ++ dz2 :+ lossCol: _*)
+    carry = carry ++ (0 until k).map(o => col(s"dzo_$o")) :+ col("loss")
+
+    // ---- backward: dz_t staged per step, T..1; dz_t = dh_t ⊙ relu' ----
+    // dh_T from the head, dh_{t-1} = whᵀ·dz_t
+    for (t <- T to 1 by -1) {
+      val dh: Int => Column =
+        if (t == T) u => (0 until k).map(o =>
+          col(s"dzo_$o") * lit(w.w2(o)(u))).reduce(_ + _)
+        else u => (0 until units).map(v =>
+          col(s"dz${t + 1}_$v") * lit(w.wh(v)(u))).reduce(_ + _)
+      val dzNew = (0 until units).map { u =>
+        (dh(u) * when(col(s"h${t}_$u") > 0, 1.0).otherwise(0.0))
+          .as(s"dz${t}_$u")
+      }
+      cur = cur.select(carry ++ dzNew: _*)
+      carry = carry ++ (0 until units).map(u => col(s"dz${t}_$u"))
+    }
+
+    // ---- one aggregation: mean of every gradient product ----
+    def hAt(t: Int, v: Int): Column =
+      if (t == 0) lit(0.0) else col(s"h${t}_$v")
+    val aggs: Seq[Column] =
+      (0 until units).map(u => avg((1 to T).map(t =>
+        col(s"dz${t}_$u") * col(s"x$t")).reduce(_ + _)).as(s"gwx_$u")) ++
+      (for (u <- 0 until units; v <- 0 until units)
+        yield avg((1 to T).map(t =>
+          col(s"dz${t}_$u") * hAt(t - 1, v)).reduce(_ + _))
+          .as(s"gwh_${u}_$v")) ++
+      (0 until units).map(u => avg((1 to T).map(t =>
+        col(s"dz${t}_$u")).reduce(_ + _)).as(s"gb_$u")) ++
+      (for (o <- 0 until k; u <- 0 until units)
+        yield avg(col(s"dzo_$o") * col(s"h${T}_$u")).as(s"gw2_${o}_$u")) ++
+      (0 until k).map(o => avg(col(s"dzo_$o")).as(s"gb2_$o")) :+
+      avg(col("loss")).as("mloss")
+    val row = cur.agg(aggs.head, aggs.tail: _*).head()
+    require(row.getAs[Any]("mloss") != null,
+      "RnnTrainer.gradients: empty training input")
+    def g(n: String) = row.getAs[Double](n)
+    RnnGrads(
+      Seq.tabulate(units)(u => g(s"gwx_$u")),
+      Seq.tabulate(units, units)((u, v) => g(s"gwh_${u}_$v")),
+      Seq.tabulate(units)(u => g(s"gb_$u")),
+      Seq.tabulate(k, units)((o, u) => g(s"gw2_${o}_$u")),
+      Seq.tabulate(k)(o => g(s"gb2_$o")),
+      g("mloss"))
+  }
+
+  /** Full-batch BPTT GD: `epochs` steps from `w0`; returns final weights
+    * + per-epoch pre-update mean loss. One Spark job per epoch. */
+  def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: RnnWeights,
+      epochs: Int, lr: Double): (RnnWeights, Seq[Double]) = {
+    var w = w0
+    val losses = (1 to epochs).map { _ =>
+      val gr = gradients(df, xs, label, w)
+      w = RnnWeights(
+        w.wx.zip(gr.wx).map { case (a, ga) => a - lr * ga },
+        w.wh.zip(gr.wh).map { case (r, gRow) =>
+          r.zip(gRow).map { case (a, ga) => a - lr * ga } },
+        w.b.zip(gr.b).map { case (a, ga) => a - lr * ga },
+        w.w2.zip(gr.w2).map { case (r, gRow) =>
+          r.zip(gRow).map { case (a, ga) => a - lr * ga } },
+        w.b2.zip(gr.b2).map { case (a, ga) => a - lr * ga })
+      gr.loss
+    }
+    (w, losses)
+  }
+
+  /** Staged inference: argmax class under `w` appended as `outCol`
+    * (first index on ties). Staged one select per timestep like the
+    * forward pass — an inlined recurrence duplicates units^T subtrees
+    * (expression trees share nothing), which is exactly the blowup the
+    * staging discipline exists to avoid. `carry` columns survive into
+    * the returned frame. */
+  def predictStaged(df: DataFrame, carry: Seq[Column], xs: Seq[Column],
+      w: RnnWeights, outCol: String): DataFrame = {
+    val T = xs.length
+    val units = w.units
+    val staged0 = df.select(carry ++ xs.zipWithIndex.map { case (x, t) =>
+      x.as(s"px${t + 1}") }: _*)
+    var cur = staged0
+    var h: Seq[Column] = Seq.fill(units)(lit(0.0))
+    for (t <- 1 to T) {
+      val hNew = (0 until units).map { u =>
+        greatest((Seq(col(s"px$t") * lit(w.wx(u))) ++
+          (0 until units).map(v => h(v) * lit(w.wh(u)(v)))).reduce(_ + _) +
+          lit(w.b(u)), lit(0.0)).as(s"ph${t}_$u")
+      }
+      val futureX = (t + 1 to T).map(s => col(s"px$s"))
+      cur = cur.select(carry ++ futureX ++ hNew: _*)
+      h = (0 until units).map(u => col(s"ph${t}_$u"))
+    }
+    val z2 = (0 until w.classes).map { o =>
+      (0 until units).map(u => h(u) * lit(w.w2(o)(u))).reduce(_ + _) +
+        lit(w.b2(o))
+    }
+    val arr = array(z2: _*)
+    cur.select(carry :+
+      ((array_position(arr, array_max(arr)) - 1).cast("long").as(outCol)): _*)
+  }
+}

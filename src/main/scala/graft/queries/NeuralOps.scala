@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.ml.{GdTrainer, NeuralForward, SignGd}
+import graft.ml.{GdTrainer, NeuralForward, RnnTrainer, SignGd}
 
 /** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
   * semantics; reference `models/cnn_model.py:21-32` stack shape and
@@ -310,6 +310,45 @@ object NeuralOps {
         dT.select(keyCols ++ Seq(
           round(h(0), 4).as("h0"),
           round(h(1), 4).as("h1")): _*)
+      },
+      None),
+
+    // Q42 — RECURRENT training via BPTT (RnnTrainer): 6 full-batch
+    // epochs of SimpleRNN(4, relu) + softmax head over the 8-step
+    // lineitem feature sequence — the TRAINING half of the M3 gap
+    // (q38 covers scoring; MLlib has no recurrent trainer). Forward and
+    // backward passes are staged expression columns; one aggregation
+    // per epoch carries O(params) partial sums. Rows-only (float
+    // losses); RnnTrainerSpec holds finite-difference gradient checks
+    // for all four weight tensors, layout invariance, and learning on
+    // an order-sensitive task. Labels here are synthetic parity — the
+    // observable signal is the loss descending toward base-rate
+    // entropy, as with q40.
+    Entry("q42_rnn_train",
+      (s, dir) => {
+        import s.implicits._
+        // deterministic 25% training slice: 8-step BPTT is ~10x the
+        // per-row work of a forward pass, and full-batch GD over every
+        // fact row is not the realistic shape anyway
+        val scan = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+        val para = s.sparkContext.defaultParallelism
+        val facts =
+          if (scan.rdd.getNumPartitions < para) scan.repartition(para)
+          else scan
+        val xs = featCols.map(_ / lit(32.0))
+        val y = ((col("l_orderkey") + col("l_suppkey")) % 2).cast("int")
+        val w0 = RnnTrainer.init(units = 4, classes = 2, seed = 17L)
+        val (w, losses) = RnnTrainer.fit(facts, xs, y, w0,
+          epochs = 4, lr = 0.5)
+        val labeled = facts.select(xs.zipWithIndex.map { case (x, i) =>
+          x.as(s"f${i + 1}") } :+ y.as("y"): _*)
+        val acc = RnnTrainer.predictStaged(labeled, Seq(col("y")),
+            xs.indices.map(i => col(s"f${i + 1}")), w, "pred")
+          .select((col("pred") === col("y")).cast("double").as("ok"))
+          .agg(avg("ok")).head().getDouble(0)
+        losses.zipWithIndex.map { case (l, e) =>
+          ((e + 1).toLong, math.rint(l * 1e6) / 1e6, math.rint(acc * 1e4) / 1e4)
+        }.toDF("epoch", "loss", "final_acc").orderBy("epoch")
       },
       None),
 
