@@ -1,0 +1,184 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Engine-native full-batch trainer for a 1-D CONVOLUTIONAL classifier:
+  * Conv1D(filters, kernel k, relu, valid padding) -> global average
+  * pooling -> dense softmax, cross-entropy loss — the training half of
+  * the M2 gap (`models/cnn_model.py:21-32`; q37 covers scoring). MLlib
+  * has no conv trainer (SURVEY §2.6). Architecture delta, documented:
+  * ONE conv layer + average pooling instead of the reference's stacked
+  * conv/MAX-pool — average pooling backpropagates a uniform 1/P factor,
+  * where max-pool routing needs per-window argmax bookkeeping that adds
+  * nothing to the "can the engine train a convolution" question.
+  *
+  * Same execution contract as GdTrainer/RnnTrainer: per-row forward +
+  * backward passes are staged expression columns (weights are plan
+  * literals), one epoch = ONE aggregation of mean gradients, O(params)
+  * to the driver and O(params) updated there.
+  *
+  * Equations (P = positions = T-k+1, single input channel):
+  *   z[p][f] = b[f] + Σ_j w[f][j]·x[p+j] ;  a = relu(z)
+  *   pool[f] = (1/P) Σ_p a[p][f]
+  *   logits = w2·pool + b2 ; softmax CE
+  *   dz2 = p - onehot(y) ;  dpool[f] = Σ_o dz2[o]·w2[o][f]
+  *   da[p][f] = dpool[f]/P ;  dz[p][f] = da[p][f]·1[z[p][f] > 0]
+  *   dw[f][j] = Σ_p dz[p][f]·x[p+j] ;  db[f] = Σ_p dz[p][f]
+  *   dw2[o][f] = dz2[o]·pool[f]     ;  db2 = dz2
+  */
+object ConvTrainer {
+
+  /** w: filters x kernel (1 input channel), b: filters,
+    * w2: classes x filters, b2: classes. */
+  final case class ConvWeights(w: Seq[Seq[Double]], b: Seq[Double],
+      w2: Seq[Seq[Double]], b2: Seq[Double]) {
+    def filters: Int = w.length
+    def kernel: Int = w.head.length
+    def classes: Int = w2.length
+    require(b.length == filters && w2.forall(_.length == filters) &&
+      b2.length == classes, "inconsistent shapes")
+  }
+
+  /** Deterministic small init in [-0.5, 0.5) from `seed`. */
+  def init(filters: Int, kernel: Int, classes: Int,
+      seed: Long): ConvWeights = {
+    val rng = new scala.util.Random(seed)
+    def v(n: Int) = Seq.fill(n)(rng.nextDouble() - 0.5)
+    ConvWeights(Seq.fill(filters)(v(kernel)), v(filters),
+      Seq.fill(classes)(v(filters)), v(classes))
+  }
+
+  final case class ConvGrads(w: Seq[Seq[Double]], b: Seq[Double],
+      w2: Seq[Seq[Double]], b2: Seq[Double], loss: Double)
+
+  /** One full-batch pass at `w`: mean loss + mean gradients. `xs` is
+    * the T-long input sequence (T >= kernel). One Spark job. */
+  def gradients(df: DataFrame, xs: Seq[Column], label: Column,
+      w: ConvWeights): ConvGrads = {
+    val T = xs.length
+    val k = w.kernel
+    val nf = w.filters
+    val kc = w.classes
+    val P = T - k + 1
+    require(P >= 1, s"input length $T < kernel $k")
+
+    val base = df.select(xs.zipWithIndex.map { case (x, t) =>
+      x.as(s"x${t + 1}") } :+ label.cast("int").as("y"): _*)
+    val xRef = (1 to T).map(t => col(s"x$t"))
+    var carry: Seq[Column] = xRef :+ col("y")
+
+    // conv + relu, one staged select (each a[p][f] is a small k-term
+    // expression over attributes — no recurrence, so one stage suffices)
+    val aCols = for (p <- 0 until P; f <- 0 until nf) yield
+      greatest((0 until k).map(j => xRef(p + j) * lit(w.w(f)(j)))
+        .reduce(_ + _) + lit(w.b(f)), lit(0.0)).as(s"a${p}_$f")
+    var cur = base.select(carry ++ aCols: _*)
+    carry = carry ++ (for (p <- 0 until P; f <- 0 until nf)
+      yield col(s"a${p}_$f"))
+
+    // global average pool, staged
+    val poolCols = (0 until nf).map(f =>
+      ((0 until P).map(p => col(s"a${p}_$f")).reduce(_ + _) / lit(P.toDouble))
+        .as(s"pool_$f"))
+    cur = cur.select(carry ++ poolCols: _*)
+    carry = carry ++ (0 until nf).map(f => col(s"pool_$f"))
+
+    // head: stable log-softmax + dz2, staged
+    val z2 = (0 until kc).map { o =>
+      ((0 until nf).map(f => col(s"pool_$f") * lit(w.w2(o)(f)))
+        .reduce(_ + _) + lit(w.b2(o))).as(s"z2_$o")
+    }
+    cur = cur.select(carry ++ z2: _*)
+    val zc = (0 until kc).map(o => col(s"z2_$o"))
+    val mx = zc.reduce(greatest(_, _))
+    val denom = zc.map(z => exp(z - mx)).reduce(_ + _)
+    val lossCol = (log(denom) + mx - (0 until kc).map(o =>
+      when(col("y") === o, zc(o)).otherwise(lit(0.0))).reduce(_ + _))
+      .as("loss")
+    val dz2 = (0 until kc).map { o =>
+      (exp(zc(o) - mx) / denom -
+        when(col("y") === o, 1.0).otherwise(0.0)).as(s"dzo_$o")
+    }
+    cur = cur.select(carry ++ dz2 :+ lossCol: _*)
+    carry = carry ++ (0 until kc).map(o => col(s"dzo_$o")) :+ col("loss")
+
+    // backward to the conv layer: dz[p][f] staged
+    val dzCols = for (p <- 0 until P; f <- 0 until nf) yield {
+      val dpool = (0 until kc).map(o =>
+        col(s"dzo_$o") * lit(w.w2(o)(f))).reduce(_ + _)
+      (dpool / lit(P.toDouble) *
+        when(col(s"a${p}_$f") > 0, 1.0).otherwise(0.0)).as(s"dz${p}_$f")
+    }
+    cur = cur.select(carry ++ dzCols: _*)
+
+    // one aggregation: mean gradients
+    val aggs: Seq[Column] =
+      (for (f <- 0 until nf; j <- 0 until k)
+        yield avg((0 until P).map(p =>
+          col(s"dz${p}_$f") * col(s"x${p + j + 1}")).reduce(_ + _))
+          .as(s"gw_${f}_$j")) ++
+      (0 until nf).map(f => avg((0 until P).map(p =>
+        col(s"dz${p}_$f")).reduce(_ + _)).as(s"gb_$f")) ++
+      (for (o <- 0 until kc; f <- 0 until nf)
+        yield avg(col(s"dzo_$o") * col(s"pool_$f")).as(s"gw2_${o}_$f")) ++
+      (0 until kc).map(o => avg(col(s"dzo_$o")).as(s"gb2_$o")) :+
+      avg(col("loss")).as("mloss")
+    val row = cur.agg(aggs.head, aggs.tail: _*).head()
+    require(row.getAs[Any]("mloss") != null,
+      "ConvTrainer.gradients: empty training input")
+    def g(n: String) = row.getAs[Double](n)
+    ConvGrads(
+      Seq.tabulate(nf, k)((f, j) => g(s"gw_${f}_$j")),
+      Seq.tabulate(nf)(f => g(s"gb_$f")),
+      Seq.tabulate(kc, nf)((o, f) => g(s"gw2_${o}_$f")),
+      Seq.tabulate(kc)(o => g(s"gb2_$o")),
+      g("mloss"))
+  }
+
+  /** Full-batch GD: `epochs` steps from `w0`; returns final weights +
+    * per-epoch pre-update mean loss. One Spark job per epoch. */
+  def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: ConvWeights,
+      epochs: Int, lr: Double): (ConvWeights, Seq[Double]) = {
+    var w = w0
+    val losses = (1 to epochs).map { _ =>
+      val gr = gradients(df, xs, label, w)
+      w = ConvWeights(
+        w.w.zip(gr.w).map { case (r, gr2) =>
+          r.zip(gr2).map { case (a, ga) => a - lr * ga } },
+        w.b.zip(gr.b).map { case (a, ga) => a - lr * ga },
+        w.w2.zip(gr.w2).map { case (r, gr2) =>
+          r.zip(gr2).map { case (a, ga) => a - lr * ga } },
+        w.b2.zip(gr.b2).map { case (a, ga) => a - lr * ga })
+      gr.loss
+    }
+    (w, losses)
+  }
+
+  /** Staged inference: argmax class appended as `outCol` (first index
+    * on ties); conv cells staged once like the forward pass. */
+  def predictStaged(df: DataFrame, carry: Seq[Column], xs: Seq[Column],
+      w: ConvWeights, outCol: String): DataFrame = {
+    val T = xs.length
+    val P = T - k0(w) + 1
+    val staged0 = df.select(carry ++ xs.zipWithIndex.map { case (x, t) =>
+      x.as(s"cx${t + 1}") }: _*)
+    val xr = (1 to T).map(t => col(s"cx$t"))
+    val aCols = for (p <- 0 until P; f <- 0 until w.filters) yield
+      greatest((0 until k0(w)).map(j => xr(p + j) * lit(w.w(f)(j)))
+        .reduce(_ + _) + lit(w.b(f)), lit(0.0)).as(s"ca${p}_$f")
+    val staged = staged0.select(carry ++ aCols: _*)
+    val pool = (0 until w.filters).map(f =>
+      (0 until P).map(p => col(s"ca${p}_$f")).reduce(_ + _) /
+        lit(P.toDouble))
+    val z2 = (0 until w.classes).map { o =>
+      (0 until w.filters).map(f => pool(f) * lit(w.w2(o)(f)))
+        .reduce(_ + _) + lit(w.b2(o))
+    }
+    val arr = array(z2: _*)
+    staged.select(carry :+
+      ((array_position(arr, array_max(arr)) - 1).cast("long").as(outCol)): _*)
+  }
+
+  private def k0(w: ConvWeights): Int = w.kernel
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.ml.{GdTrainer, NeuralForward, RnnTrainer, SignGd}
+import graft.ml.{ConvTrainer, GdTrainer, NeuralForward, RnnTrainer, SignGd}
 
 /** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
   * semantics; reference `models/cnn_model.py:21-32` stack shape and
@@ -343,6 +343,40 @@ object NeuralOps {
         val labeled = facts.select(xs.zipWithIndex.map { case (x, i) =>
           x.as(s"f${i + 1}") } :+ y.as("y"): _*)
         val acc = RnnTrainer.predictStaged(labeled, Seq(col("y")),
+            xs.indices.map(i => col(s"f${i + 1}")), w, "pred")
+          .select((col("pred") === col("y")).cast("double").as("ok"))
+          .agg(avg("ok")).head().getDouble(0)
+        losses.zipWithIndex.map { case (l, e) =>
+          ((e + 1).toLong, math.rint(l * 1e6) / 1e6, math.rint(acc * 1e4) / 1e4)
+        }.toDF("epoch", "loss", "final_acc").orderBy("epoch")
+      },
+      None),
+
+    // Q43 — CONVOLUTIONAL training (ConvTrainer): 4 full-batch epochs
+    // of Conv1D(3 filters, k=3, relu) -> global average pool -> softmax
+    // over the 8-step lineitem sequence — the TRAINING half of the M2
+    // gap (q37 covers scoring; architecture delta vs the reference's
+    // stacked conv/max-pool is documented on ConvTrainer). Same shape
+    // as q42: staged forward+backward expressions, one aggregation per
+    // epoch, deterministic 25% slice, rows-only; ConvTrainerSpec holds
+    // finite-difference checks and learns a position-invariant task.
+    Entry("q43_conv_train",
+      (s, dir) => {
+        import s.implicits._
+        val scan = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+        val para = s.sparkContext.defaultParallelism
+        val facts =
+          if (scan.rdd.getNumPartitions < para) scan.repartition(para)
+          else scan
+        val xs = featCols.map(_ / lit(32.0))
+        val y = ((col("l_orderkey") + col("l_suppkey")) % 2).cast("int")
+        val w0 = ConvTrainer.init(filters = 3, kernel = 3, classes = 2,
+          seed = 23L)
+        val (w, losses) = ConvTrainer.fit(facts, xs, y, w0,
+          epochs = 4, lr = 0.5)
+        val labeled = facts.select(xs.zipWithIndex.map { case (x, i) =>
+          x.as(s"f${i + 1}") } :+ y.as("y"): _*)
+        val acc = ConvTrainer.predictStaged(labeled, Seq(col("y")),
             xs.indices.map(i => col(s"f${i + 1}")), w, "pred")
           .select((col("pred") === col("y")).cast("double").as("ok"))
           .agg(avg("ok")).head().getDouble(0)
