@@ -91,15 +91,7 @@ object ConvTrainer {
     }
     cur = cur.select(carry ++ z2: _*)
     val zc = (0 until kc).map(o => col(s"z2_$o"))
-    val mx = zc.reduce(greatest(_, _))
-    val denom = zc.map(z => exp(z - mx)).reduce(_ + _)
-    val lossCol = (log(denom) + mx - (0 until kc).map(o =>
-      when(col("y") === o, zc(o)).otherwise(lit(0.0))).reduce(_ + _))
-      .as("loss")
-    val dz2 = (0 until kc).map { o =>
-      (exp(zc(o) - mx) / denom -
-        when(col("y") === o, 1.0).otherwise(0.0)).as(s"dzo_$o")
-    }
+    val (dz2, lossCol) = TrainerCommon.softmaxHead(zc, col("y"))
     cur = cur.select(carry ++ dz2 :+ lossCol: _*)
     carry = carry ++ (0 until kc).map(o => col(s"dzo_$o")) :+ col("loss")
 
@@ -160,12 +152,13 @@ object ConvTrainer {
   def predictStaged(df: DataFrame, carry: Seq[Column], xs: Seq[Column],
       w: ConvWeights, outCol: String): DataFrame = {
     val T = xs.length
-    val P = T - k0(w) + 1
+    val P = T - w.kernel + 1
+    require(P >= 1, s"input length $T < kernel ${w.kernel}")
     val staged0 = df.select(carry ++ xs.zipWithIndex.map { case (x, t) =>
       x.as(s"cx${t + 1}") }: _*)
     val xr = (1 to T).map(t => col(s"cx$t"))
     val aCols = for (p <- 0 until P; f <- 0 until w.filters) yield
-      greatest((0 until k0(w)).map(j => xr(p + j) * lit(w.w(f)(j)))
+      greatest((0 until w.kernel).map(j => xr(p + j) * lit(w.w(f)(j)))
         .reduce(_ + _) + lit(w.b(f)), lit(0.0)).as(s"ca${p}_$f")
     val staged = staged0.select(carry ++ aCols: _*)
     val pool = (0 until w.filters).map(f =>
@@ -175,10 +168,6 @@ object ConvTrainer {
       (0 until w.filters).map(f => pool(f) * lit(w.w2(o)(f)))
         .reduce(_ + _) + lit(w.b2(o))
     }
-    val arr = array(z2: _*)
-    staged.select(carry :+
-      ((array_position(arr, array_max(arr)) - 1).cast("long").as(outCol)): _*)
+    staged.select(carry :+ TrainerCommon.argmax(z2).as(outCol): _*)
   }
-
-  private def k0(w: ConvWeights): Int = w.kernel
 }

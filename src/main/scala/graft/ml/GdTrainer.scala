@@ -105,32 +105,23 @@ object GdTrainer {
     val carry2 = carry1 ++ (0 until h).map(u => col(s"a1_$u"))
     val s3 = s2.select(carry2 ++ z2: _*)
     val zc = (0 until k).map(o => col(s"z2_$o"))
-    val m = zc.reduce(greatest(_, _))
-    val denom = zc.map(z => exp(z - m)).reduce(_ + _)
-    val logDenom = log(denom) + m
-    val lossCol = (logDenom - (0 until k).map(o =>
-      when(col("y") === o, zc(o)).otherwise(lit(0.0))).reduce(_ + _))
-      .as("loss")
-    val dz2 = (0 until k).map { o =>
-      (exp(zc(o) - m) / denom -
-        when(col("y") === o, 1.0).otherwise(0.0)).as(s"dz2_$o")
-    }
+    val (dz2, lossCol) = TrainerCommon.softmaxHead(zc, col("y"))
     val s4 = s3.select(carry2 ++ zc ++ dz2 :+ lossCol: _*)
 
     // stage 3: dz1_u = (sum_o w2[o][u] dz2_o) * mask*scale * relu'(z1_u)
     val dz1 = (0 until h).map { u =>
-      ((0 until k).map(o => col(s"dz2_$o") * lit(w.w2(o)(u))).reduce(_ + _) *
+      ((0 until k).map(o => col(s"dzo_$o") * lit(w.w2(o)(u))).reduce(_ + _) *
         keepMask(col("rk"), epoch, u, dropout) * lit(scale) *
         when(col(s"z1_$u") > 0, 1.0).otherwise(0.0)).as(s"dz1_$u")
     }
-    val s5 = s4.select(carry2 ++ (0 until k).map(o => col(s"dz2_$o")) ++
+    val s5 = s4.select(carry2 ++ (0 until k).map(o => col(s"dzo_$o")) ++
       Seq(col("loss")) ++ dz1: _*)
 
     // one aggregation: mean of every gradient product + mean loss
     val aggs: Seq[Column] =
       (for (o <- 0 until k; u <- 0 until h)
-        yield avg(col(s"dz2_$o") * col(s"a1_$u")).as(s"gw2_${o}_$u")) ++
-      (0 until k).map(o => avg(col(s"dz2_$o")).as(s"gb2_$o")) ++
+        yield avg(col(s"dzo_$o") * col(s"a1_$u")).as(s"gw2_${o}_$u")) ++
+      (0 until k).map(o => avg(col(s"dzo_$o")).as(s"gb2_$o")) ++
       (for (u <- 0 until h; i <- 0 until d)
         yield avg(col(s"dz1_$u") * col(s"x$i")).as(s"gw1_${u}_$i")) ++
       (0 until h).map(u => avg(col(s"dz1_$u")).as(s"gb1_$u")) :+
@@ -182,7 +173,6 @@ object GdTrainer {
       (0 until w.hidden).map(u => a1(u) * lit(w.w2(o)(u))).reduce(_ + _) +
         lit(w.b2(o))
     }
-    val arr = array(z2: _*)
-    (array_position(arr, array_max(arr)) - 1).cast("long")
+    TrainerCommon.argmax(z2)
   }
 }

@@ -94,15 +94,7 @@ object RnnTrainer {
     }
     cur = cur.select(carry ++ z2: _*)
     val zc = (0 until k).map(o => col(s"z2_$o"))
-    val m = zc.reduce(greatest(_, _))
-    val denom = zc.map(z => exp(z - m)).reduce(_ + _)
-    val lossCol = (log(denom) + m - (0 until k).map(o =>
-      when(col("y") === o, zc(o)).otherwise(lit(0.0))).reduce(_ + _))
-      .as("loss")
-    val dz2 = (0 until k).map { o =>
-      (exp(zc(o) - m) / denom -
-        when(col("y") === o, 1.0).otherwise(0.0)).as(s"dzo_$o")
-    }
+    val (dz2, lossCol) = TrainerCommon.softmaxHead(zc, col("y"))
     cur = cur.select(carry ++ dz2 :+ lossCol: _*)
     carry = carry ++ (0 until k).map(o => col(s"dzo_$o")) :+ col("loss")
 
@@ -199,8 +191,6 @@ object RnnTrainer {
       (0 until units).map(u => h(u) * lit(w.w2(o)(u))).reduce(_ + _) +
         lit(w.b2(o))
     }
-    val arr = array(z2: _*)
-    cur.select(carry :+
-      ((array_position(arr, array_max(arr)) - 1).cast("long").as(outCol)): _*)
+    cur.select(carry :+ TrainerCommon.argmax(z2).as(outCol): _*)
   }
 }

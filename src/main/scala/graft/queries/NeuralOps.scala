@@ -121,6 +121,44 @@ object NeuralOps {
 
   private val keyCols = Seq(col("l_orderkey"), col("l_linenumber"))
 
+  /** Shared harness for the q42/q43 training entries: deterministic 25%
+    * lineitem slice, conditional repartition (BPTT/conv backprop is
+    * ~10x a forward pass per row and a single fixture split would
+    * serialize it), the slice PERSISTED for the epochs+accuracy jobs
+    * (released after the final action), scaled features, parity label.
+    * `train` returns (per-epoch losses, final-weights accuracy fn input
+    * -> acc); output schema (epoch, loss, final_acc).
+    */
+  private def trainEntry(s: SparkSession, dir: String)(
+      run: (org.apache.spark.sql.DataFrame, Seq[Column], Column) =>
+        (Seq[Double], Double)): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val scan = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+    val para = s.sparkContext.defaultParallelism
+    val facts =
+      (if (scan.rdd.getNumPartitions < para) scan.repartition(para)
+       else scan).persist()
+    val xs = featCols.map(_ / lit(32.0))
+    val y = ((col("l_orderkey") + col("l_suppkey")) % 2).cast("int")
+    try {
+      val (losses, acc) = run(facts, xs, y)
+      losses.zipWithIndex.map { case (l, e) =>
+        ((e + 1).toLong, math.rint(l * 1e6) / 1e6, math.rint(acc * 1e4) / 1e4)
+      }.toDF("epoch", "loss", "final_acc").orderBy("epoch")
+    } finally facts.unpersist()
+  }
+
+  /** Label the slice with aliased feature columns for predictStaged. */
+  private def labeled(facts: org.apache.spark.sql.DataFrame,
+      xs: Seq[Column], y: Column): (org.apache.spark.sql.DataFrame, Seq[Column]) =
+    (facts.select(xs.zipWithIndex.map { case (x, i) =>
+      x.as(s"f${i + 1}") } :+ y.as("y"): _*),
+      xs.indices.map(i => col(s"f${i + 1}")))
+
+  private def accOf(scored: org.apache.spark.sql.DataFrame): Double =
+    scored.select((col("pred") === col("y")).cast("double").as("ok"))
+      .agg(avg("ok")).head().getDouble(0)
+
   // ---- q41 LSTM weights: 2 units, 1 channel, entries in [-0.3, 0.3];
   // inputs are scaled by 1/32 so gate pre-activations stay in sigmoid's
   // responsive range ----
@@ -313,42 +351,25 @@ object NeuralOps {
       },
       None),
 
-    // Q42 — RECURRENT training via BPTT (RnnTrainer): 6 full-batch
+    // Q42 — RECURRENT training via BPTT (RnnTrainer): 4 full-batch
     // epochs of SimpleRNN(4, relu) + softmax head over the 8-step
     // lineitem feature sequence — the TRAINING half of the M3 gap
     // (q38 covers scoring; MLlib has no recurrent trainer). Forward and
     // backward passes are staged expression columns; one aggregation
     // per epoch carries O(params) partial sums. Rows-only (float
     // losses); RnnTrainerSpec holds finite-difference gradient checks
-    // for all four weight tensors, layout invariance, and learning on
+    // for all five weight tensors, layout invariance, and learning on
     // an order-sensitive task. Labels here are synthetic parity — the
     // observable signal is the loss descending toward base-rate
-    // entropy, as with q40.
+    // entropy, as with q40. Harness shared with q43 (trainEntry).
     Entry("q42_rnn_train",
-      (s, dir) => {
-        import s.implicits._
-        // deterministic 25% training slice: 8-step BPTT is ~10x the
-        // per-row work of a forward pass, and full-batch GD over every
-        // fact row is not the realistic shape anyway
-        val scan = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
-        val para = s.sparkContext.defaultParallelism
-        val facts =
-          if (scan.rdd.getNumPartitions < para) scan.repartition(para)
-          else scan
-        val xs = featCols.map(_ / lit(32.0))
-        val y = ((col("l_orderkey") + col("l_suppkey")) % 2).cast("int")
+      (s, dir) => trainEntry(s, dir) { (facts, xs, y) =>
         val w0 = RnnTrainer.init(units = 4, classes = 2, seed = 17L)
         val (w, losses) = RnnTrainer.fit(facts, xs, y, w0,
           epochs = 4, lr = 0.5)
-        val labeled = facts.select(xs.zipWithIndex.map { case (x, i) =>
-          x.as(s"f${i + 1}") } :+ y.as("y"): _*)
-        val acc = RnnTrainer.predictStaged(labeled, Seq(col("y")),
-            xs.indices.map(i => col(s"f${i + 1}")), w, "pred")
-          .select((col("pred") === col("y")).cast("double").as("ok"))
-          .agg(avg("ok")).head().getDouble(0)
-        losses.zipWithIndex.map { case (l, e) =>
-          ((e + 1).toLong, math.rint(l * 1e6) / 1e6, math.rint(acc * 1e4) / 1e4)
-        }.toDF("epoch", "loss", "final_acc").orderBy("epoch")
+        val (lab, fs) = labeled(facts, xs, y)
+        (losses, accOf(
+          RnnTrainer.predictStaged(lab, Seq(col("y")), fs, w, "pred")))
       },
       None),
 
@@ -361,28 +382,14 @@ object NeuralOps {
     // epoch, deterministic 25% slice, rows-only; ConvTrainerSpec holds
     // finite-difference checks and learns a position-invariant task.
     Entry("q43_conv_train",
-      (s, dir) => {
-        import s.implicits._
-        val scan = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
-        val para = s.sparkContext.defaultParallelism
-        val facts =
-          if (scan.rdd.getNumPartitions < para) scan.repartition(para)
-          else scan
-        val xs = featCols.map(_ / lit(32.0))
-        val y = ((col("l_orderkey") + col("l_suppkey")) % 2).cast("int")
+      (s, dir) => trainEntry(s, dir) { (facts, xs, y) =>
         val w0 = ConvTrainer.init(filters = 3, kernel = 3, classes = 2,
           seed = 23L)
         val (w, losses) = ConvTrainer.fit(facts, xs, y, w0,
           epochs = 4, lr = 0.5)
-        val labeled = facts.select(xs.zipWithIndex.map { case (x, i) =>
-          x.as(s"f${i + 1}") } :+ y.as("y"): _*)
-        val acc = ConvTrainer.predictStaged(labeled, Seq(col("y")),
-            xs.indices.map(i => col(s"f${i + 1}")), w, "pred")
-          .select((col("pred") === col("y")).cast("double").as("ok"))
-          .agg(avg("ok")).head().getDouble(0)
-        losses.zipWithIndex.map { case (l, e) =>
-          ((e + 1).toLong, math.rint(l * 1e6) / 1e6, math.rint(acc * 1e4) / 1e4)
-        }.toDF("epoch", "loss", "final_acc").orderBy("epoch")
+        val (lab, fs) = labeled(facts, xs, y)
+        (losses, accOf(
+          ConvTrainer.predictStaged(lab, Seq(col("y")), fs, w, "pred")))
       },
       None),
 

@@ -18,7 +18,9 @@ class ConvTrainerSpec extends AnyFunSuite {
   // position, class 0 is flat — position-invariant by construction
   private lazy val df = {
     val rows = (0 until 24).map { i =>
-      val pos = i % 4 // bump position varies
+      // (i / 2) decouples position from the i % 2 class selector, so
+      // class-1 bumps land at all four positions, not just odd ones
+      val pos = (i / 2) % 4
       val base = 0.1 + 0.02 * (i % 3)
       if (i % 2 == 1) {
         val s = Seq.fill(6)(base).updated(pos + 1, 1.0)
@@ -64,7 +66,7 @@ class ConvTrainerSpec extends AnyFunSuite {
 
   test("conv training learns the position-invariant bump task") {
     val (w, losses) = ConvTrainer.fit(df, xs, col("y"), w0,
-      epochs = 120, lr = 1.0)
+      epochs = 400, lr = 1.5)
     assert(losses.last < losses.head * 0.5,
       s"loss ${losses.head} -> ${losses.last}")
     val scored = ConvTrainer.predictStaged(df, Seq(col("y")), xs, w, "pred")
