@@ -286,6 +286,64 @@ object CorpusOps {
               FROM documents
               GROUP BY 1, 2 ORDER BY fold, lang""")),
 
+    // X9 — int8 embedding quantization stats: per-vector min/max
+    // affine quantization to 0..255 codes (the embedding-store
+    // compression a retrieval corpus ships with), emitting the code
+    // checksum and the reconstruction-error sum. Exactness contract:
+    // identical IEEE double arithmetic on both engines; per-element
+    // errors pass through floor(1e6*err) BEFORE summation, so the sums
+    // are exact integers and immune to float-summation order. Pure
+    // row-local map — no shuffle before the contract sort.
+    Entry("x9_quantize",
+      (s, dir) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val base = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), v.as("v"))
+          .withColumn("mn", array_min(col("v")))
+          .withColumn("mx", array_max(col("v")))
+          .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+          // degenerate all-equal vector: avoid 0/0 NaN in the code path
+          .withColumn("s0", when(col("scale") === 0, lit(1.0))
+            .otherwise(col("scale")))
+        base
+          .withColumn("qa", transform(col("v"), x =>
+            least(floor((x - col("mn")) / col("s0")), lit(255.0))))
+          .withColumn("qsum", aggregate(col("qa"), lit(0.0), _ + _)
+            .cast("long"))
+          .withColumn("esum", aggregate(
+            zip_with(col("v"), col("qa"), (x, q) =>
+              floor(abs(x - (col("mn") + q * col("scale"))) * lit(1e6))),
+            lit(0.0), _ + _).cast("long"))
+          .select("vec_id", "qsum", "esum")
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              s AS (
+                SELECT vec_id, v,
+                       list_aggregate(v, 'min') AS mn,
+                       list_aggregate(v, 'max') AS mx
+                FROM e),
+              s2 AS (
+                SELECT vec_id, v, mn, (mx - mn) / 255.0 AS scale,
+                       CASE WHEN mx = mn THEN 1.0
+                            ELSE (mx - mn) / 255.0 END AS s0
+                FROM s),
+              q AS (
+                SELECT vec_id, v, mn, scale,
+                       list_transform(v, x ->
+                         least(floor((x - mn) / s0), 255.0)) AS qa
+                FROM s2)
+              SELECT vec_id,
+                     CAST(list_sum(qa) AS BIGINT) AS qsum,
+                     CAST(list_sum(list_transform(
+                       generate_series(1, len(v)), i ->
+                         floor(abs(v[i] - (mn + qa[i] * scale)) * 1e6)))
+                       AS BIGINT) AS esum
+              FROM q ORDER BY vec_id""")),
+
     // T11 — hash-trick linear quality scorer: score(doc) = bias +
     // sum_t w[bucket(t)] over tokens WITH repetition — the fasttext-style
     // linear-over-hashed-features classifier a quality-filtering pass

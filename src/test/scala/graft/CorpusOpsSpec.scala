@@ -115,6 +115,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2L) == (2L, 1500000L)) // 1e6 + 5e5
   }
 
+  test("x9_quantize: affine int8 codes and error sums by hand") {
+    import org.apache.spark.sql.functions.col
+    // vector [0, 0.5, 1]: mn=0, scale=1/255; codes floor(v*255) =
+    // [0, 127, 255] (0.5*255 = 127.5); recon err = [0, 0.5/255, 0]
+    val dir = java.nio.file.Files.createTempDirectory("corpusq").toString
+    Seq((1L, Array(0.0f, 0.5f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.CorpusOps.entries.find(_.name == "x9_quantize")
+      .get.run(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("qsum") == 382L) // 0 + 127 + 255
+    // err: only the middle element, 0.5 - 127/255 = 0.5/255 = 0.00196...
+    assert(out(0).getAs[Long]("esum") == 1960L) // floor(1e6 * 0.5/255)
+  }
+
   test("t_qscore_linear: score is bias + sum of bucket weights") {
     // bucket("aa") = (97*31 + 2) % 64 = 3009 % 64 = 1; QW(1) = ((7+3)%11)-5 = 5
     // bucket("b")  = (98*31 + 1) % 64 = 3039 % 64 = 31; QW(31) = ((220)%11)-5 = -5
