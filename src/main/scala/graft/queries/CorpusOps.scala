@@ -83,6 +83,55 @@ object CorpusOps {
                        toks[chunk_id*$S+1 : chunk_id*$S+$W], ' ')) AS h
               FROM c ORDER BY doc_id, chunk_id""")),
 
+    // P4 — duplicated-span detection: token windows (the p3 chunk
+    // grid) shared verbatim by >= 2 distinct documents — the practical
+    // cross-document substring-dedup signal (suffix-array exactness
+    // isn't needed when spans are window-quantized). One shuffle on the
+    // md5 span key; output linear in distinct duplicated spans.
+    Entry("p4_dup_spans",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+          .withColumn("nch",
+            when(col("n") <= W, lit(1L))
+              .otherwise(floor((col("n") - lit(W - S + 1)) / lit(S.toDouble))
+                .cast("long") + lit(1L)))
+        base
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), col("nch") - 1)).as("cid"),
+            col("toks"))
+          .select(col("doc_id"),
+            md5(array_join(
+              slice(col("toks"), col("cid").cast("int") * S + 1, lit(W)),
+              " ")).as("h"))
+          .groupBy("h")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("h")
+      },
+      Some(s"""WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n
+                FROM documents),
+              c AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0,
+                         CAST(CASE WHEN n <= $W THEN 0
+                              ELSE floor((n - ${W - S + 1}) / $S.0) END
+                           AS BIGINT))) AS cid
+                FROM d),
+              spans AS (
+                SELECT doc_id,
+                       md5(array_to_string(
+                         toks[cid*$S+1 : cid*$S+$W], ' ')) AS h
+                FROM c)
+              SELECT h, count(DISTINCT doc_id) AS n_docs,
+                     count(*) AS n_occ
+              FROM spans GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2 ORDER BY h""")),
+
     // T10 — boilerplate-shingle stats: a 3-gram shingle occurring in >= 5
     // distinct docs is "boilerplate"; per doc, count distinct shingles,
     // boilerplate shingles, and the ratio in basis points. Two shuffles

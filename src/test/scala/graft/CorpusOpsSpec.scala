@@ -45,6 +45,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Seq(Row(0L, 32L)))
   }
 
+  test("p4_dup_spans: shared windows found, unique docs excluded") {
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val dir = docsView(Seq(
+      (1L, shared, "a"), (2L, shared, "a"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "), "a")))
+    val out = entry("p4_dup_spans").run(spark, dir).collect()
+    // docs 1+2 share both stride windows (starts 0 and 24); doc 3's
+    // windows are unique and must not appear
+    assert(out.length == 2)
+    assert(out.forall(r => r.getAs[Long]("n_docs") == 2L &&
+      r.getAs[Long]("n_occ") == 2L))
+  }
+
   test("t_boilerplate: shingle document-frequency threshold") {
     // "a b c d" in 5 docs -> its shingles "a b c"/"b c d" have df=5+1=6
     // and 5 respectively (doc 6 shares "a b c" via "a b c x").
