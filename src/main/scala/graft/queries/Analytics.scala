@@ -273,6 +273,34 @@ object Analytics {
         .orderBy("l_returnflag"),
       None),
 
+    // Q44 — Count-Min frequency sketch (graft.functions.CountMinAgg,
+    // the third mergeable-sketch family next to HLL q33 and quantiles
+    // q34): ONE depth-4 x width-256 grid over o_orderpriority, then
+    // each distinct priority's point estimate (min over rows) beside
+    // its exact count. Over-count-only by construction: est >= exact
+    // always, equal here because 5 keys cannot collide across 4 rows
+    // of 256 slots (bounds asserted in CountMinAggSpec). Rows-only:
+    // the grid is the engine's xxhash64 family. At 100 TB the sketch
+    // is the pre-aggregated daily-partial pattern — grids merge by
+    // elementwise addition, so rollups never re-read raw data.
+    Entry("q44_cms_freq",
+      (s, dir) => {
+        val d = 4
+        val wdt = 256
+        val orders = t(s, dir, "orders")
+        val sk = orders.agg(graft.functions.CountMinAgg.countMinAgg(
+          s, col("o_orderpriority"), d, wdt).as("sk"))
+        orders.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("exact"))
+          .crossJoin(broadcast(sk))
+          .select(col("o_orderpriority"), col("exact"),
+            graft.functions.CountMinAgg.estimate(s, col("sk"),
+              col("o_orderpriority"), d, wdt).as("est"))
+          .withColumn("overcount", col("est") - col("exact"))
+          .orderBy("o_orderpriority")
+      },
+      None),
+
     // S1 — CSV sink + source roundtrip with the reference's exact read
     // options (header=true, inferSchema=true → the two-pass scan,
     // main.py:34-41), then an aggregation over the re-read table.

@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q17_fit_stats", "q17_scale_probe", "q17c_impute", // fit statistics
     "x2_cosine_topk", "x2_cosine_topk_ann", "x2_cosine_topk_ivf", // probe
     "x5_media_features", // probe via cosineTopK
-    "t_tfidf") // corpus-total doc count
+    "t_tfidf", // corpus-total doc count
+    "q44_cms_freq") // the 1-row Count-Min grid joined onto 5 keys
 
   test("no query plans an unjustified nested-loop or cartesian join") {
     val offenders = plans.collect {
