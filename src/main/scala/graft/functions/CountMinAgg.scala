@@ -24,9 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * group, never items.
   *
   * Guarantees (the SketchSpec-checkable contract): estimate >= true
-  * count always (over-count only), and estimate <= true + e*N with
-  * probability 1 - delta for e = e/width (e ~ 2.72), delta = exp(-depth),
-  * N = total increments.
+  * count always (over-count only), and estimate <= true + epsilon*N
+  * with probability 1 - delta, where epsilon = e/width (Euler's
+  * e ~ 2.718), delta = exp(-depth), N = total increments.
   */
 case class CountMinAgg(
     child: Expression,
@@ -138,8 +138,9 @@ object CountMinAgg {
   /** Point-estimate column for `item` against a sketch column laid out
     * row-major depth x width: min over rows of the item's counter.
     * The hash family mirrors [[CountMinAgg.update]] via the builtin
-    * `xxhash64(lit(row), item)` chaining (same trick as MinHashAgg). */
-  def estimate(spark: SparkSession, sketch: Column, item: Column,
+    * `xxhash64(lit(row), item)` chaining (same trick as MinHashAgg).
+    * Pure builtin expression — needs no session. */
+  def estimate(sketch: Column, item: Column,
       depth: Int, width: Int): Column = {
     import org.apache.spark.sql.functions._
     (0 until depth).map { i =>

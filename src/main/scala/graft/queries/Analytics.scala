@@ -294,7 +294,7 @@ object Analytics {
           .agg(count(lit(1)).as("exact"))
           .crossJoin(broadcast(sk))
           .select(col("o_orderpriority"), col("exact"),
-            graft.functions.CountMinAgg.estimate(s, col("sk"),
+            graft.functions.CountMinAgg.estimate(col("sk"),
               col("o_orderpriority"), d, wdt).as("est"))
           .withColumn("overcount", col("est") - col("exact"))
           .orderBy("o_orderpriority")

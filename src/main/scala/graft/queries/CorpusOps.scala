@@ -21,6 +21,42 @@ object CorpusOps {
   private val W = 32
   private val S = 24
 
+  /** The shared token-window grid p3 (chunking) and p4 (duplicated-span
+    * detection) both read: one row per (doc_id, chunk_id) with the
+    * window's token slice. Windows fully cover the doc: last start <=
+    * n - stride. */
+  private def spanGrid(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .withColumn("nch",
+        when(col("n") <= W, lit(1L))
+          .otherwise(floor((col("n") - lit(W - S + 1)) / lit(S.toDouble))
+            .cast("long") + lit(1L)))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nch") - 1)).as("chunk_id"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), col("chunk_id").cast("int") * S + 1, lit(W))
+          .as("chunk"))
+  }
+
+  /** SQL twin of [[spanGrid]]: CTEs `d` and `c`; downstream selects
+    * slice `toks[chunk_id*S+1 : chunk_id*S+W]`. */
+  private val spanGridSql: String =
+    s"""d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n
+                FROM documents),
+              c AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0,
+                         CAST(CASE WHEN n <= $W THEN 0
+                              ELSE floor((n - ${W - S + 1}) / $S.0) END
+                           AS BIGINT))) AS chunk_id
+                FROM d)"""
+
   // ---- t_qscore_linear: 64 hash buckets, fixed integer weights in
   // [-5, 5], bias 2 — the hash-trick linear scorer shape (fasttext-style)
   // at deterministic weights so logits are exact integers ----
@@ -46,37 +82,12 @@ object CorpusOps {
     // total tokens (~1.3x here). Chunk identity is md5 of the joined
     // window so the gate checks CONTENT, not just counts.
     Entry("p3_chunk",
-      (s, dir) => {
-        val toks = split(col("text"), " ")
-        val base = t(s, dir, "documents")
-          .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
-          // windows fully cover the doc: last start <= n - stride
-          .withColumn("nch",
-            when(col("n") <= W, lit(1L))
-              .otherwise(floor((col("n") - lit(W - S + 1)) / lit(S.toDouble))
-                .cast("long") + lit(1L)))
-        base
-          .select(col("doc_id"), col("toks"),
-            explode(sequence(lit(0L), col("nch") - 1)).as("chunk_id"))
-          .select(col("doc_id"), col("chunk_id"),
-            slice(col("toks"), col("chunk_id").cast("int") * S + 1, lit(W))
-              .as("chunk"))
-          .select(col("doc_id"), col("chunk_id"),
-            size(col("chunk")).cast("long").as("n_tok"),
-            md5(array_join(col("chunk"), " ")).as("h"))
-          .orderBy("doc_id", "chunk_id")
-      },
-      Some(s"""WITH d AS (
-                SELECT doc_id, string_split(text, ' ') AS toks,
-                       len(string_split(text, ' ')) AS n
-                FROM documents),
-              c AS (
-                SELECT doc_id, toks,
-                       unnest(generate_series(0,
-                         CAST(CASE WHEN n <= $W THEN 0
-                              ELSE floor((n - ${W - S + 1}) / $S.0) END
-                           AS BIGINT))) AS chunk_id
-                FROM d)
+      (s, dir) => spanGrid(t(s, dir, "documents"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(array_join(col("chunk"), " ")).as("h"))
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH $spanGridSql
               SELECT doc_id, chunk_id,
                      len(toks[chunk_id*$S+1 : chunk_id*$S+$W]) AS n_tok,
                      md5(array_to_string(
@@ -89,43 +100,18 @@ object CorpusOps {
     // isn't needed when spans are window-quantized). One shuffle on the
     // md5 span key; output linear in distinct duplicated spans.
     Entry("p4_dup_spans",
-      (s, dir) => {
-        val toks = split(col("text"), " ")
-        val base = t(s, dir, "documents")
-          .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
-          .withColumn("nch",
-            when(col("n") <= W, lit(1L))
-              .otherwise(floor((col("n") - lit(W - S + 1)) / lit(S.toDouble))
-                .cast("long") + lit(1L)))
-        base
-          .select(col("doc_id"),
-            explode(sequence(lit(0L), col("nch") - 1)).as("cid"),
-            col("toks"))
-          .select(col("doc_id"),
-            md5(array_join(
-              slice(col("toks"), col("cid").cast("int") * S + 1, lit(W)),
-              " ")).as("h"))
-          .groupBy("h")
-          .agg(countDistinct("doc_id").as("n_docs"),
-            count(lit(1)).as("n_occ"))
-          .filter(col("n_docs") >= 2)
-          .orderBy("h")
-      },
-      Some(s"""WITH d AS (
-                SELECT doc_id, string_split(text, ' ') AS toks,
-                       len(string_split(text, ' ')) AS n
-                FROM documents),
-              c AS (
-                SELECT doc_id, toks,
-                       unnest(generate_series(0,
-                         CAST(CASE WHEN n <= $W THEN 0
-                              ELSE floor((n - ${W - S + 1}) / $S.0) END
-                           AS BIGINT))) AS cid
-                FROM d),
+      (s, dir) => spanGrid(t(s, dir, "documents"))
+        .select(col("doc_id"), md5(array_join(col("chunk"), " ")).as("h"))
+        .groupBy("h")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("h"),
+      Some(s"""WITH $spanGridSql,
               spans AS (
                 SELECT doc_id,
                        md5(array_to_string(
-                         toks[cid*$S+1 : cid*$S+$W], ' ')) AS h
+                         toks[chunk_id*$S+1 : chunk_id*$S+$W], ' ')) AS h
                 FROM c)
               SELECT h, count(DISTINCT doc_id) AS n_docs,
                      count(*) AS n_occ
@@ -346,7 +332,7 @@ object CorpusOps {
     Entry("x9_quantize",
       (s, dir) => {
         val v = transform(col("embedding"), x => x.cast("double"))
-        val base = Tables.load(s, dir, "embeddings")
+        val base = t(s, dir, "embeddings")
           .select(col("vec_id"), v.as("v"))
           .withColumn("mn", array_min(col("v")))
           .withColumn("mx", array_max(col("v")))
@@ -386,11 +372,14 @@ object CorpusOps {
                          least(floor((x - mn) / s0), 255.0)) AS qa
                 FROM s2)
               SELECT vec_id,
-                     CAST(list_sum(qa) AS BIGINT) AS qsum,
-                     CAST(list_sum(list_transform(
+                     -- coalesce: DuckDB list_sum([]) is NULL where
+                     -- Spark's aggregate([], 0.0, +) is 0 — an empty
+                     -- vector must read as 0 codes / 0 error in both
+                     COALESCE(CAST(list_sum(qa) AS BIGINT), 0) AS qsum,
+                     COALESCE(CAST(list_sum(list_transform(
                        generate_series(1, len(v)), i ->
                          floor(abs(v[i] - (mn + qa[i] * scale)) * 1e6)))
-                       AS BIGINT) AS esum
+                       AS BIGINT), 0) AS esum
               FROM q ORDER BY vec_id""")),
 
     // T11 — hash-trick linear quality scorer: score(doc) = bias +

@@ -29,7 +29,7 @@ class CountMinAggSpec extends AnyFunSuite {
       .as("sk"))
     val est = df.distinct()
       .crossJoin(broadcast(sk))
-      .select(col("item"), CountMinAgg.estimate(spark, col("sk"),
+      .select(col("item"), CountMinAgg.estimate(col("sk"),
         col("item"), d, w).as("est"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = items.groupBy(identity).map { case (k, v) => k -> v.size }
