@@ -63,15 +63,21 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val ok = attempts.collect { case (t, None) => t }
-      (name, ok.minOption, attempts.flatMap(_._2).lastOption.filter(_ => ok.isEmpty))
+      // Keep the last error even when one attempt succeeded: a query that
+      // fails intermittently must not look healthy just because the min is
+      // taken over successful attempts. Fully-failed queries land in
+      // "errors"; mixed outcomes land in "flaky" with the same message.
+      (name, ok.minOption, attempts.flatMap(_._2).lastOption)
     }
     val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = results.collect { case (k, None, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val flaky = results.collect { case (k, Some(_), Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val nErr = results.count(r => r._2.isEmpty && r._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}""")
     // The per-query line above is ~4 KB and overflows the driver's 2000-char
     // tail window (BENCH parsed:null in rounds 1-3). This short final line is
     // guaranteed to land inside the window and carries the headline number.

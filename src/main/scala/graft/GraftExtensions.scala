@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "simhash_agg takes (column)")
         SimHashAgg(args.head).toAggregateExpression()
       }))
+    // Spark's own bloom-filter expressions (the runtime-filter-join
+    // machinery), surfaced for explicit membership pre-filters
+    graft.functions.BloomFn.injections.foreach(ext.injectFunction)
     ext.injectFunction((
       FunctionIdentifier("topk_agg"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),

@@ -354,6 +354,56 @@ object Analytics {
       Some("""SELECT l_linestatus, count(*) AS n,
                      round(sum(l_quantity), 4) AS qty
               FROM lineitem WHERE l_returnflag = 'R'
-              GROUP BY l_linestatus ORDER BY l_linestatus"""))
+              GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // A-pivot — wide-form pivot (the inverse of q30's unpivot): one
+    // column per l_linestatus value, sum(l_quantity) cells. Spark's
+    // pivot with an EXPLICIT value list compiles to a single hash
+    // aggregate of conditional sums — no extra pass to discover values
+    // (an implicit pivot runs a distinct() job first; at 100 TB the
+    // value list should always be declared). Cells are exact-integer
+    // double sums (l_quantity is integral), so the hash gate is safe.
+    Entry("q46_pivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     sum(CASE WHEN l_linestatus = 'F'
+                         THEN l_quantity END) AS "F",
+                     sum(CASE WHEN l_linestatus = 'O'
+                         THEN l_quantity END) AS "O"
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // A-pct — EXACT grouped percentiles (q34 is the approx/sketch form;
+    // this is the precise complement): quartiles of l_quantity per
+    // return flag. Both engines implement the R-7 linear-interpolation
+    // quantile with index p*(n-1); the probe points are binary-exact
+    // fractions (.25/.5/.75) over integral data, so every interpolated
+    // value is an exact quarter-integer and floor(4*q) is hash-stable
+    // (the round() half-boundary dodge, in quarters). Spark plans one
+    // sort-based aggregate per group — the exact form shuffles all
+    // values (that is the price of exactness; q34's KLL sketch is the
+    // 100 TB default, this the small-group verifier).
+    Entry("q47_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+            .as("qs"))
+        .select(col("l_returnflag"), col("n"),
+          floor(element_at(col("qs"), 1) * 4).cast("long").as("q1_x4"),
+          floor(element_at(col("qs"), 2) * 4).cast("long").as("q2_x4"),
+          floor(element_at(col("qs"), 3) * 4).cast("long").as("q3_x4"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+                     CAST(floor(quantile_cont(l_quantity, 0.25) * 4)
+                       AS BIGINT) AS q1_x4,
+                     CAST(floor(quantile_cont(l_quantity, 0.5) * 4)
+                       AS BIGINT) AS q2_x4,
+                     CAST(floor(quantile_cont(l_quantity, 0.75) * 4)
+                       AS BIGINT) AS q3_x4
+              FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }

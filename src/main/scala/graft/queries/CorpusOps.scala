@@ -241,6 +241,33 @@ object CorpusOps {
       },
       None),
 
+    // T12b — BPE tokenizer ENCODE: fit 8 merges, then tokenize the whole
+    // corpus with them ([[BpeTrain.applyMerges]] — the learned merge
+    // list ships into the plan as literals, the broadcast-small-model
+    // pattern: a trained tokenizer is fit state, exactly like q16's
+    // index map). Emits per-doc word/token counts plus an md5 of the
+    // full token stream, so the check pins the CONTENT of the
+    // tokenization, not just its size. Rows-only (the merges come from
+    // the iterative fit; no tractable ANSI replay) — encode semantics
+    // are pinned exactly by BpeEncodeSpec against an independent
+    // in-memory encoder. Encode itself is a pure per-row map: zero
+    // shuffles before the contract ORDER BY, linear at any corpus size.
+    Entry("t_bpe_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = BpeTrain.fit(docs, "text", steps = 8, minCount = 2L)
+        docs
+          .select(col("doc_id"),
+            BpeTrain.applyMerges(col("text"), merges).as("wt"))
+          .select(col("doc_id"), size(col("wt")).cast("long").as("n_words"),
+            flatten(col("wt")).as("toks"))
+          .select(col("doc_id"), col("n_words"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            md5(array_join(col("toks"), " ")).as("h"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // T13 — bigram language-model scoring: train corpus bigram counts,
     // score each doc by the sum of scaled conditional probabilities
     // floor(1e6 * c(w1,w2) / c(w1·)) over its bigrams — the "does this

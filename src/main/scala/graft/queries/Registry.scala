@@ -18,5 +18,6 @@ object Registry {
   def all: Seq[Entry] =
     Relational.entries ++ Analytics.entries ++ MLRelational.entries ++
       TimeWindows.entries ++ TextOps.entries ++ SimilarityOps.entries ++
-      MultimodalOps.entries ++ NeuralOps.entries ++ CorpusOps.entries
+      MultimodalOps.entries ++ NeuralOps.entries ++ CorpusOps.entries ++
+      GraphLayout.entries
 }

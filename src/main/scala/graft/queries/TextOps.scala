@@ -270,6 +270,58 @@ object TextOps {
               GROUP BY doc_id HAVING count(DISTINCT tok) >= 3
               ORDER BY doc_id""")),
 
+    // T6b — decontamination with a BLOOM-FILTER pre-filter: same output
+    // as t_decontaminate (bloom false positives are re-rejected by the
+    // exact join, so the composed operator is exact and shares the same
+    // oracle), but the corpus side is cut by a broadcast
+    // `might_contain` BEFORE the shuffle join. This is the 100 TB form:
+    // the benchmark's shingle set compresses to a fixed ~195 KiB sketch
+    // (1.6M bits) that rides to every executor, so the join's shuffle
+    // carries only probable-contaminated shingles — on a mostly-clean
+    // corpus that is a >100x exchange reduction the exact form can't
+    // see. Uses Spark's own BloomFilterAggregate/BloomFilterMightContain
+    // (the runtime-filter-join machinery), surfaced via
+    // [[graft.functions.BloomFn]]; the 1-row sketch frame joins in via
+    // broadcast cross join (the q44/x2 1-row-frame pattern). Shingle
+    // identity is xxhash64 (the t_boilerplate rationale: the join needs
+    // identity only, and the oracle would catch a collision loudly).
+    Entry("t_decontam_bloom",
+      (s, dir) => {
+        graft.functions.BloomFn.register(s)
+        Dedup.shingleSets(t(s, dir, "documents"), "text", "doc_id",
+            "source", 3)
+          .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("k"))
+          .createOrReplaceTempView("tdb_shingles")
+        // might_contain requires its sketch as a constant or scalar
+        // subquery (it must be evaluable before the probe scan starts —
+        // the same analysis rule Spark's InjectRuntimeFilter satisfies),
+        // so the query goes through the SQL entry point, q31-style.
+        s.sql("""WITH bench AS (SELECT DISTINCT k FROM tdb_shingles
+                                WHERE source = 'src0')
+                 SELECT doc_id, count(DISTINCT k) AS shared_shingles
+                 FROM (SELECT doc_id, k FROM tdb_shingles
+                       WHERE source != 'src0'
+                         AND might_contain(
+                           (SELECT bloom_filter_agg(k, 200000L, 1600000L)
+                            FROM bench), k)) probe
+                 JOIN bench USING (k)
+                 GROUP BY doc_id HAVING count(DISTINCT k) >= 3
+                 ORDER BY doc_id""")
+      },
+      Some("""WITH grams AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(toks) - 2, 1)),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS tok
+                FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                      FROM documents)),
+              bench AS (SELECT DISTINCT tok FROM grams WHERE source = 'src0')
+              SELECT doc_id, count(DISTINCT tok) AS shared_shingles
+              FROM grams JOIN bench USING (tok)
+              WHERE source != 'src0'
+              GROUP BY doc_id HAVING count(DISTINCT tok) >= 3
+              ORDER BY doc_id""")),
+
     // T7 — repetition detection: distinct-token ratio per doc (low ratio
     // = boilerplate/looping text, a standard pretraining quality cut).
     Entry("t_repetition",

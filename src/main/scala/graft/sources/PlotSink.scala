@@ -73,6 +73,12 @@ object PlotSink {
       xLabel: String, yLabel: String, fmt: Double => String,
       yMax: Option[Double] = None): String = {
     require(labels.length == values.length && labels.nonEmpty, "bad bars")
+    // The y scale is anchored at 0 (hi derives from max only), so a
+    // negative value would place the bar top below the baseline and emit a
+    // negative rect height — invalid SVG. Both reference charts this sink
+    // renders (accuracy, training seconds) are non-negative by construction;
+    // make that contract explicit rather than silently clamping.
+    require(values.forall(_ >= 0), "barChart requires non-negative values")
     val hi = yMax.getOrElse(math.max(values.max, 1e-12) * 1.1)
     val n = labels.length
     val bw = (W - ML - MR) / (n * 2.0) // bar width = half the slot
@@ -95,6 +101,10 @@ object PlotSink {
     val k = cm.length
     val hi = math.max(cm.map(_.max).max, 1L)
     val cell = math.min((W - ML - MR) / k, (H - MB - MT) / k)
+    // Integer division: past ~320 classes the per-cell size truncates to 0
+    // and every rect degenerates. The sink is documented O(k²) driver-side,
+    // so failing loudly on oversized matrices is the consistent contract.
+    require(cell >= 1, s"confusion matrix too large to render: $k classes")
     val cells = for (i <- 0 until k; j <- 0 until k) yield {
       val v = cm(i)(j)
       val frac = v.toDouble / hi

@@ -191,6 +191,14 @@ object EventStreams {
     * only on user_id, and the streaming runtime requires the RocksDB
     * state store provider — which is what a 100 TB keyspace wants anyway
     * (state spills to disk instead of executor heap).
+    *
+    * Memory bound: the in-batch event-time ordering contract requires
+    * materializing and sorting ONE key's events from ONE micro-batch in
+    * executor memory (`rows.toSeq.sortBy`). That is O(hottest key per
+    * trigger), not O(stream): bound it operationally by capping trigger
+    * size (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`). Keys hot enough
+    * to blow a bounded trigger need the order contract relaxed to arrival
+    * order, which folds the iterator with O(1) memory.
     */
   def runningTotals(events: org.apache.spark.sql.Dataset[
         graft.sources.Typed.Event],
