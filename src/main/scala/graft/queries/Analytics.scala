@@ -404,6 +404,112 @@ object Analytics {
                        AS BIGINT) AS q2_x4,
                      CAST(floor(quantile_cont(l_quantity, 0.75) * 4)
                        AS BIGINT) AS q3_x4
-              FROM lineitem GROUP BY 1 ORDER BY 1"""))
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // S3 — ORC sink + source roundtrip (the third columnar wire format
+    // beside parquet/CSV/JSONL; Spark's ORC reader keeps predicate
+    // pushdown and column pruning like parquet, so a user switching
+    // storage formats loses no plan quality). The oracle reads the
+    // ORIGINAL parquet — what the roundtrip must preserve.
+    Entry("s3_orc_roundtrip",
+      (s, dir) => {
+        val tmp = scratch(s, "s3_orc", dir)
+        t(s, dir, "supplier").write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy(col("s_nationkey").cast("long").as("nation"))
+          .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 4).as("bal"))
+          .orderBy("nation")
+      },
+      Some("""SELECT CAST(s_nationkey AS BIGINT) AS nation, count(*) AS n,
+                     round(sum(s_acctbal), 4) AS bal
+              FROM supplier GROUP BY nation ORDER BY nation""")),
+
+    // A-dedup-latest — CDC-style keep-latest-per-key dedup: one row per
+    // (user_id, event_type), the most recent event winning, event_id as
+    // the total-order tie-break (two events can share a timestamp; a
+    // nondeterministic winner would flap the hash gate AND a real
+    // pipeline's output). One shuffle on the dedup key, rank computed
+    // inside each partition — the upsert-compaction primitive every
+    // incremental ingest needs. row_number (not max ts + join-back)
+    // keeps it a single pass.
+    Entry("q49_window_dedup",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            round(col("value"), 4).as("value"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id,
+                     round(value, 4) AS value
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // A-gini — per-source language-purity (Gini impurity of the lang
+    // distribution, the mixture-skew diagnostic a corpus balancing job
+    // watches). Kept EXACT: gini = 1 - sum(c_i^2)/n^2 is rational, so
+    // emit floor(1e6 * gini) computed entirely in BIGINT division —
+    // bit-identical on any engine, no float in sight. Two aggregations,
+    // the second over O(sources x langs) rows.
+    Entry("q50_gini",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_docs"), sum(col("c") * col("c")).as("ss"))
+        .select(col("source"), col("n_docs"),
+          expr("(n_docs * n_docs - ss) * 1000000 DIV (n_docs * n_docs)")
+            .as("gini_e6"))
+        .orderBy("source"),
+      Some("""SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                     CAST((sum(c) * sum(c) - sum(c * c))
+                       * 1000000 // (sum(c) * sum(c)) AS BIGINT)
+                       AS gini_e6
+              FROM (SELECT source, lang, count(*) AS c
+                    FROM documents GROUP BY 1, 2)
+              GROUP BY source ORDER BY source""")),
+
+    // A-skyline — 2-D Pareto frontier over part (minimize price,
+    // maximize size): the multi-objective filter (quality-vs-length
+    // tradeoff curves in data selection). The naive form is a quadratic
+    // NOT-EXISTS anti-join (the oracle); the engine instead runs the
+    // O(n log n) sweep twice: a LOCAL sweep per hash bucket first — any
+    // subset's local skyline is a superset of its global-skyline members,
+    // so the pruning is lossless — then the global sweep over the few
+    // survivors. Sorted by (price asc, size desc), a distinct point is
+    // on the frontier iff its size beats the running max of everything
+    // cheaper-or-equal before it. The global pass sorts only survivors
+    // (bounded by skyline size x buckets), never the input.
+    Entry("q52_skyline",
+      (s, dir) => {
+        val pts = t(s, dir, "part")
+          .select(col("p_retailprice").as("price"),
+            col("p_size").cast("long").as("size"))
+          .distinct()
+        def sweep(df: org.apache.spark.sql.DataFrame, part: Seq[String]) = {
+          val w0 = if (part.isEmpty) Window.orderBy(col("price").asc, col("size").desc)
+            else Window.partitionBy(part.map(col): _*)
+              .orderBy(col("price").asc, col("size").desc)
+          val w = w0.rowsBetween(Window.unboundedPreceding, -1)
+          df.withColumn("mx", max("size").over(w))
+            .filter(col("mx").isNull || col("size") > col("mx"))
+            .drop("mx")
+        }
+        val local = sweep(pts.withColumn("b", pmod(hash(col("price"), col("size")), lit(32))), Seq("b")).drop("b")
+        sweep(local, Seq.empty).orderBy("price", "size")
+      },
+      Some("""WITH pts AS (SELECT DISTINCT p_retailprice AS price,
+                       CAST(p_size AS BIGINT) AS size FROM part)
+              SELECT price, size FROM pts p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.price <= p.price AND q.size >= p.size
+                  AND (q.price < p.price OR q.size > p.size))
+              ORDER BY price, size"""))
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.ops.Similarity
 
@@ -128,6 +129,52 @@ object SimilarityOps {
                      round(sum(CAST(embedding[1] AS DOUBLE)), 4) AS sum_d1,
                      round(sum(CAST(embedding[2] AS DOUBLE)), 4) AS sum_d2,
                      round(sum(CAST(embedding[64] AS DOUBLE)), 4) AS sum_d64
-              FROM embeddings GROUP BY label ORDER BY label"""))
+              FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // X13 — per-label centroid outliers: the 3 vectors farthest (squared
+    // euclidean) from their label's mean embedding — the mislabeled /
+    // contaminated-cluster detector an embedding-QA pass runs. Rank is
+    // taken on the ROUNDED distance with vec_id as the final tie-break
+    // (the t_tfidf move: sub-ulp cross-engine sum drift cannot reorder
+    // a rank computed on the already-rounded score). Plan: one explode
+    // (64 x rows), centroid agg over O(labels x dims), broadcast-sized
+    // join back, one distance agg, one O(rows)-partitioned rank window —
+    // every shuffle keyed, nothing driver-side.
+    Entry("x13_centroid_outliers",
+      (s, dir) => {
+        val ex = t(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"), col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("v", col("v").cast("double"))
+        val cent = ex.groupBy("label", "pos").agg(avg("v").as("c"))
+        val d2 = ex.join(broadcast(cent), Seq("label", "pos"))
+          .groupBy("label", "vec_id")
+          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+          .withColumn("d2r", round(col("d2"), 4))
+        val w = Window.partitionBy("label")
+          .orderBy(col("d2r").desc, col("vec_id").asc)
+        d2.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("label"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("d2r"))
+          .orderBy("label", "rk")
+      },
+      Some("""WITH ex AS (
+                SELECT CAST(label AS BIGINT) AS label, vec_id, i AS pos,
+                       CAST(embedding[i] AS DOUBLE) AS v
+                FROM embeddings, range(1, 65) t(i)),
+              cent AS (SELECT label, pos, avg(v) AS c
+                       FROM ex GROUP BY 1, 2),
+              d AS (SELECT e.label, e.vec_id,
+                           round(sum((e.v - c.c) * (e.v - c.c)), 4) AS d2r
+                    FROM ex e JOIN cent c
+                      ON e.label = c.label AND e.pos = c.pos
+                    GROUP BY 1, 2),
+              r AS (SELECT label, vec_id, d2r,
+                           row_number() OVER (PARTITION BY label
+                             ORDER BY d2r DESC, vec_id ASC) AS rk
+                    FROM d)
+              SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2r
+              FROM r WHERE rk <= 3 ORDER BY label, rk"""))
   )
 }

@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x2_cosine_topk", "x2_cosine_topk_ann", "x2_cosine_topk_ivf", // probe
     "x5_media_features", // probe via cosineTopK
     "t_tfidf", // corpus-total doc count
-    "q44_cms_freq") // the 1-row Count-Min grid joined onto 5 keys
+    "q44_cms_freq", // the 1-row Count-Min grid joined onto 5 keys
+    "q51_triangles") // three 1-row census aggregates cross-joined
 
   test("no query plans an unjustified nested-loop or cartesian join") {
     val offenders = plans.collect {
