@@ -58,7 +58,8 @@ object BpeTrain {
   /** The (word, freq, symbols) table BPE iterates on: one corpus-wide
     * aggregation, symbols = characters + [[EndOfWord]]. */
   def wordTable(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(col(textCol), " ")).as("word"))
+    graft.sources.Tables.spread(df)
+      .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("symbols",

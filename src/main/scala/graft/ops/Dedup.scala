@@ -37,7 +37,7 @@ object Dedup {
     * intersection join and MinHash consume. */
   def tokenSets(df: DataFrame, textCol: String, idCol: String,
       blockCol: String): DataFrame =
-    df.select(col(idCol), col(blockCol),
+    graft.sources.Tables.spread(df).select(col(idCol), col(blockCol),
         explode(array_distinct(split(col(textCol), " "))).as("tok"))
 
   /** Distinct n-gram array for a text column. */
@@ -52,13 +52,14 @@ object Dedup {
     * where tok is the space-joined n-gram of consecutive tokens. */
   def shingleSets(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, n: Int): DataFrame =
-    df.select(col(idCol), col(blockCol),
+    graft.sources.Tables.spread(df).select(col(idCol), col(blockCol),
       explode(gramsOf(textCol, n)).as("tok"))
 
   /** Unblocked variant: (idCol, tok) shingles. */
   def shingleTokens(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol), explode(gramsOf(textCol, n)).as("tok"))
+    graft.sources.Tables.spread(df)
+      .select(col(idCol), explode(gramsOf(textCol, n)).as("tok"))
 
   /** All-pairs Jaccard similarity >= threshold within a blocking column.
     * `sets` is the long form from tokenSets/shingleSets. Output:
@@ -95,6 +96,35 @@ object Dedup {
         col("c").cast("double") / (col("n1") + col("n2") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** All-pairs CONTAINMENT >= threshold within a blocking column:
+    * c / min(|A|,|B|) — the asymmetric near-dup test symmetric Jaccard
+    * misses (a 50-token doc pasted verbatim inside a 5000-token doc has
+    * J ~= 0.01 but containment 1.0; sub-document duplication is the
+    * dominant contamination mode in scraped corpora). Same
+    * (block, token-hash)-keyed intersection join as [[jaccardPairs]];
+    * the score is emitted as floor(1e4 * c / min) — an exact integer
+    * ratio, hash-stable on any engine. Output: (d1, d2, cont_e4),
+    * d1 < d2. */
+  def containmentPairs(sets: DataFrame, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sets.select(col(idCol).as("d1"), col(blockCol).as("blk"),
+      xxhash64(col("tok")).as("tokh"))
+    val b = sets.select(col(idCol).as("d2"), col(blockCol).as("blk2"),
+      xxhash64(col("tok")).as("tokh2"))
+    val inter = a.join(b,
+        col("tokh") === col("tokh2") && col("blk") === col("blk2") &&
+          col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+      .filter(col("c") * 10000L >= least(col("n1"), col("n2"))
+        * lit((threshold * 10000).toLong))
+      .select(col("d1"), col("d2"),
+        expr("c * 10000 DIV least(n1, n2)").as("cont_e4"))
   }
 
   /** All-pairs Jaccard >= threshold with PPJoin-style PREFIX FILTERING —

@@ -28,7 +28,7 @@ object CorpusOps {
   private def spanGrid(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val toks = split(col("text"), " ")
-    docs
+    Tables.spread(docs)
       .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
       .withColumn("nch",
         when(col("n") <= W, lit(1L))
@@ -256,7 +256,9 @@ object CorpusOps {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val merges = BpeTrain.fit(docs, "text", steps = 8, minCount = 2L)
-        docs
+        // the per-word merge-replay fold is the heaviest per-row map in
+        // the registry — spread it across cores (see Tables.spread)
+        Tables.spread(docs)
           .select(col("doc_id"),
             BpeTrain.applyMerges(col("text"), merges).as("wt"))
           .select(col("doc_id"), size(col("wt")).cast("long").as("n_words"),
@@ -279,24 +281,36 @@ object CorpusOps {
     Entry("t_bigram_lm",
       (s, dir) => {
         val pairs = BpeTrain.adjacentPairs(split(col("text"), " "))
-        // persist: the bigram frame feeds three consumers (c12, c1, and
-        // the probe side) — without it the explode lineage runs thrice.
+        // Collapse per-doc duplicate bigrams BEFORE anything shuffles:
+        // the (doc_id, bigram) -> multiplicity agg partial-aggregates
+        // map-side, so the token-sized explode never crosses the wire —
+        // only the per-doc distinct-bigram frame does (corpora repeat
+        // bigrams heavily; every downstream shuffle shrinks with it).
         // Shuffle keys are xxhash64 of the words, not the strings (the
         // t_boilerplate rationale: identity is all the join needs, and
-        // the oracle would catch a collision loudly).
-        val bg = t(s, dir, "documents")
+        // the oracle would catch a collision loudly). persist: feeds
+        // three consumers (c12, c1, the probe side).
+        val bg = Tables.spread(t(s, dir, "documents"))
           .select(col("doc_id"), explode(pairs).as("p"))
           .select(col("doc_id"),
             xxhash64(col("p.l"), col("p.r")).as("k12"),
             xxhash64(col("p.l")).as("k1"))
+          .groupBy("doc_id", "k12", "k1").agg(count(lit(1)).as("m"))
           .persist()
-        val c12 = bg.groupBy("k12").agg(count(lit(1)).as("n12"))
-        val c1 = bg.groupBy("k1").agg(count(lit(1)).as("n1"))
-        bg.join(c12, Seq("k12")).join(c1, Seq("k1"))
+        // k1 is functionally dependent on k12 (same left word), so the
+        // bigram-count agg carries it at no extra cardinality — which
+        // lets the two VOCABULARY-sized count tables join each other
+        // first, and the per-doc frame join only once
+        val c12 = bg.groupBy("k12", "k1").agg(sum("m").as("n12"))
+        val c1 = bg.groupBy("k1").agg(sum("m").as("n1"))
+        val probs = c12.join(c1, Seq("k1"))
+          .select(col("k12"),
+            floor(lit(1000000.0) * col("n12") / col("n1"))
+              .cast("long").as("p"))
+        bg.join(probs, Seq("k12"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(floor(lit(1000000.0) * col("n12") / col("n1"))
-              .cast("long")).as("lm_score"))
+          .agg(sum("m").as("n_bigrams"),
+            sum(col("m") * col("p")).as("lm_score"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (
@@ -315,6 +329,53 @@ object CorpusOps {
                        AS BIGINT) AS lm_score
               FROM bg JOIN c12 USING (l, r) JOIN c1 USING (l)
               GROUP BY doc_id ORDER BY doc_id""")),
+
+    // X16 — collocation mining: the 20 strongest bigram collocations by
+    // LIFT = P(xy)/(P(x·)P(·y)), the log-free PMI (log-PMI sums libm
+    // transcendentals that drift cross-engine; lift is the same ranking
+    // as an exact integer: floor(1e3 · n_xy · N / (n_x · n_y)) — all
+    // BIGINT). The "of the"-style glue a stopword list would hand-curate
+    // falls out of the statistics instead. Support floor n_xy >= 5 keeps
+    // rare-pair noise (lift explodes as counts -> 1) out of the top-k.
+    // Plan: one explode + three bigram-keyed aggs + a 1-row total
+    // broadcast onto the vocabulary-sized frame, TakeOrdered(20).
+    Entry("x16_collocations",
+      (s, dir) => {
+        val pairs = BpeTrain.adjacentPairs(split(col("text"), " "))
+        val bg = Tables.spread(t(s, dir, "documents"))
+          .select(explode(pairs).as("p"))
+          .select(col("p.l").as("l"), col("p.r").as("r"))
+          .groupBy("l", "r").agg(count(lit(1)).as("n_xy"))
+          .persist()
+        val nx = bg.groupBy("l").agg(sum("n_xy").as("n_x"))
+        val ny = bg.groupBy("r").agg(sum("n_xy").as("n_y"))
+        val tot = bg.agg(sum("n_xy").as("nn"))
+        bg.filter(col("n_xy") >= 5)
+          .join(nx, "l").join(ny, "r")
+          .crossJoin(broadcast(tot))
+          .select(col("l"), col("r"), col("n_xy"),
+            expr("n_xy * nn * 1000 DIV (n_x * n_y)").as("lift_e3"))
+          .orderBy(col("lift_e3").desc, col("l"), col("r"))
+          .limit(20)
+      },
+      Some("""WITH t AS (
+                SELECT string_split(text, ' ') AS toks FROM documents),
+              ix AS (
+                SELECT toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM t),
+              bg AS (
+                SELECT toks[i] AS l, toks[i + 1] AS r, count(*) AS n_xy
+                FROM ix GROUP BY 1, 2),
+              nx AS (SELECT l, sum(n_xy) AS n_x FROM bg GROUP BY 1),
+              ny AS (SELECT r, sum(n_xy) AS n_y FROM bg GROUP BY 1),
+              tot AS (SELECT sum(n_xy) AS nn FROM bg)
+              SELECT bg.l, bg.r, bg.n_xy,
+                     CAST(bg.n_xy * tot.nn * 1000
+                       // (nx.n_x * ny.n_y) AS BIGINT) AS lift_e3
+              FROM bg JOIN nx USING (l) JOIN ny USING (r) CROSS JOIN tot
+              WHERE bg.n_xy >= 5
+              ORDER BY lift_e3 DESC, bg.l, bg.r LIMIT 20""")),
 
     // X8 — deterministic k-fold assignment (k=5): fold(doc) = first two
     // md5 hex digits as an integer, mod k — the cross-validation /

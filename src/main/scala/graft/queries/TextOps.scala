@@ -96,6 +96,36 @@ object TextOps {
               WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.35
               ORDER BY d1, d2""")),
 
+    // X14 — CONTAINMENT near-dup pairs: c/min(|A|,|B|) >= 0.9 on distinct
+    // token sets within `source` — the asymmetric test that catches a
+    // small doc pasted inside a big one (J ~= |small|/|big| ~= 0, so X4
+    // misses it; sub-document duplication dominates scraped corpora).
+    // Score is floor(1e4·c/min): exact integer ratio, strict hash gate.
+    Entry("x14_containment",
+      (s, dir) => Dedup.containmentPairs(
+        Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id", "source"),
+        "doc_id", "source", 0.9)
+        .orderBy("d1", "d2"),
+      Some("""WITH toks AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT d1, d2,
+                     CAST(c * 10000 // least(s1.n, s2.n) AS BIGINT)
+                       AS cont_e4
+              FROM inter
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE c * 10000 >= least(s1.n, s2.n) * 9000
+              ORDER BY d1, d2""")),
+
     // MinHash + LSH dedup assignments (exact-dedup pre-pass → signatures
     // over representatives → per-bucket min keeper → exact-Jaccard verify
     // of the single per-doc pair) — the 100 TB dedup path; output rows

@@ -122,6 +122,21 @@ object Tables {
     load(spark, dir, "embeddings").as[Typed.Embedding]
   }
 
+  /** Round-robin repartition to the session's default parallelism.
+    *
+    * The fixture parquet files are single-row-group, and Spark cannot
+    * split a row group — so every scan of them is ONE partition, and an
+    * operator doing heavy per-row text compute downstream (explode,
+    * higher-order-function folds, regex) serializes on one core. A
+    * few-MB shuffle buys full-core parallelism for that compute
+    * (measured: the bigram explode alone dropped 2.3s -> 0.3s at
+    * local[32]). Use it ONLY in front of compute-heavy narrow maps:
+    * at real scale inputs arrive in thousands of splits and the
+    * repartition is a row-group-starvation workaround to drop, not a
+    * pattern to keep. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Load a fixture table from `dir` with its declared schema. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")

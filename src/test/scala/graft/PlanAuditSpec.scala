@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x5_media_features", // probe via cosineTopK
     "t_tfidf", // corpus-total doc count
     "q44_cms_freq", // the 1-row Count-Min grid joined onto 5 keys
-    "q51_triangles") // three 1-row census aggregates cross-joined
+    "q51_triangles", // three 1-row census aggregates cross-joined
+    "x16_collocations") // 1-row bigram total onto the vocab frame
 
   test("no query plans an unjustified nested-loop or cartesian join") {
     val offenders = plans.collect {
