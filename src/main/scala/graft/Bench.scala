@@ -49,7 +49,7 @@ object Bench {
     // SUCCESSFUL attempts only. A failing query must surface as an "err"
     // entry, never as a fast time-to-exception masquerading as a result.
     val results = selected.map { case (name, fn) =>
-      val attempts = (1 to 2).map { _ =>
+      def attempt(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { exec(fn); None } catch {
           case e: Throwable =>
@@ -62,6 +62,16 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      val two = Vector(attempt(), attempt())
+      // Transient host stalls (IO hiccup, GC wall) occasionally cover
+      // BOTH attempts of one query — full-run diffs show the same query
+      // swinging 0.8s <-> 4.9s between runs with an unchanged plan. A
+      // third attempt only when best-of-2 still looks slow keeps the
+      // reported min honest at bounded extra wall cost.
+      val attempts =
+        if (two.collect { case (t, None) => t }.minOption.exists(_ > 1.5))
+          two :+ attempt()
+        else two
       val ok = attempts.collect { case (t, None) => t }
       // Keep the last error even when one attempt succeeded: a query that
       // fails intermittently must not look healthy just because the min is
