@@ -128,6 +128,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact k-NN classification: for the first `nProbes` vectors,
+    * majority-vote the label of their k nearest neighbors (rounded
+    * cosine, excluding self) — the label-propagation / labeling-QA
+    * primitive over an embedding store. Rank ties break on neighbor id,
+    * vote ties on smallest label, so the prediction is deterministic on
+    * any engine. Plan: the probe set is a constant-bounded broadcast
+    * (nProbes rows) onto the vector scan, then two keyed windows over
+    * O(nProbes x candidates) and O(nProbes x labels) frames — the
+    * brute-force exact baseline; at scale the candidate generation
+    * swaps to the sign-LSH / IVF forms above.
+    * Output: (probe_id, true_label, pred_label, votes). */
+  def knnClassify(df: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, nProbes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = df.filter(col(idCol) < nProbes)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+        col(labelCol).cast("long").as("true_label"))
+    val scored = df.crossJoin(broadcast(probes))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col("true_label"),
+        col(labelCol).cast("long").as("nbr_label"), col(idCol).as("nbr"),
+        round(fcosine(df)(col(vecCol), col("__pv")), 4).as("cs"))
+    val wNbr = Window.partitionBy("probe_id")
+      .orderBy(col("cs").desc, col("nbr").asc)
+    val votes = scored.withColumn("rk", row_number().over(wNbr))
+      .filter(col("rk") <= k)
+      .groupBy("probe_id", "true_label", "nbr_label")
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("nbr_label").asc)
+    votes.withColumn("wr", row_number().over(wVote))
+      .filter(col("wr") === 1)
+      .select(col("probe_id"), col("true_label"),
+        col("nbr_label").as("pred_label"), col("votes"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, blocked by
     * sign bucket so the self-join is bucket-local. Exact within-bucket;
     * cross-bucket near-dups at the orthant boundary are the accepted

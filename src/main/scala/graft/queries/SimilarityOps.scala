@@ -131,6 +131,42 @@ object SimilarityOps {
                      round(sum(CAST(embedding[64] AS DOUBLE)), 4) AS sum_d64
               FROM embeddings GROUP BY label ORDER BY label""")),
 
+    // X15 — exact k-NN classification: majority label of the 5 nearest
+    // neighbors (rounded cosine, self excluded) for the first 10
+    // vectors — the labeling-QA / label-propagation primitive. Rank
+    // ties break on neighbor id, vote ties on smallest label: fully
+    // deterministic, strict hash gate. The probe side is a 10-row
+    // broadcast; at scale candidate generation swaps to the LSH/IVF
+    // forms (x2b/x2c).
+    Entry("x15_knn_classify",
+      (s, dir) => Similarity.knnClassify(
+        t(s, dir, "embeddings"), "embedding", "vec_id", "label", 10, 5)
+        .orderBy("probe_id"),
+      Some("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv,
+                       CAST(label AS BIGINT) AS true_label
+                FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT p.probe_id, p.true_label, e.vec_id,
+                           CAST(e.label AS BIGINT) AS nbr_label,
+                           round(sum(CAST(e.embedding[i] AS DOUBLE)
+                                   * CAST(p.pv[i] AS DOUBLE))
+                             / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE)
+                                       * CAST(e.embedding[i] AS DOUBLE)))
+                              * sqrt(sum(CAST(p.pv[i] AS DOUBLE)
+                                       * CAST(p.pv[i] AS DOUBLE)))), 4)
+                             AS cs
+                    FROM embeddings e CROSS JOIN p, range(1, 65) t(i)
+                    WHERE e.vec_id <> p.probe_id
+                    GROUP BY 1, 2, 3, 4),
+              r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY cs DESC, vec_id ASC) AS rk FROM c),
+              v AS (SELECT probe_id, true_label, nbr_label,
+                           count(*) AS votes
+                    FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+              w AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY votes DESC, nbr_label ASC) AS wr FROM v)
+              SELECT probe_id, true_label, nbr_label AS pred_label, votes
+              FROM w WHERE wr = 1 ORDER BY probe_id""")),
+
     // X13 — per-label centroid outliers: the 3 vectors farthest (squared
     // euclidean) from their label's mean embedding — the mislabeled /
     // contaminated-cluster detector an embedding-QA pass runs. Rank is

@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_tfidf", // corpus-total doc count
     "q44_cms_freq", // the 1-row Count-Min grid joined onto 5 keys
     "q51_triangles", // three 1-row census aggregates cross-joined
-    "x16_collocations") // 1-row bigram total onto the vocab frame
+    "x16_collocations", // 1-row bigram total onto the vocab frame
+    "x15_knn_classify") // constant-bounded 10-row probe broadcast
 
   test("no query plans an unjustified nested-loop or cartesian join") {
     val offenders = plans.collect {
