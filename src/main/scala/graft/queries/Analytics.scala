@@ -510,6 +510,35 @@ object Analytics {
                 SELECT 1 FROM pts q
                 WHERE q.price <= p.price AND q.size >= p.size
                   AND (q.price < p.price OR q.size > p.size))
-              ORDER BY price, size"""))
+              ORDER BY price, size""")),
+
+    // A-hist — equi-width histogram (16 buckets over the global
+    // [min, max] of o_totalprice): the distribution profiler behind
+    // every data-quality dashboard. The bucket formula floor((x-mn)*16
+    // /(mx-mn)) is written CHARACTER-IDENTICAL in both engines over the
+    // same parquet doubles — same IEEE ops, same result, no rounding
+    // tolerance needed (the x7 thr pattern). Max value clamps into the
+    // last bucket. Plan: one 2-value global agg broadcast onto the
+    // scan, one bucket agg — two passes, both full-scan-parallel.
+    Entry("q53_histogram",
+      (s, dir) => {
+        val mm = t(s, dir, "orders")
+          .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        t(s, dir, "orders")
+          .crossJoin(broadcast(mm))
+          .select(least(
+            floor((col("o_totalprice") - col("mn")) * 16
+              / (col("mx") - col("mn"))).cast("long"),
+            lit(15L)).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH mm AS (SELECT min(o_totalprice) AS mn,
+                       max(o_totalprice) AS mx FROM orders)
+              SELECT least(CAST(floor((o_totalprice - mn) * 16
+                       / (mx - mn)) AS BIGINT), 15) AS bucket,
+                     count(*) AS n
+              FROM orders CROSS JOIN mm
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -126,6 +126,48 @@ object TextOps {
               WHERE c * 10000 >= least(s1.n, s2.n) * 9000
               ORDER BY d1, d2""")),
 
+    // T14 — n-gram novelty: per doc, the fraction of its distinct
+    // 3-shingles whose FIRST appearance (smallest doc_id) is this doc —
+    // the append-order "how much new text does each document add"
+    // signal an incremental corpus-growth monitor tracks (novelty ~ 0
+    // means the doc is stitched from already-seen text even when no
+    // single pair-level near-dup fires). floor(1e4·novel/total) keeps
+    // the ratio an exact integer. Two shingle-keyed shuffles (first-seen
+    // agg, join back) — the t_boilerplate linear shape.
+    Entry("t_ngram_novelty",
+      (s, dir) => {
+        val sh = Dedup.shingleTokens(
+            t(s, dir, "documents"), "text", "doc_id", 3)
+          .select(col("doc_id"), xxhash64(col("tok")).as("k"))
+          .persist()
+        val first = sh.groupBy("k").agg(min("doc_id").as("first_doc"))
+        sh.join(first, "k")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_e4",
+            expr("n_novel * 10000 DIV n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(toks) - 2, 1)),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents)),
+              fst AS (SELECT tok, min(doc_id) AS first_doc
+                      FROM grams GROUP BY 1)
+              SELECT doc_id, count(*) AS n_shingles,
+                     CAST(sum(CASE WHEN first_doc = doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                     CAST(sum(CASE WHEN first_doc = doc_id
+                         THEN 1 ELSE 0 END) * 10000
+                       // count(*) AS BIGINT) AS novelty_e4
+              FROM grams JOIN fst USING (tok)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // MinHash + LSH dedup assignments (exact-dedup pre-pass → signatures
     // over representatives → per-bucket min keeper → exact-Jaccard verify
     // of the single per-doc pair) — the 100 TB dedup path; output rows

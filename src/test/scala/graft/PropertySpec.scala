@@ -92,4 +92,59 @@ class PropertySpec extends AnyFunSuite {
         }
     })
   }
+
+  test("containment pairs: cont_e4 in [9000, 10000], ordered, and " +
+      "implied by any jaccard pair at the same threshold") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(6, wordsGen.map(_.mkString(" ")))) {
+      texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "b") }
+          .toDF("doc_id", "text", "source")
+        val sets = Dedup.tokenSets(df, "text", "doc_id", "source")
+        val cont = Dedup.containmentPairs(sets, "doc_id", "source", 0.9)
+          .collect()
+        val contKeys = cont.map(r => (r.getLong(0), r.getLong(1))).toSet
+        // J(A,B) >= t implies c/min >= t (c/min >= c/(|A|+|B|-c) = J)
+        val jac = Dedup.jaccardPairs(sets, "doc_id", "source", 0.9)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        cont.forall { r =>
+          r.getLong(0) < r.getLong(1) &&
+            r.getLong(2) >= 9000L && r.getLong(2) <= 10000L
+        } && jac.forall(contKeys.contains)
+    })
+  }
+
+  test("skyline sweep equals the quadratic dominance definition") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(
+        Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0, 20)))) { pts0 =>
+      val pts = pts0.map { case (p, sz) => (p.toDouble, sz.toLong) }
+      // reference: a distinct point survives iff nothing dominates it
+      val d = pts.distinct
+      val want = d.filter(p => !d.exists(q =>
+        q._1 <= p._1 && q._2 >= p._2 && (q._1 < p._1 || q._2 > p._2)))
+        .sorted
+      // the engine form: bucketed local sweep, then global sweep
+      val dfPts = pts.toDF("price", "size").distinct()
+      def sweep(in: org.apache.spark.sql.DataFrame,
+          part: Seq[String]) = {
+        val w0 =
+          if (part.isEmpty)
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("price").asc, col("size").desc)
+          else org.apache.spark.sql.expressions.Window
+            .partitionBy(part.map(col): _*)
+            .orderBy(col("price").asc, col("size").desc)
+        val w = w0.rowsBetween(Long.MinValue, -1)
+        in.withColumn("mx", max("size").over(w))
+          .filter(col("mx").isNull || col("size") > col("mx"))
+          .drop("mx")
+      }
+      val local = sweep(dfPts.withColumn("b",
+        pmod(hash(col("price"), col("size")), lit(4))), Seq("b")).drop("b")
+      val out = sweep(local, Seq.empty)
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toList.sorted
+      out == want
+    })
+  }
 }
