@@ -75,28 +75,35 @@ object Dedup {
     * ~59%-near-dup corpus most tokens are shared. Like prefix
     * filtering ([[jaccardPairsPrefix]]), it pays off only on sparse
     * corpora. */
-  def jaccardPairs(sets: DataFrame, idCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
+  /** Shared machinery of the all-pairs similarity family: the blocked
+    * intersection-count join with both set sizes attached — (d1, d2, c,
+    * n1, n2), d1 < d2. Joins on a 64-bit hash of the token, not the
+    * token string: same intersection counts (collision odds ~n^2/2^64)
+    * at a fraction of the shuffle width — shingles average tens of
+    * bytes, the hash is 8. [[jaccardPairs]] and [[containmentPairs]]
+    * are each one score projection + threshold over this frame. */
+  private def blockedIntersection(sets: DataFrame, idCol: String,
+      blockCol: String): DataFrame = {
     val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    // Join on a 64-bit hash of the token, not the token string: same
-    // intersection counts (collision odds ~n^2/2^64) at a fraction of the
-    // shuffle width — shingles average tens of bytes, the hash is 8.
     val a = sets.select(col(idCol).as("d1"), col(blockCol).as("blk"),
       xxhash64(col("tok")).as("tokh"))
     val b = sets.select(col(idCol).as("d2"), col(blockCol).as("blk2"),
       xxhash64(col("tok")).as("tokh2"))
-    val inter = a.join(b,
+    a.join(b,
         col("tokh") === col("tokh2") && col("blk") === col("blk2") &&
           col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-    inter
       .join(sizes.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+  }
+
+  def jaccardPairs(sets: DataFrame, idCol: String, blockCol: String,
+      threshold: Double): DataFrame =
+    blockedIntersection(sets, idCol, blockCol)
       .withColumn("jaccard",
         col("c").cast("double") / (col("n1") + col("n2") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** All-pairs CONTAINMENT >= threshold within a blocking column:
     * c / min(|A|,|B|) — the asymmetric near-dup test symmetric Jaccard
@@ -108,24 +115,12 @@ object Dedup {
     * ratio, hash-stable on any engine. Output: (d1, d2, cont_e4),
     * d1 < d2. */
   def containmentPairs(sets: DataFrame, idCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
-    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = sets.select(col(idCol).as("d1"), col(blockCol).as("blk"),
-      xxhash64(col("tok")).as("tokh"))
-    val b = sets.select(col(idCol).as("d2"), col(blockCol).as("blk2"),
-      xxhash64(col("tok")).as("tokh2"))
-    val inter = a.join(b,
-        col("tokh") === col("tokh2") && col("blk") === col("blk2") &&
-          col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+      threshold: Double): DataFrame =
+    blockedIntersection(sets, idCol, blockCol)
       .filter(col("c") * 10000L >= least(col("n1"), col("n2"))
         * lit((threshold * 10000).toLong))
       .select(col("d1"), col("d2"),
         expr("c * 10000 DIV least(n1, n2)").as("cont_e4"))
-  }
 
   /** All-pairs Jaccard >= threshold with PPJoin-style PREFIX FILTERING —
     * exact (identical output to [[jaccardPairs]]), but the self-join

@@ -456,7 +456,11 @@ object Analytics {
     // watches). Kept EXACT: gini = 1 - sum(c_i^2)/n^2 is rational, so
     // emit floor(1e6 * gini) computed entirely in BIGINT division —
     // bit-identical on any engine, no float in sight. Two aggregations,
-    // the second over O(sources x langs) rows.
+    // the second over O(sources x langs) rows. 64-bit bound: n^2 * 1e6
+    // overflows past ~3e6 docs PER SOURCE; beyond that, drop the 1e6
+    // scaling to double (ranking needs ~1e-6 relative accuracy, which
+    // double gives) — the exact-integer form is the ORACLE contract at
+    // verification scale, not a 100 TB requirement.
     Entry("q50_gini",
       (s, dir) => t(s, dir, "documents")
         .groupBy("source", "lang").agg(count(lit(1)).as("c"))
@@ -486,23 +490,12 @@ object Analytics {
     // cheaper-or-equal before it. The global pass sorts only survivors
     // (bounded by skyline size x buckets), never the input.
     Entry("q52_skyline",
-      (s, dir) => {
-        val pts = t(s, dir, "part")
-          .select(col("p_retailprice").as("price"),
-            col("p_size").cast("long").as("size"))
-          .distinct()
-        def sweep(df: org.apache.spark.sql.DataFrame, part: Seq[String]) = {
-          val w0 = if (part.isEmpty) Window.orderBy(col("price").asc, col("size").desc)
-            else Window.partitionBy(part.map(col): _*)
-              .orderBy(col("price").asc, col("size").desc)
-          val w = w0.rowsBetween(Window.unboundedPreceding, -1)
-          df.withColumn("mx", max("size").over(w))
-            .filter(col("mx").isNull || col("size") > col("mx"))
-            .drop("mx")
-        }
-        val local = sweep(pts.withColumn("b", pmod(hash(col("price"), col("size")), lit(32))), Seq("b")).drop("b")
-        sweep(local, Seq.empty).orderBy("price", "size")
-      },
+      (s, dir) => graft.ops.Skyline.frontier(
+          t(s, dir, "part")
+            .select(col("p_retailprice").as("price"),
+              col("p_size").cast("long").as("size")),
+          "price", "size")
+        .orderBy("price", "size"),
       Some("""WITH pts AS (SELECT DISTINCT p_retailprice AS price,
                        CAST(p_size AS BIGINT) AS size FROM part)
               SELECT price, size FROM pts p

@@ -337,6 +337,10 @@ object CorpusOps {
     // BIGINT). The "of the"-style glue a stopword list would hand-curate
     // falls out of the statistics instead. Support floor n_xy >= 5 keeps
     // rare-pair noise (lift explodes as counts -> 1) out of the top-k.
+    // 64-bit bound: n_xy*nn*1000 overflows past nn*max(n_xy) ~ 9e15
+    // (DuckDB promotes to HUGEINT, Spark does not) — past that, rank on
+    // double lift instead; the exact-integer form is the ORACLE contract
+    // at verification scale.
     // Plan: one explode + three bigram-keyed aggs + a 1-row total
     // broadcast onto the vocabulary-sized frame, TakeOrdered(20).
     Entry("x16_collocations",

@@ -187,18 +187,19 @@ object GraphLayout {
           .select(least(col("u"), col("w")).as("a"),
             greatest(col("u"), col("w")).as("b"))
           .distinct().persist()
-        edges.count()
+        // the eager count is BOTH the cache barrier and the edge total
+        val nEdges = edges.count()
         val deg = edges.select(col("a").as("v"))
           .union(edges.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("d"))
-        val nE = edges.agg(count(lit(1)).as("n_edges"))
         val nW = deg.agg(expr("sum(d * (d - 1) DIV 2)").as("n_wedges"))
         val tri = edges
           .join(edges.select(col("a").as("b"), col("b").as("c2")), "b")
           .join(edges.select(col("a"), col("b").as("c2")), Seq("a", "c2"))
           .agg(count(lit(1)).as("n_triangles"))
-        nE.crossJoin(nW).crossJoin(tri)
-          .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        nW.crossJoin(tri)
+          .select(lit(nEdges).as("n_edges"), col("n_wedges"),
+            col("n_triangles"),
             expr("3000000 * n_triangles DIV greatest(n_wedges, 1)")
               .as("gcc_e6"))
       },

@@ -124,25 +124,10 @@ class PropertySpec extends AnyFunSuite {
       val want = d.filter(p => !d.exists(q =>
         q._1 <= p._1 && q._2 >= p._2 && (q._1 < p._1 || q._2 > p._2)))
         .sorted
-      // the engine form: bucketed local sweep, then global sweep
-      val dfPts = pts.toDF("price", "size").distinct()
-      def sweep(in: org.apache.spark.sql.DataFrame,
-          part: Seq[String]) = {
-        val w0 =
-          if (part.isEmpty)
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("price").asc, col("size").desc)
-          else org.apache.spark.sql.expressions.Window
-            .partitionBy(part.map(col): _*)
-            .orderBy(col("price").asc, col("size").desc)
-        val w = w0.rowsBetween(Long.MinValue, -1)
-        in.withColumn("mx", max("size").over(w))
-          .filter(col("mx").isNull || col("size") > col("mx"))
-          .drop("mx")
-      }
-      val local = sweep(dfPts.withColumn("b",
-        pmod(hash(col("price"), col("size")), lit(4))), Seq("b")).drop("b")
-      val out = sweep(local, Seq.empty)
+      // exercise the PRODUCTION sweep (the q52 path), small bucket count
+      // so multi-point buckets actually occur at test sizes
+      val out = graft.ops.Skyline.frontier(
+          pts.toDF("price", "size"), "price", "size", buckets = 4)
         .collect().map(r => (r.getDouble(0), r.getLong(1))).toList.sorted
       out == want
     })

@@ -96,4 +96,18 @@ class SourcesSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, dir).head()
     assert(emb.embedding.length == 64)
   }
+
+  test("spread fans a one-partition scan out to defaultParallelism") {
+    val docs = Tables.load(spark, dir, "documents")
+    // the single-row-group fixture scans as one partition — the
+    // condition spread exists to fix
+    assert(docs.rdd.getNumPartitions <= 2, "fixture unexpectedly split")
+    val s = Tables.spread(docs)
+    assert(s.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // content preserved exactly (round-robin is a reshuffle, not a map)
+    assert(s.count() == docs.count())
+    assert(s.select(sum("doc_id")).head().getLong(0) ==
+      docs.select(sum("doc_id")).head().getLong(0))
+  }
 }

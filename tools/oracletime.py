@@ -31,14 +31,21 @@ def main(sfdir, outdir, benchjson=None):
             best = dt if best is None else min(best, dt)
         if best is not None:
             rows.append((name, best, bench.get(name)))
-    tot_o = sum(r[1] for r in rows)
-    tot_s = sum(r[2] for r in rows if r[2])
-    print(f"oracle total {tot_o:.2f}s over {len(rows)} queries; "
-          f"spark total {tot_s:.2f}s; ratio {tot_s/tot_o:.2f}x")
+    # ratio over the MATCHED set only (a query timed in the oracle but
+    # absent/errored in bench must not inflate the denominator)
+    both = [r for r in rows if r[2]]
+    tot_o = sum(r[1] for r in both)
+    tot_s = sum(r[2] for r in both)
+    if both and tot_o > 0:
+        print(f"oracle total {tot_o:.2f}s over {len(both)} matched queries; "
+              f"spark total {tot_s:.2f}s; ratio {tot_s/tot_o:.2f}x")
+    else:
+        print(f"no matched spark/oracle timings "
+              f"({len(rows)} oracle queries timed)")
     print("worst spark/oracle ratios (spark >= 0.5s):")
-    for name, o, s in sorted(rows, key=lambda r: -(r[2] or 0) / max(r[1], 1e-3))[:15]:
-        if s and s >= 0.5:
-            print(f"  {s:6.2f}s vs {o:6.2f}s  {s/max(o,1e-3):6.1f}x  {name}")
+    slow = [r for r in both if r[2] >= 0.5]
+    for name, o, s in sorted(slow, key=lambda r: -r[2] / max(r[1], 1e-3))[:15]:
+        print(f"  {s:6.2f}s vs {o:6.2f}s  {s/max(o,1e-3):6.1f}x  {name}")
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
