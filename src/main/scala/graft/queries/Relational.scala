@@ -134,6 +134,33 @@ object Relational {
               FROM supplier LEFT JOIN lineitem ON s_suppkey = l_suppkey
               GROUP BY s_suppkey ORDER BY s_suppkey""")),
 
+    // Q7b — FULL outer join: both unmatched sides survive with nulls
+    // (customers who never ordered AND orders whose customer filter
+    // carved away their account rows). The per-side key is re-coalesced
+    // into one grouping key; null-aware counts distinguish the three
+    // match classes. One shuffle per side, same as any fact-fact join.
+    Entry("q07b_full_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_acctbal") > 7000)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey"), col("o_totalprice"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("k"))
+          .agg(count(col("c_acctbal")).as("n_cust"),
+            count(col("o_totalprice")).as("n_ord"))
+          .orderBy("k")
+      },
+      Some("""SELECT coalesce(c_custkey, o_custkey) AS k,
+                     count(c_acctbal) AS n_cust,
+                     count(o_totalprice) AS n_ord
+              FROM (SELECT c_custkey, c_acctbal FROM customer
+                    WHERE c_acctbal > 7000) c
+              FULL JOIN (SELECT o_custkey, o_totalprice FROM orders
+                         WHERE o_totalprice > 150000) o
+                ON c_custkey = o_custkey
+              GROUP BY 1 ORDER BY 1""")),
+
     // Q8 — TPC-H Q1-shape grouped aggregation (the fit-aggregation
     // pattern of E1/E5: partial map-side combine + final merge).
     Entry("q08_agg_tpch_q1",
