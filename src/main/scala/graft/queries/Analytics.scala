@@ -532,6 +532,45 @@ object Analytics {
                        / (mx - mn)) AS BIGINT), 15) AS bucket,
                      count(*) AS n
               FROM orders CROSS JOIN mm
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    // A-fuzzy — blocked fuzzy matching (record linkage): within each
+    // p_brand block, count part-name pairs at edit distance <= 3 and
+    // the exact-duplicate subset — the approximate-dedup primitive for
+    // DIRTY keys (typos) that hash equality misses entirely.
+    // levenshtein is the textbook DP — exact integers, identical in
+    // both engines. The block key bounds the quadratic: pairs are
+    // per-brand, never global; at scale the block key widens (brand x
+    // length-band x first-char) and AQE's skew split handles hot
+    // blocks. One equi-shuffle on the block key; the distance filter
+    // runs codegen'd inside the join output.
+    Entry("q54_fuzzy_match",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        // spread the STREAM side: part is a 25-key block join, so Spark
+        // broadcasts the other side and keeps the stream side's scan
+        // partitioning — which is ONE partition on the single-row-group
+        // fixture, serializing all pair distances on one core (measured
+        // 8.7s -> 1.3s at sf0.1; see Tables.spread)
+        val a = graft.sources.Tables.spread(p)
+          .select(col("p_brand"), col("p_partkey").as("k1"),
+            col("p_name").as("n1"))
+        val b = p.select(col("p_brand"), col("p_partkey").as("k2"),
+          col("p_name").as("n2"))
+        a.join(b, Seq("p_brand")).filter(col("k1") < col("k2"))
+          .withColumn("d", levenshtein(col("n1"), col("n2")))
+          .filter(col("d") <= 3)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_fuzzy"),
+            sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_exact"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT a.p_brand, count(*) AS n_fuzzy,
+                     CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+              FROM part a JOIN part b
+                ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+              WHERE levenshtein(a.p_name, b.p_name) <= 3
+              GROUP BY a.p_brand ORDER BY a.p_brand"""))
   )
 }
