@@ -11,6 +11,33 @@ class AnalyticsSpec extends AnyFunSuite {
   private def run(name: String) =
     Registry.all.find(_.name == name).get.run(spark, sf)
 
+  test("skyline edge cases: empty input, identical points, dominance") {
+    import spark.implicits._
+    // empty frontier
+    assert(graft.ops.Skyline.frontier(
+      Seq.empty[(Double, Long)].toDF("price", "size"),
+      "price", "size").count() == 0)
+    // duplicates collapse to one frontier point
+    val dup = Seq((1.0, 5L), (1.0, 5L), (1.0, 5L)).toDF("price", "size")
+    assert(graft.ops.Skyline.frontier(dup, "price", "size")
+      .collect().toSeq.map(r => (r.getDouble(0), r.getLong(1)))
+      == Seq((1.0, 5L)))
+    // same price, larger size dominates; cheaper-equal-size dominates
+    val pts = Seq((1.0, 5L), (1.0, 7L), (2.0, 7L), (2.0, 9L))
+      .toDF("price", "size")
+    val got = graft.ops.Skyline.frontier(pts, "price", "size")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(got == Set((1.0, 7L), (2.0, 9L)))
+  }
+
+  test("q54 fuzzy blocks never cross brands and count exact subset") {
+    val rows = run("q54_fuzzy_match").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2)) // n_fuzzy >= n_exact
+    }
+  }
+
   test("q10b ntile is within [1,4] and pct_rank/cdist within [0,1]") {
     val rows = run("q10b_window_fns").collect()
     assert(rows.nonEmpty)

@@ -127,6 +127,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("containment catches a small doc pasted inside a big one " +
+      "that jaccard misses — the operator's motivating case") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma", "s"),
+      // contains doc 1 verbatim among 13 distinct tokens
+      (2L, "alpha beta gamma t4 t5 t6 t7 t8 t9 t10 t11 t12 t13", "s"))
+      .toDF("doc_id", "text", "source")
+    val sets = Dedup.tokenSets(df, "text", "doc_id", "source")
+    // J = 3 / (3 + 13 - 3) ~= 0.23 -> the jaccard gate at 0.6 is blind
+    assert(Dedup.jaccardPairs(sets, "doc_id", "source", 0.6).count() == 0)
+    val cont = Dedup.containmentPairs(sets, "doc_id", "source", 0.9)
+      .collect()
+    assert(cont.length == 1)
+    assert(cont.head.getLong(0) == 1L && cont.head.getLong(1) == 2L)
+    assert(cont.head.getLong(2) == 10000L) // fully contained
+  }
+
   test("resolveClusters collapses keeper chains to their root") {
     import spark.implicits._
     // chain: 5 -> 3, 3 -> 1; separate pair: 10 -> 9
