@@ -38,21 +38,14 @@ object BloomFn {
   }
 
   /** Idempotent per-session registration (the VecDot fallback pattern
-    * for sessions built without GraftExtensions). */
+    * for sessions built without GraftExtensions). Iterates the SAME
+    * [[injections]] list the extension path installs, so the two
+    * registration surfaces cannot drift. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val agg = FunctionIdentifier("bloom_filter_agg")
-    if (!reg.functionExists(agg))
-      reg.registerFunction(agg,
-        new ExpressionInfo(classOf[BloomFilterAggregate].getName,
-          "bloom_filter_agg"),
-        buildAgg _)
-    val might = FunctionIdentifier("might_contain")
-    if (!reg.functionExists(might))
-      reg.registerFunction(might,
-        new ExpressionInfo(classOf[BloomFilterMightContain].getName,
-          "might_contain"),
-        buildMight _)
+    injections.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
   }
 
   /** Extension-injection tuples for [[graft.GraftExtensions]]. */

@@ -142,14 +142,20 @@ object Similarity {
   def knnClassify(df: DataFrame, vecCol: String, idCol: String,
       labelCol: String, nProbes: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probes = df.filter(col(idCol) < nProbes)
+    // norms precomputed ONCE per side before the pair join (the
+    // embeddingNearDupPairs move): per scored pair only the dot product
+    // remains — 1 fold instead of 3 on the O(n x probes) hot path
+    val cand = df.withColumn("__nrm", fnorm(df)(col(vecCol)))
+    val probes = cand.filter(col(idCol) < nProbes)
       .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+        col("__nrm").as("__pnrm"),
         col(labelCol).cast("long").as("true_label"))
-    val scored = df.crossJoin(broadcast(probes))
+    val scored = cand.crossJoin(broadcast(probes))
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col("true_label"),
         col(labelCol).cast("long").as("nbr_label"), col(idCol).as("nbr"),
-        round(fcosine(df)(col(vecCol), col("__pv")), 4).as("cs"))
+        round(fdot(df)(col(vecCol), col("__pv"))
+          / (col("__nrm") * col("__pnrm")), 4).as("cs"))
     val wNbr = Window.partitionBy("probe_id")
       .orderBy(col("cs").desc, col("nbr").asc)
     val votes = scored.withColumn("rk", row_number().over(wNbr))

@@ -447,7 +447,12 @@ object Analytics {
                      round(value, 4) AS value
               FROM (SELECT *, row_number() OVER (
                       PARTITION BY user_id, event_type
-                      ORDER BY ts DESC, event_id DESC) AS rn
+                      -- microsecond truncation mirrors the engine's ts
+                      -- (nanos-as-long div 1000): two events inside the
+                      -- same microsecond must TIE in both engines so the
+                      -- event_id tie-break decides identically
+                      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC)
+                      AS rn
                     FROM events)
               WHERE rn = 1 ORDER BY user_id, event_type""")),
 
@@ -517,19 +522,24 @@ object Analytics {
       (s, dir) => {
         val mm = t(s, dir, "orders")
           .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        // mx = mn (constant column) guard: 0/0 would be NaN, where the
+        // engines diverge (Spark casts to 0, DuckDB errors) — pin the
+        // degenerate case to bucket 0 explicitly in BOTH forms
         t(s, dir, "orders")
           .crossJoin(broadcast(mm))
-          .select(least(
-            floor((col("o_totalprice") - col("mn")) * 16
-              / (col("mx") - col("mn"))).cast("long"),
-            lit(15L)).as("bucket"))
+          .select(when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(
+              floor((col("o_totalprice") - col("mn")) * 16
+                / (col("mx") - col("mn"))).cast("long"),
+              lit(15L))).as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).as("n"))
           .orderBy("bucket")
       },
       Some("""WITH mm AS (SELECT min(o_totalprice) AS mn,
                        max(o_totalprice) AS mx FROM orders)
-              SELECT least(CAST(floor((o_totalprice - mn) * 16
-                       / (mx - mn)) AS BIGINT), 15) AS bucket,
+              SELECT CASE WHEN mx = mn THEN 0
+                       ELSE least(CAST(floor((o_totalprice - mn) * 16
+                         / (mx - mn)) AS BIGINT), 15) END AS bucket,
                      count(*) AS n
               FROM orders CROSS JOIN mm
               GROUP BY 1 ORDER BY 1""")),

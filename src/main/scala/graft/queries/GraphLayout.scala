@@ -41,9 +41,13 @@ object GraphLayout {
        |                  FROM e JOIN $prev r ON e.src = r.id
        |                  GROUP BY e.dst) c ON n.id = c.dst)""".stripMargin
 
-  // ---- q48 constants: 10 bits per dimension, top 5 z-bits = 32 buckets ----
+  // ---- q48 constants: 10 bits per dimension, top 5 z-bits = 32 buckets;
+  // the bucket shift is DERIVED so changing either constant keeps the
+  // Column and SQL forms in lockstep ----
   private val ZBits = 10
-  private val ZBuckets = 32 // z in [0, 2^20); bucket = z >> 15
+  private val ZBuckets = 32 // z in [0, 2^20); bucket = z >> ZShift
+  private val ZShift =
+    2 * ZBits - (31 - Integer.numberOfLeadingZeros(ZBuckets)) // = 15
 
   /** Morton interleave of two ZBits-bit non-negative ints: x gets the
     * even bit positions, y the odd. Column form and SQL form generated
@@ -118,7 +122,7 @@ object GraphLayout {
         t(s, dir, "lineitem")
           .select(x.as("x"), y.as("y"))
           .withColumn("z", zOrder(col("x"), col("y")))
-          .groupBy(shiftright(col("z"), 15).as("bucket"))
+          .groupBy(shiftright(col("z"), ZShift).as("bucket"))
           .agg(count(lit(1)).as("n"),
             min("x").as("x_min"), max("x").as("x_max"),
             min("y").as("y_min"), max("y").as("y_max"))
@@ -128,7 +132,7 @@ object GraphLayout {
               SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
               FROM lineitem),
               zt AS (SELECT x, y, ${zOrderSql("x", "y")} AS z FROM xy)
-              SELECT z >> 15 AS bucket, count(*) AS n,
+              SELECT z >> $ZShift AS bucket, count(*) AS n,
                      min(x) AS x_min, max(x) AS x_max,
                      min(y) AS y_min, max(y) AS y_max
               FROM zt GROUP BY 1 ORDER BY 1""")),
