@@ -81,6 +81,63 @@ object TimeWindows {
                        AS s_end,
                      count(*) AS n, round(sum(value), 4) AS sum_value
               FROM sess GROUP BY user_id, sid
-              ORDER BY user_id, s_start"""))
+              ORDER BY user_id, s_start""")),
+
+    // Q55 — resample to a GAP-FILLED minute grid + forward fill (the
+    // time-series normalization every monitoring/feature pipeline does
+    // before joins or models: irregular events -> a dense regular grid,
+    // empty buckets carrying the last observation forward). The grid is
+    // generated from the data's own [min, max] minute — sequence() +
+    // explode, no driver loop — and the fill is last(.., ignoreNulls)
+    // over the time order. Emitted as epoch seconds (the Q21-Q23
+    // timezone-proof contract); the carried metric is the rounded
+    // per-minute sum+count pair, never an avg (half-boundary hashing).
+    // Scale note: the single-partition fill window is O(grid) =
+    // O(time-range / resolution) — independent of event volume (a year
+    // of minutes is 526k rows); at wider ranges partition the fill by
+    // day and stitch boundaries with a per-day-last broadcast.
+    Entry("q55_resample_ffill",
+      (s, dir) => {
+        val agg = t(s, dir, "events")
+          .groupBy(date_trunc("minute", col("ts")).as("m"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sm"))
+        val grid = agg.agg(min("m").as("lo"), max("m").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 minute"))).as("m"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("m")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        grid.join(agg, Seq("m"), "left")
+          .withColumn("last_m",
+            last(when(col("n").isNotNull, col("m")), ignoreNulls = true)
+              .over(w))
+          .withColumn("f_sum", last(col("sm"), ignoreNulls = true).over(w))
+          .select(unix_timestamp(col("m")).as("m_epoch"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            unix_timestamp(col("last_m")).as("last_epoch"),
+            col("f_sum"))
+          .orderBy("m_epoch")
+      },
+      Some("""WITH agg AS (
+                SELECT date_trunc('minute', ts) AS m, count(*) AS n,
+                       round(sum(value), 4) AS sm
+                FROM events GROUP BY 1),
+              mm AS (SELECT min(m) AS lo, max(m) AS hi FROM agg),
+              grid AS (SELECT unnest(generate_series(lo, hi,
+                         INTERVAL 1 MINUTE)) AS m FROM mm),
+              j AS (SELECT g.m, a.n, a.sm
+                    FROM grid g LEFT JOIN agg a USING (m)),
+              f AS (SELECT m, coalesce(n, 0) AS n,
+                           max(CASE WHEN n IS NOT NULL THEN m END)
+                             OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                             AS last_m,
+                           last_value(sm IGNORE NULLS)
+                             OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                             AS f_sum
+                    FROM j)
+              SELECT CAST(floor(epoch(m)) AS BIGINT) AS m_epoch, n,
+                     CAST(floor(epoch(last_m)) AS BIGINT) AS last_epoch,
+                     f_sum
+              FROM f ORDER BY m_epoch"""))
   )
 }
