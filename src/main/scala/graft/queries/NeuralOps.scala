@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.ml.{ConvTrainer, GdTrainer, NeuralForward, RnnTrainer, SignGd}
+import graft.ml.{ConvTrainer, GdTrainer, LstmTrainer, NeuralForward, RnnTrainer, SignGd}
 
 /** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
   * semantics; reference `models/cnn_model.py:21-32` stack shape and
@@ -370,6 +370,32 @@ object NeuralOps {
         val (lab, fs) = labeled(facts, xs, y)
         (losses, accOf(
           RnnTrainer.predictStaged(lab, Seq(col("y")), fs, w, "pred")))
+      },
+      None),
+
+    // Q56 — LSTM training (LstmTrainer): 3 full-batch BPTT epochs of
+    // LSTM(3) + softmax head over the 8-step lineitem sequence — the
+    // TRAINING half of the M4 gap, the last documented training delta
+    // (q41 covers LSTM scoring; q42's BPTT covers only the simple
+    // recurrence). Gated backward pass — dc chained through f_{t+1},
+    // four coupled dz tensors per step — staged as expression columns,
+    // one O(params) aggregation per epoch. Rows-only (float losses);
+    // LstmTrainerSpec holds finite-difference checks for all 14 weight
+    // tensors, layout invariance, and learning on an order-sensitive
+    // task. Harness shared with q42/q43 (trainEntry).
+    // Architecture kept small (units=2, T=5 of the 8 features): the
+    // staged LSTM DAG is ~6 frontiers/step forward + 3 backward, and
+    // per-epoch cost at fixture scale is dominated by plan/codegen
+    // depth, not data (units=3/T=8 measured 14s vs 5s for this size at
+    // sf0.1 — same semantics, LstmTrainerSpec pins them exactly).
+    Entry("q56_lstm_train",
+      (s, dir) => trainEntry(s, dir) { (facts, xs, y) =>
+        val w0 = LstmTrainer.init(units = 2, classes = 2, seed = 29L)
+        val (w, losses) = LstmTrainer.fit(facts, xs.take(5), y, w0,
+          epochs = 3, lr = 0.5)
+        val (lab, fs) = labeled(facts, xs, y)
+        (losses, accOf(LstmTrainer.predictStaged(
+          lab, Seq(col("y")), fs.take(5), w, "pred")))
       },
       None),
 
