@@ -8,10 +8,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   * pooling -> dense softmax, cross-entropy loss — the training half of
   * the M2 gap (`models/cnn_model.py:21-32`; q37 covers scoring). MLlib
   * has no conv trainer (SURVEY §2.6). Architecture delta, documented:
-  * ONE conv layer + average pooling instead of the reference's stacked
-  * conv/MAX-pool — average pooling backpropagates a uniform 1/P factor,
-  * where max-pool routing needs per-window argmax bookkeeping that adds
-  * nothing to the "can the engine train a convolution" question.
+  * ONE conv layer instead of the reference's stacked conv blocks.
+  * Pooling is selectable: [[MaxPool]] (the reference's choice — the
+  * backward pass routes the gradient to the FIRST argmax position via
+  * staged comparison indicators) or [[AvgPool]] (uniform 1/P routing).
   *
   * Same execution contract as GdTrainer/RnnTrainer: per-row forward +
   * backward passes are staged expression columns (weights are plan
@@ -20,14 +20,22 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Equations (P = positions = T-k+1, single input channel):
   *   z[p][f] = b[f] + Σ_j w[f][j]·x[p+j] ;  a = relu(z)
-  *   pool[f] = (1/P) Σ_p a[p][f]
+  *   pool[f] = (1/P) Σ_p a[p][f]        (avg)   |  max_p a[p][f] (max)
   *   logits = w2·pool + b2 ; softmax CE
   *   dz2 = p - onehot(y) ;  dpool[f] = Σ_o dz2[o]·w2[o][f]
-  *   da[p][f] = dpool[f]/P ;  dz[p][f] = da[p][f]·1[z[p][f] > 0]
+  *   da[p][f] = dpool[f]/P (avg)  |  dpool[f]·1[p = first argmax] (max)
+  *   dz[p][f] = da[p][f]·1[z[p][f] > 0]
   *   dw[f][j] = Σ_p dz[p][f]·x[p+j] ;  db[f] = Σ_p dz[p][f]
   *   dw2[o][f] = dz2[o]·pool[f]     ;  db2 = dz2
   */
 object ConvTrainer {
+
+  sealed trait Pooling
+  /** Uniform 1/P gradient routing. */
+  case object AvgPool extends Pooling
+  /** Reference parity (`cnn_model.py` MaxPooling1D): gradient routed to
+    * the first argmax position (Keras/np tie convention). */
+  case object MaxPool extends Pooling
 
   /** w: filters x kernel (1 input channel), b: filters,
     * w2: classes x filters, b2: classes. */
@@ -55,7 +63,7 @@ object ConvTrainer {
   /** One full-batch pass at `w`: mean loss + mean gradients. `xs` is
     * the T-long input sequence (T >= kernel). One Spark job. */
   def gradients(df: DataFrame, xs: Seq[Column], label: Column,
-      w: ConvWeights): ConvGrads = {
+      w: ConvWeights, pool: Pooling = AvgPool): ConvGrads = {
     val T = xs.length
     val k = w.kernel
     val nf = w.filters
@@ -77,10 +85,14 @@ object ConvTrainer {
     carry = carry ++ (for (p <- 0 until P; f <- 0 until nf)
       yield col(s"a${p}_$f"))
 
-    // global average pool, staged
-    val poolCols = (0 until nf).map(f =>
-      ((0 until P).map(p => col(s"a${p}_$f")).reduce(_ + _) / lit(P.toDouble))
-        .as(s"pool_$f"))
+    // global pool (avg or max), staged
+    val poolCols = (0 until nf).map { f =>
+      val as = (0 until P).map(p => col(s"a${p}_$f"))
+      (pool match {
+        case AvgPool => as.reduce(_ + _) / lit(P.toDouble)
+        case MaxPool => as.reduce(greatest(_, _))
+      }).as(s"pool_$f")
+    }
     cur = cur.select(carry ++ poolCols: _*)
     carry = carry ++ (0 until nf).map(f => col(s"pool_$f"))
 
@@ -95,12 +107,23 @@ object ConvTrainer {
     cur = cur.select(carry ++ dz2 :+ lossCol: _*)
     carry = carry ++ (0 until kc).map(o => col(s"dzo_$o")) :+ col("loss")
 
-    // backward to the conv layer: dz[p][f] staged
+    // backward to the conv layer: dz[p][f] staged. For max pooling the
+    // gradient routes only to the FIRST position attaining the max
+    // (a_p == pool AND every earlier a_q < pool) — the argmax
+    // bookkeeping as pure comparison indicators, no extra shuffle.
     val dzCols = for (p <- 0 until P; f <- 0 until nf) yield {
       val dpool = (0 until kc).map(o =>
         col(s"dzo_$o") * lit(w.w2(o)(f))).reduce(_ + _)
-      (dpool / lit(P.toDouble) *
-        when(col(s"a${p}_$f") > 0, 1.0).otherwise(0.0)).as(s"dz${p}_$f")
+      val da = pool match {
+        case AvgPool => dpool / lit(P.toDouble)
+        case MaxPool =>
+          val isFirstMax = (0 until p)
+            .map(q => col(s"a${q}_$f") < col(s"pool_$f"))
+            .foldLeft(col(s"a${p}_$f") === col(s"pool_$f"))(_ && _)
+          dpool * when(isFirstMax, 1.0).otherwise(0.0)
+      }
+      (da * when(col(s"a${p}_$f") > 0, 1.0).otherwise(0.0))
+        .as(s"dz${p}_$f")
     }
     cur = cur.select(carry ++ dzCols: _*)
 
@@ -131,10 +154,11 @@ object ConvTrainer {
   /** Full-batch GD: `epochs` steps from `w0`; returns final weights +
     * per-epoch pre-update mean loss. One Spark job per epoch. */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: ConvWeights,
-      epochs: Int, lr: Double): (ConvWeights, Seq[Double]) = {
+      epochs: Int, lr: Double,
+      pool: Pooling = AvgPool): (ConvWeights, Seq[Double]) = {
     var w = w0
     val losses = (1 to epochs).map { _ =>
-      val gr = gradients(df, xs, label, w)
+      val gr = gradients(df, xs, label, w, pool)
       w = ConvWeights(
         w.w.zip(gr.w).map { case (r, gr2) =>
           r.zip(gr2).map { case (a, ga) => a - lr * ga } },
@@ -150,7 +174,8 @@ object ConvTrainer {
   /** Staged inference: argmax class appended as `outCol` (first index
     * on ties); conv cells staged once like the forward pass. */
   def predictStaged(df: DataFrame, carry: Seq[Column], xs: Seq[Column],
-      w: ConvWeights, outCol: String): DataFrame = {
+      w: ConvWeights, outCol: String,
+      pool: Pooling = AvgPool): DataFrame = {
     val T = xs.length
     val P = T - w.kernel + 1
     require(P >= 1, s"input length $T < kernel ${w.kernel}")
@@ -161,11 +186,15 @@ object ConvTrainer {
       greatest((0 until w.kernel).map(j => xr(p + j) * lit(w.w(f)(j)))
         .reduce(_ + _) + lit(w.b(f)), lit(0.0)).as(s"ca${p}_$f")
     val staged = staged0.select(carry ++ aCols: _*)
-    val pool = (0 until w.filters).map(f =>
-      (0 until P).map(p => col(s"ca${p}_$f")).reduce(_ + _) /
-        lit(P.toDouble))
+    val pooled = (0 until w.filters).map { f =>
+      val as = (0 until P).map(p => col(s"ca${p}_$f"))
+      pool match {
+        case AvgPool => as.reduce(_ + _) / lit(P.toDouble)
+        case MaxPool => as.reduce(greatest(_, _))
+      }
+    }
     val z2 = (0 until w.classes).map { o =>
-      (0 until w.filters).map(f => pool(f) * lit(w.w2(o)(f)))
+      (0 until w.filters).map(f => pooled(f) * lit(w.w2(o)(f)))
         .reduce(_ + _) + lit(w.b2(o))
     }
     staged.select(carry :+ TrainerCommon.argmax(z2).as(outCol): _*)

@@ -400,22 +400,27 @@ object NeuralOps {
       None),
 
     // Q43 — CONVOLUTIONAL training (ConvTrainer): 4 full-batch epochs
-    // of Conv1D(3 filters, k=3, relu) -> global average pool -> softmax
-    // over the 8-step lineitem sequence — the TRAINING half of the M2
-    // gap (q37 covers scoring; architecture delta vs the reference's
-    // stacked conv/max-pool is documented on ConvTrainer). Same shape
-    // as q42: staged forward+backward expressions, one aggregation per
-    // epoch, deterministic 25% slice, rows-only; ConvTrainerSpec holds
-    // finite-difference checks and learns a position-invariant task.
+    // of Conv1D(3 filters, k=3, relu) -> global MAX pool (the
+    // reference's pooling; gradient routed to the first argmax
+    // position) -> softmax over the 8-step lineitem sequence — the
+    // TRAINING half of the M2 gap (q37 covers scoring; remaining delta
+    // vs the reference's stacked conv blocks is documented on
+    // ConvTrainer). Same shape as q42: staged forward+backward
+    // expressions, one aggregation per epoch, deterministic 25% slice,
+    // rows-only; ConvTrainerSpec holds finite-difference checks for
+    // both pooling modes and learns a position-invariant task.
     Entry("q43_conv_train",
       (s, dir) => trainEntry(s, dir) { (facts, xs, y) =>
-        val w0 = ConvTrainer.init(filters = 3, kernel = 3, classes = 2,
+        val w0i = ConvTrainer.init(filters = 3, kernel = 3, classes = 2,
           seed = 23L)
+        // positive initial biases keep filters alive under max-pool's
+        // sparse argmax routing (the ConvTrainerSpec dead-filter note)
+        val w0 = w0i.copy(b = w0i.b.map(_.abs + 0.1))
         val (w, losses) = ConvTrainer.fit(facts, xs, y, w0,
-          epochs = 4, lr = 0.5)
+          epochs = 4, lr = 0.5, pool = ConvTrainer.MaxPool)
         val (lab, fs) = labeled(facts, xs, y)
-        (losses, accOf(
-          ConvTrainer.predictStaged(lab, Seq(col("y")), fs, w, "pred")))
+        (losses, accOf(ConvTrainer.predictStaged(
+          lab, Seq(col("y")), fs, w, "pred", ConvTrainer.MaxPool)))
       },
       None),
 

@@ -74,4 +74,45 @@ class ConvTrainerSpec extends AnyFunSuite {
       .as("ok")).agg(avg("ok")).head().getDouble(0)
     assert(acc >= 0.9, s"accuracy $acc")
   }
+
+  test("MAX-pool gradients match finite differences (argmax routing)") {
+    val eps = 1e-5
+    val g = ConvTrainer.gradients(df, xs, col("y"), w0,
+      ConvTrainer.MaxPool)
+    def lossAt(w: ConvWeights): Double =
+      ConvTrainer.gradients(df, xs, col("y"), w, ConvTrainer.MaxPool).loss
+    def fd(up: ConvWeights, dn: ConvWeights): Double =
+      (lossAt(up) - lossAt(dn)) / (2 * eps)
+
+    def bumpW(d: Double) = w0.copy(w =
+      w0.w.updated(1, w0.w(1).updated(2, w0.w(1)(2) + d)))
+    val fw = fd(bumpW(eps), bumpW(-eps))
+    assert(math.abs(fw - g.w(1)(2)) < 1e-6, s"w: $fw vs ${g.w(1)(2)}")
+
+    val fb = fd(w0.copy(b = w0.b.updated(0, w0.b(0) + eps)),
+      w0.copy(b = w0.b.updated(0, w0.b(0) - eps)))
+    assert(math.abs(fb - g.b(0)) < 1e-6, s"b: $fb vs ${g.b(0)}")
+
+    def bumpW2(d: Double) = w0.copy(w2 =
+      w0.w2.updated(0, w0.w2(0).updated(1, w0.w2(0)(1) + d)))
+    val fw2 = fd(bumpW2(eps), bumpW2(-eps))
+    assert(math.abs(fw2 - g.w2(0)(1)) < 1e-6, s"w2: $fw2 vs ${g.w2(0)(1)}")
+  }
+
+  test("MAX-pool training learns the bump task (reference's pooling)") {
+    // max pooling only backpropagates through each filter's single
+    // argmax position, so a filter whose every activation starts
+    // relu-clipped never recovers (dead filter) — start biases
+    // positive, the standard conv-init move for sparse-routing pools
+    val w0m = w0.copy(b = w0.b.map(_.abs + 0.1))
+    val (w, losses) = ConvTrainer.fit(df, xs, col("y"), w0m,
+      epochs = 400, lr = 1.5, pool = ConvTrainer.MaxPool)
+    assert(losses.last < losses.head * 0.5,
+      s"loss ${losses.head} -> ${losses.last}")
+    val scored = ConvTrainer.predictStaged(df, Seq(col("y")), xs, w,
+      "pred", ConvTrainer.MaxPool)
+    val acc = scored.select((col("pred") === col("y")).cast("double")
+      .as("ok")).agg(avg("ok")).head().getDouble(0)
+    assert(acc >= 0.9, s"accuracy $acc")
+  }
 }
