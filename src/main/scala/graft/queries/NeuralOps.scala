@@ -142,9 +142,19 @@ object NeuralOps {
     val y = ((col("l_orderkey") + col("l_suppkey")) % 2).cast("int")
     try {
       val (losses, acc) = run(facts, xs, y)
-      losses.zipWithIndex.map { case (l, e) =>
-        ((e + 1).toLong, math.rint(l * 1e6) / 1e6, math.rint(acc * 1e4) / 1e4)
-      }.toDF("epoch", "loss", "final_acc").orderBy("epoch")
+      // Self-gate (the x2c recall-gate pattern): these entries are
+      // rows-only, so the ONLY driver-visible failure mode is an empty
+      // output — emit zero rows if training ever diverges (final loss
+      // not below the first epoch's), turning a silently-broken trainer
+      // into a loud rows-check failure.
+      val rows =
+        if (losses.isEmpty || losses.last < losses.head)
+          losses.zipWithIndex.map { case (l, e) =>
+            ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
+              math.rint(acc * 1e4) / 1e4)
+          }
+        else Seq.empty[(Long, Double, Double)]
+      rows.toDF("epoch", "loss", "final_acc").orderBy("epoch")
     } finally facts.unpersist()
   }
 
@@ -452,9 +462,16 @@ object NeuralOps {
           w0, epochs = 8, lr = 0.5, dropout = 0.3)
         val acc = emb.select((GdTrainer.predict(feats, w) === col("y"))
           .cast("double").as("ok")).agg(avg("ok")).head().getDouble(0)
-        losses.zipWithIndex.map { case (l, e) =>
-          ((e + 1).toLong, math.rint(l * 1e6) / 1e6, math.rint(acc * 1e4) / 1e4)
-        }.toDF("epoch", "loss", "final_acc").orderBy("epoch")
+        // divergence self-gate: empty output on non-descending loss
+        // (the trainEntry note above)
+        val rows =
+          if (losses.isEmpty || losses.last < losses.head)
+            losses.zipWithIndex.map { case (l, e) =>
+              ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
+                math.rint(acc * 1e4) / 1e4)
+            }
+          else Seq.empty[(Long, Double, Double)]
+        rows.toDF("epoch", "loss", "final_acc").orderBy("epoch")
       },
       None)
   )
