@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.ml.{ConvTrainer, GdTrainer, LstmTrainer, NeuralForward, RnnTrainer, SignGd}
+import graft.ml.{Conv2Trainer, ConvTrainer, GdTrainer, LstmTrainer, NeuralForward, RnnTrainer, SignGd}
 
 /** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
   * semantics; reference `models/cnn_model.py:21-32` stack shape and
@@ -431,6 +431,26 @@ object NeuralOps {
         val (lab, fs) = labeled(facts, xs, y)
         (losses, accOf(ConvTrainer.predictStaged(
           lab, Seq(col("y")), fs, w, "pred", ConvTrainer.MaxPool)))
+      },
+      None),
+
+    // Q57 — STACKED conv training (Conv2Trainer): 3 full-batch epochs
+    // of Conv1D(2,k3,relu) -> MaxPool1D(2) -> Conv1D(2,k3,relu) ->
+    // global max pool -> softmax over the 8-step lineitem sequence —
+    // the reference's BLOCK STRUCTURE (conv/local-pool stacking,
+    // multi-channel second conv, two levels of argmax gradient
+    // routing); the remaining M2 delta is depth/width only. Rows-only;
+    // Conv2TrainerSpec holds finite-difference checks for all six
+    // tensors and learns the bump task through the stack.
+    Entry("q57_conv2_train",
+      (s, dir) => trainEntry(s, dir) { (facts, xs, y) =>
+        val w0 = Conv2Trainer.init(f1 = 2, f2 = 2, kernel = 3,
+          classes = 2, seed = 37L)
+        val (w, losses) = Conv2Trainer.fit(facts, xs, y, w0,
+          epochs = 3, lr = 0.5)
+        val (lab, fs) = labeled(facts, xs, y)
+        (losses, accOf(
+          Conv2Trainer.predictStaged(lab, Seq(col("y")), fs, w, "pred")))
       },
       None),
 
