@@ -100,6 +100,55 @@ object ScaleSmoke {
         .groupBy("o_orderpriority").agg(count(lit(1)))
         .write.format("noop").mode("overwrite").save()
     }
+
+    // ---- text-pipeline classes: the LLM-dedup paths at n/20 docs ----
+    // ~40 tokens per doc from a 997-word vocabulary — a SPARSE corpus
+    // (few true near-dups), which is the regime the LSH path claims to
+    // scale in; candidate counts, not pair counts, dominate here.
+    val nDocs = n / 20
+    time(s"generate ${nDocs / 1000}k docs") {
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(j =>
+          concat(lit("w"), pmod(col("id") * lit(2654435761L) +
+            lit(j * 40503L), lit(997L)))): _*).as("text"),
+        concat(lit("s"), pmod(col("id"), lit(8L))).as("source"))
+        .write.mode("overwrite").parquet(s"$base/docs")
+    }
+    val docs = spark.read.parquet(s"$base/docs")
+    time("minhash LSH dedup assignments (linear dedup path)") {
+      graft.ops.Dedup.minhashLshDedup(docs, "text", "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // The arithmetic-progression token generator above produces HEAVY-
+    // HITTER shingles (many docs share the same 3-gram) — the
+    // boilerplate profile of real scraped corpora. The raw shingle join
+    // fans out on them SUPERLINEARLY (measured 7.6s at 300k docs ->
+    // 99.7s at 1.5M, ~13x for 5x data): this stage exists to keep that
+    // cliff visible.
+    val sh = graft.ops.Dedup
+      .shingleSets(docs, "text", "doc_id", "source", 3)
+      .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("k"))
+    val bench = sh.filter(col("source") === "s0").select("k").distinct()
+    time("decontamination shingle join (t6 shape, raw)") {
+      sh.filter(col("source") =!= "s0").join(bench, "k")
+        .groupBy("doc_id").agg(countDistinct("k").as("shared"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    // The mitigation: cap shingle DOCUMENT FREQUENCY before the join —
+    // a 3-gram appearing in thousands of docs is boilerplate, not
+    // contamination evidence (the same rationale as t_boilerplate's DF
+    // threshold). Heavy hitters are FEW by definition, so the cut is a
+    // BROADCAST anti-join (map-side, no extra shuffle of the corpus);
+    // the df agg itself is one linear pass.
+    time("decontamination shingle join (df-capped)") {
+      val corpus = sh.filter(col("source") =!= "s0")
+      val hot = corpus.groupBy("k").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1000).select("k")
+      corpus.join(broadcast(hot), Seq("k"), "left_anti").join(bench, "k")
+        .groupBy("doc_id").agg(countDistinct("k").as("shared"))
+        .write.format("noop").mode("overwrite").save()
+    }
     println("[smoke] done")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
