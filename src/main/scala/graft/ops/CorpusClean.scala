@@ -31,6 +31,15 @@ object CorpusClean {
       redactDigits: Boolean = false,  // mask digit runs before dedup
       benchmark: Option[DataFrame] = None, // decontamination slice
       contaminationShingles: Int = 3,
+      // > 0: drop shingles appearing in more than this many TRAINING
+      // docs before the contamination join. A 3-gram shared by
+      // thousands of documents is boilerplate, not contamination
+      // evidence — and it is also the superlinear-fanout hazard of the
+      // shingle join (ScaleSmoke measured 14x cost for 5x docs on a
+      // boilerplate-heavy corpus; the cap restores linearity via a
+      // broadcast anti-join over the few hot keys). 0 = off, the exact
+      // uncapped semantics the oracle-gated audit entry replays.
+      maxShingleDf: Long = 0,
       minHashes: Int = 32,
       bands: Int = 8,
       jaccardThreshold: Double = 0.8,
@@ -81,7 +90,18 @@ object CorpusClean {
           else bench
         val benchShingles = Dedup.shingleTokens(benchNorm, textCol, idCol, 3)
           .select("tok").distinct()
-        val contaminated = Dedup.shingleTokens(redacted, textCol, idCol, 3)
+        // per-doc-distinct long form, so count(1) per tok IS document
+        // frequency; hot boilerplate shingles are cut map-side (see
+        // Config.maxShingleDf) before the fanout-prone join
+        val trainShingles0 = Dedup.shingleTokens(redacted, textCol, idCol, 3)
+        val trainShingles =
+          if (config.maxShingleDf > 0) {
+            val hot = trainShingles0.groupBy("tok")
+              .agg(count(lit(1)).as("df"))
+              .filter(col("df") > config.maxShingleDf).select("tok")
+            trainShingles0.join(broadcast(hot), Seq("tok"), "left_anti")
+          } else trainShingles0
+        val contaminated = trainShingles
           .join(benchShingles, "tok")
           .groupBy(idCol).agg(countDistinct("tok").as("shared"))
           .filter(col("shared") >= config.contaminationShingles)

@@ -101,4 +101,35 @@ class DataPipelineSpec extends AnyFunSuite {
     val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L), s"kept $kept — digit-masked copy not dropped")
   }
+
+  test("maxShingleDf: boilerplate shingles stop counting as contamination") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // "terms of service apply here" is boilerplate shared by EVERY
+    // training doc and the benchmark; doc 1 additionally copies real
+    // benchmark content. Uncapped, the boilerplate alone (3 shingles)
+    // marks all docs contaminated; capped, only the true copy drops.
+    val boiler = "terms of service apply here"
+    val bench = Seq(
+      (100L, s"unique eval question about quarks and gluons $boiler"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"unique eval question about quarks and gluons $boiler"),
+      (2L, s"ordinary training text one nothing shared $boiler"),
+      (3L, s"ordinary training text two nothing shared $boiler"),
+      (4L, s"ordinary training text three nothing shared $boiler"))
+      .toDF("doc_id", "text")
+    def keptWith(cfg: CorpusClean.Config): Set[Long] =
+      CorpusClean.clean(train, "text", "doc_id", cfg)._1
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = CorpusClean.Config(minTokens = 1, maxStopwordRatio = 1.0,
+      benchmark = Some(bench), nearDedup = false)
+    // uncapped: the shared boilerplate (>= 3 shingles) nukes everything
+    assert(keptWith(base) == Set.empty,
+      "expected uncapped boilerplate to mark all docs contaminated")
+    // capped at df <= 3: boilerplate (df 4) is cut, the verbatim copy
+    // still shares >= 3 RARE shingles and is the only drop
+    assert(keptWith(base.copy(maxShingleDf = 3L)) == Set(2L, 3L, 4L))
+  }
 }
