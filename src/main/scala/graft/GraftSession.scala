@@ -20,6 +20,14 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // NOTE on AQE coalescing: it is SIZE-based, and frames small in
+    // bytes but CPU-heavy per row (hashed vocabularies, exploded-token
+    // aggs) can collapse to 1-2 post-shuffle tasks. Where that bites, a
+    // query pins its exchange with repartition(n, key) — which
+    // satisfies the downstream distribution, adds no extra exchange,
+    // and AQE never coalesces an explicit-N repartition (see
+    // t_bigram_lm / x16_collocations). A global minPartitionSize floor
+    // was A/B-measured a wash at local[32] and stays default.
     // fixture events.ts is TIMESTAMP(NANOS): read as int64, converted
     // in Tables.load (Spark has no nanosecond timestamp type)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

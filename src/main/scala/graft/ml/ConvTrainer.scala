@@ -63,18 +63,35 @@ object ConvTrainer {
   /** One full-batch pass at `w`: mean loss + mean gradients. `xs` is
     * the T-long input sequence (T >= kernel). One Spark job. */
   def gradients(df: DataFrame, xs: Seq[Column], label: Column,
-      w: ConvWeights, pool: Pooling = AvgPool): ConvGrads = {
+      w: ConvWeights, pool: Pooling = AvgPool): ConvGrads =
+    gradientsVal(df, xs, label, lit(0L), w, 1, 0.0, lit(false), pool)._1
+
+  /** [[gradients]] with DROPOUT on the pooled feature vector (the
+    * post-pool, pre-head position — the reference's Dropout sits after
+    * its dense head layer, `cnn_model.py:29`; in this flat stack the
+    * pooled features ARE the head input) and an in-pass VALIDATION
+    * slice (`isVal` rows: excluded from every gradient average,
+    * inference semantics, mean loss returned separately — the
+    * TrainerCommon.earlyStop contract). One Spark job. */
+  def gradientsVal(df: DataFrame, xs: Seq[Column], label: Column,
+      rowKey: Column, w: ConvWeights, epoch: Int, dropout: Double,
+      isVal: Column, pool: Pooling = AvgPool): (ConvGrads, Option[Double]) = {
     val T = xs.length
     val k = w.kernel
     val nf = w.filters
     val kc = w.classes
     val P = T - k + 1
     require(P >= 1, s"input length $T < kernel $k")
+    require(dropout >= 0.0 && dropout < 1.0, "dropout in [0, 1)")
 
     val base = df.select(xs.zipWithIndex.map { case (x, t) =>
-      x.as(s"x${t + 1}") } :+ label.cast("int").as("y"): _*)
+      x.as(s"x${t + 1}") } ++ Seq(label.cast("int").as("y"),
+      rowKey.as("rk"), isVal.as("iv")): _*)
     val xRef = (1 to T).map(t => col(s"x$t"))
-    var carry: Seq[Column] = xRef :+ col("y")
+    var carry: Seq[Column] = xRef ++ Seq(col("y"), col("rk"), col("iv"))
+
+    def maskOf(f: Int): Column =
+      TrainerCommon.dropMask(col("iv"), col("rk"), epoch, f, dropout)
 
     // conv + relu, one staged select (each a[p][f] is a small k-term
     // expression over attributes — no recurrence, so one stage suffices)
@@ -96,9 +113,15 @@ object ConvTrainer {
     cur = cur.select(carry ++ poolCols: _*)
     carry = carry ++ (0 until nf).map(f => col(s"pool_$f"))
 
+    // dropped pooled features feed the head (val rows: keep-all)
+    val dpCols = (0 until nf).map(f =>
+      (col(s"pool_$f") * maskOf(f)).as(s"dp_$f"))
+    cur = cur.select(carry ++ dpCols: _*)
+    carry = carry ++ (0 until nf).map(f => col(s"dp_$f"))
+
     // head: stable log-softmax + dz2, staged
     val z2 = (0 until kc).map { o =>
-      ((0 until nf).map(f => col(s"pool_$f") * lit(w.w2(o)(f)))
+      ((0 until nf).map(f => col(s"dp_$f") * lit(w.w2(o)(f)))
         .reduce(_ + _) + lit(w.b2(o))).as(s"z2_$o")
     }
     cur = cur.select(carry ++ z2: _*)
@@ -112,8 +135,9 @@ object ConvTrainer {
     // (a_p == pool AND every earlier a_q < pool) — the argmax
     // bookkeeping as pure comparison indicators, no extra shuffle.
     val dzCols = for (p <- 0 until P; f <- 0 until nf) yield {
+      // d dp/d pool = mask, so the head gradient crosses the dropout
       val dpool = (0 until kc).map(o =>
-        col(s"dzo_$o") * lit(w.w2(o)(f))).reduce(_ + _)
+        col(s"dzo_$o") * lit(w.w2(o)(f))).reduce(_ + _) * maskOf(f)
       val da = pool match {
         case AvgPool => dpool / lit(P.toDouble)
         case MaxPool =>
@@ -127,49 +151,71 @@ object ConvTrainer {
     }
     cur = cur.select(carry ++ dzCols: _*)
 
-    // one aggregation: mean gradients
+    // one aggregation: mean gradients over TRAIN rows + val mean loss
+    def tavg(c: Column) = avg(when(!col("iv"), c))
     val aggs: Seq[Column] =
       (for (f <- 0 until nf; j <- 0 until k)
-        yield avg((0 until P).map(p =>
+        yield tavg((0 until P).map(p =>
           col(s"dz${p}_$f") * col(s"x${p + j + 1}")).reduce(_ + _))
           .as(s"gw_${f}_$j")) ++
-      (0 until nf).map(f => avg((0 until P).map(p =>
+      (0 until nf).map(f => tavg((0 until P).map(p =>
         col(s"dz${p}_$f")).reduce(_ + _)).as(s"gb_$f")) ++
       (for (o <- 0 until kc; f <- 0 until nf)
-        yield avg(col(s"dzo_$o") * col(s"pool_$f")).as(s"gw2_${o}_$f")) ++
-      (0 until kc).map(o => avg(col(s"dzo_$o")).as(s"gb2_$o")) :+
-      avg(col("loss")).as("mloss")
+        yield tavg(col(s"dzo_$o") * col(s"dp_$f")).as(s"gw2_${o}_$f")) ++
+      (0 until kc).map(o => tavg(col(s"dzo_$o")).as(s"gb2_$o")) ++
+      Seq(tavg(col("loss")).as("mloss"),
+        avg(when(col("iv"), col("loss"))).as("vloss"))
     val row = cur.agg(aggs.head, aggs.tail: _*).head()
     require(row.getAs[Any]("mloss") != null,
       "ConvTrainer.gradients: empty training input")
     def g(n: String) = row.getAs[Double](n)
-    ConvGrads(
+    (ConvGrads(
       Seq.tabulate(nf, k)((f, j) => g(s"gw_${f}_$j")),
       Seq.tabulate(nf)(f => g(s"gb_$f")),
       Seq.tabulate(kc, nf)((o, f) => g(s"gw2_${o}_$f")),
       Seq.tabulate(kc)(o => g(s"gb2_$o")),
-      g("mloss"))
+      g("mloss")),
+      Option(row.getAs[Any]("vloss")).map(_.asInstanceOf[Double]))
   }
 
   /** Full-batch GD: `epochs` steps from `w0`; returns final weights +
     * per-epoch pre-update mean loss. One Spark job per epoch. */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: ConvWeights,
-      epochs: Int, lr: Double,
-      pool: Pooling = AvgPool): (ConvWeights, Seq[Double]) = {
+      epochs: Int, lr: Double, pool: Pooling = AvgPool,
+      rowKey: Column = lit(0L),
+      dropout: Double = 0.0): (ConvWeights, Seq[Double]) = {
     var w = w0
-    val losses = (1 to epochs).map { _ =>
-      val gr = gradients(df, xs, label, w, pool)
-      w = ConvWeights(
-        w.w.zip(gr.w).map { case (r, gr2) =>
-          r.zip(gr2).map { case (a, ga) => a - lr * ga } },
-        w.b.zip(gr.b).map { case (a, ga) => a - lr * ga },
-        w.w2.zip(gr.w2).map { case (r, gr2) =>
-          r.zip(gr2).map { case (a, ga) => a - lr * ga } },
-        w.b2.zip(gr.b2).map { case (a, ga) => a - lr * ga })
+    val losses = (1 to epochs).map { e =>
+      val (gr, _) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
+        lit(false), pool)
+      w = applyStep(w, gr, lr)
       gr.loss
     }
     (w, losses)
   }
+
+  private def applyStep(w: ConvWeights, gr: ConvGrads,
+      lr: Double): ConvWeights =
+    ConvWeights(
+      w.w.zip(gr.w).map { case (r, gr2) =>
+        r.zip(gr2).map { case (a, ga) => a - lr * ga } },
+      w.b.zip(gr.b).map { case (a, ga) => a - lr * ga },
+      w.w2.zip(gr.w2).map { case (r, gr2) =>
+        r.zip(gr2).map { case (a, ga) => a - lr * ga } },
+      w.b2.zip(gr.b2).map { case (a, ga) => a - lr * ga })
+
+  /** [[fit]] under Keras EarlyStopping (patience on the `isVal` slice's
+    * loss, restore-best) — see [[TrainerCommon.earlyStop]]. */
+  def fitEs(df: DataFrame, xs: Seq[Column], label: Column,
+      w0: ConvWeights, maxEpochs: Int, lr: Double, rowKey: Column,
+      dropout: Double, isVal: Column, pool: Pooling = AvgPool,
+      patience: Int = 5): TrainerCommon.EsResult[ConvWeights] =
+    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+      val (gr, vl) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
+        isVal, pool)
+      (applyStep(w, gr, lr), gr.loss,
+        vl.getOrElse(sys.error("fitEs: empty validation slice")))
+    }
 
   /** Staged inference: argmax class appended as `outCol` (first index
     * on ties); conv cells staged once like the forward pass. */

@@ -51,17 +51,6 @@ object GdTrainer {
   final case class MlpGrads(w1: Seq[Seq[Double]], b1: Seq[Double],
       w2: Seq[Seq[Double]], b2: Seq[Double], loss: Double)
 
-  /** Keep-mask for (row, epoch, unit): 1000 hash buckets, drop the first
-    * `floor(1000p)`. p = 0 short-circuits to keep-all (so the no-dropout
-    * path has no hash in the plan at all). */
-  private def keepMask(rk: Column, epoch: Int, u: Int, p: Double): Column =
-    if (p <= 0.0) lit(1.0)
-    // round, not truncate: 1000 * 0.3 is 299.999... in binary floating
-    // point, and a truncated threshold would drop at 299/1000 while
-    // rescaling by exactly 1/(1-0.3) — a systematic activation bias
-    else when(pmod(xxhash64(rk, lit(epoch), lit(u)), lit(1000L)) >=
-      lit(math.round(1000 * p).toInt), lit(1.0)).otherwise(lit(0.0))
-
   /** One full-batch pass at `w`: mean cross-entropy loss and mean
     * gradients, with epoch-`epoch` dropout masks applied. One Spark job.
     *
@@ -69,19 +58,39 @@ object GdTrainer {
     * `label` in 0..k-1.
     */
   def gradients(df: DataFrame, features: Seq[Column], label: Column,
-      rowKey: Column, w: MlpWeights, epoch: Int, dropout: Double): MlpGrads = {
+      rowKey: Column, w: MlpWeights, epoch: Int, dropout: Double): MlpGrads =
+    gradientsVal(df, features, label, rowKey, w, epoch, dropout,
+      lit(false))._1
+
+  /** [[gradients]] with an in-pass validation slice: rows where `isVal`
+    * holds are EXCLUDED from every gradient/train-loss average and
+    * instead contribute to a separate mean-loss (returned as the second
+    * element), computed at inference semantics — no dropout mask, no
+    * 1/(1-p) rescale — exactly what Keras's end-of-epoch val_loss
+    * evaluates. One Spark job still: the split is a per-row conditional
+    * inside the same aggregation, so early stopping costs no extra
+    * pass (see [[TrainerCommon.earlyStop]]). Returns None for the val
+    * loss when the slice is empty. */
+  def gradientsVal(df: DataFrame, features: Seq[Column], label: Column,
+      rowKey: Column, w: MlpWeights, epoch: Int, dropout: Double,
+      isVal: Column): (MlpGrads, Option[Double]) = {
     val d = features.length
     val h = w.hidden
     val k = w.classes
     require(dropout >= 0.0 && dropout < 1.0, "dropout in [0, 1)")
-    val scale = 1.0 / (1.0 - dropout)
 
-    // stage 0: features, label, row key as plain attributes
+    // stage 0: features, label, row key, val flag as plain attributes
     val base = df.select(
       (features.zipWithIndex.map { case (f, i) => f.as(s"x$i") } :+
-        label.cast("int").as("y")) :+ rowKey.as("rk"): _*)
+        label.cast("int").as("y")) ++
+        Seq(rowKey.as("rk"), isVal.as("iv")): _*)
     val xs = (0 until d).map(i => col(s"x$i"))
-    val carry0 = xs ++ Seq(col("y"), col("rk"))
+    val carry0 = xs ++ Seq(col("y"), col("rk"), col("iv"))
+
+    // per-unit train-time inverted-dropout mask; validation rows run at
+    // inference semantics (TrainerCommon.dropMask — the ONE mask impl)
+    def maskOf(u: Int): Column =
+      TrainerCommon.dropMask(col("iv"), col("rk"), epoch, u, dropout)
 
     // stage 1: pre-activations z1_u, then dropped+scaled activations a1_u
     // (mask folded into a1; relu' recomputed from z1's sign in backprop)
@@ -91,8 +100,7 @@ object GdTrainer {
     }
     val s1 = base.select(carry0 ++ z1: _*)
     val a1 = (0 until h).map { u =>
-      (greatest(col(s"z1_$u"), lit(0.0)) *
-        keepMask(col("rk"), epoch, u, dropout) * lit(scale)).as(s"a1_$u")
+      (greatest(col(s"z1_$u"), lit(0.0)) * maskOf(u)).as(s"a1_$u")
     }
     val carry1 = carry0 ++ (0 until h).map(u => col(s"z1_$u"))
     val s2 = s1.select(carry1 ++ a1: _*)
@@ -109,35 +117,42 @@ object GdTrainer {
     val s4 = s3.select(carry2 ++ zc ++ dz2 :+ lossCol: _*)
 
     // stage 3: dz1_u = (sum_o w2[o][u] dz2_o) * mask*scale * relu'(z1_u)
+    // (mask/scale irrelevant on val rows — their gradients never reach
+    // the aggregation below)
     val dz1 = (0 until h).map { u =>
       ((0 until k).map(o => col(s"dzo_$o") * lit(w.w2(o)(u))).reduce(_ + _) *
-        keepMask(col("rk"), epoch, u, dropout) * lit(scale) *
+        maskOf(u) *
         when(col(s"z1_$u") > 0, 1.0).otherwise(0.0)).as(s"dz1_$u")
     }
     val s5 = s4.select(carry2 ++ (0 until k).map(o => col(s"dzo_$o")) ++
       Seq(col("loss")) ++ dz1: _*)
 
-    // one aggregation: mean of every gradient product + mean loss
+    // one aggregation: mean of every gradient product + mean loss,
+    // each over TRAIN rows only (when-without-otherwise nulls val rows
+    // out of the avg), plus the val slice's mean loss
+    def tavg(c: Column) = avg(when(!col("iv"), c))
     val aggs: Seq[Column] =
       (for (o <- 0 until k; u <- 0 until h)
-        yield avg(col(s"dzo_$o") * col(s"a1_$u")).as(s"gw2_${o}_$u")) ++
-      (0 until k).map(o => avg(col(s"dzo_$o")).as(s"gb2_$o")) ++
+        yield tavg(col(s"dzo_$o") * col(s"a1_$u")).as(s"gw2_${o}_$u")) ++
+      (0 until k).map(o => tavg(col(s"dzo_$o")).as(s"gb2_$o")) ++
       (for (u <- 0 until h; i <- 0 until d)
-        yield avg(col(s"dz1_$u") * col(s"x$i")).as(s"gw1_${u}_$i")) ++
-      (0 until h).map(u => avg(col(s"dz1_$u")).as(s"gb1_$u")) :+
-      avg(col("loss")).as("mloss")
+        yield tavg(col(s"dz1_$u") * col(s"x$i")).as(s"gw1_${u}_$i")) ++
+      (0 until h).map(u => tavg(col(s"dz1_$u")).as(s"gb1_$u")) ++
+      Seq(tavg(col("loss")).as("mloss"),
+        avg(when(col("iv"), col("loss"))).as("vloss"))
     val row = s5.agg(aggs.head, aggs.tail: _*).head()
     // avg() over zero rows is null, and getAs[Double] would silently
     // unbox it to 0.0 — fake zero gradients instead of an error
     require(row.getAs[Any]("mloss") != null,
       "GdTrainer.gradients: empty training input")
     def g(n: String) = row.getAs[Double](n)
-    MlpGrads(
+    (MlpGrads(
       Seq.tabulate(h, d)((u, i) => g(s"gw1_${u}_$i")),
       Seq.tabulate(h)(u => g(s"gb1_$u")),
       Seq.tabulate(k, h)((o, u) => g(s"gw2_${o}_$u")),
       Seq.tabulate(k)(o => g(s"gb2_$o")),
-      g("mloss"))
+      g("mloss")),
+      Option(row.getAs[Any]("vloss")).map(_.asInstanceOf[Double]))
   }
 
   /** Full-batch GD: `epochs` gradient steps from `w0`. Returns the final
@@ -149,17 +164,37 @@ object GdTrainer {
     var w = w0
     val losses = (1 to epochs).map { e =>
       val gr = gradients(df, features, label, rowKey, w, e, dropout)
-      w = MlpWeights(
-        w.w1.zip(gr.w1).map { case (r, gRow) =>
-          r.zip(gRow).map { case (x, gx) => x - lr * gx } },
-        w.b1.zip(gr.b1).map { case (x, gx) => x - lr * gx },
-        w.w2.zip(gr.w2).map { case (r, gRow) =>
-          r.zip(gRow).map { case (x, gx) => x - lr * gx } },
-        w.b2.zip(gr.b2).map { case (x, gx) => x - lr * gx })
+      w = applyStep(w, gr, lr)
       gr.loss
     }
     (w, losses)
   }
+
+  private def applyStep(w: MlpWeights, gr: MlpGrads,
+      lr: Double): MlpWeights =
+    MlpWeights(
+      w.w1.zip(gr.w1).map { case (r, gRow) =>
+        r.zip(gRow).map { case (x, gx) => x - lr * gx } },
+      w.b1.zip(gr.b1).map { case (x, gx) => x - lr * gx },
+      w.w2.zip(gr.w2).map { case (r, gRow) =>
+        r.zip(gRow).map { case (x, gx) => x - lr * gx } },
+      w.b2.zip(gr.b2).map { case (x, gx) => x - lr * gx })
+
+  /** [[fit]] under Keras EarlyStopping(patience, restore_best_weights):
+    * rows flagged by `isVal` form the monitored hold-out slice (never
+    * trained on), and each epoch's single aggregation carries both the
+    * train gradients and the val loss ([[gradientsVal]]) — see
+    * [[TrainerCommon.earlyStop]] for the loop semantics and job count. */
+  def fitEs(df: DataFrame, features: Seq[Column], label: Column,
+      rowKey: Column, w0: MlpWeights, maxEpochs: Int, lr: Double,
+      dropout: Double, isVal: Column,
+      patience: Int = 5): TrainerCommon.EsResult[MlpWeights] =
+    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+      val (gr, vl) = gradientsVal(df, features, label, rowKey, w, e,
+        dropout, isVal)
+      (applyStep(w, gr, lr), gr.loss,
+        vl.getOrElse(sys.error("fitEs: empty validation slice")))
+    }
 
   /** Inference column: argmax class under `w`, NO dropout (inverted
     * dropout trains with scaled activations precisely so inference is

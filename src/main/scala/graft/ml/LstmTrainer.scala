@@ -7,10 +7,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * architecture shape: LSTM(units) over a T-step / 1-channel sequence,
   * dense softmax head, cross-entropy loss (`models/lstm_model.py:19-26`
   * — the TRAINING half of the M4 gap, whose scoring half q41 already
-  * covers; MLlib has no recurrent trainer, SURVEY §2.6). Closes the
-  * last documented M-row training delta: sign-SGD (q39), MLP+dropout
-  * (q40), SimpleRNN BPTT (q42) and Conv1D GD (q43) now gain the gated
-  * recurrence.
+  * covers; MLlib has no recurrent trainer, SURVEY §2.6). Adds the gated
+  * recurrence beside sign-SGD (q39), MLP+dropout (q40), SimpleRNN BPTT
+  * (q42) and Conv1D GD (q43). Remaining M4 architecture delta: the
+  * reference stacks LSTM(64, return_sequences) -> LSTM(128) with
+  * inter-layer dropout and a Dense(64) before the head
+  * (`lstm_model.py:19-26`); the stacked form is [[Lstm2Trainer]]
+  * (q60) — this class is the single-layer building block.
   *
   * Same discipline as [[RnnTrainer]]: forward AND backward passes are
   * staged expression columns (one select per dependency frontier —

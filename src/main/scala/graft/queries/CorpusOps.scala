@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.ops.{BpeTrain, Dedup}
 
@@ -276,7 +277,7 @@ object CorpusOps {
     // read like the corpus" LM-quality filter, kept in exact integers
     // (floor of an exact-integer-ratio double is identical on any IEEE
     // engine, unlike summed ln() probabilities which drift sub-ulp per
-    // libm). Three shuffles, all keyed on words/bigrams — linear in
+    // libm). Four keyed shuffles fused into ONE job — linear in
     // tokens, the same family as TF-IDF.
     Entry("t_bigram_lm",
       (s, dir) => {
@@ -288,26 +289,34 @@ object CorpusOps {
         // bigrams heavily; every downstream shuffle shrinks with it).
         // Shuffle keys are xxhash64 of the words, not the strings (the
         // t_boilerplate rationale: identity is all the join needs, and
-        // the oracle would catch a collision loudly). persist: feeds
-        // three consumers (c12, c1, the probe side).
+        // the oracle would catch a collision loudly).
         val bg = Tables.spread(t(s, dir, "documents"))
           .select(col("doc_id"), explode(pairs).as("p"))
           .select(col("doc_id"),
             xxhash64(col("p.l"), col("p.r")).as("k12"),
             xxhash64(col("p.l")).as("k1"))
           .groupBy("doc_id", "k12", "k1").agg(count(lit(1)).as("m"))
-          .persist()
-        // k1 is functionally dependent on k12 (same left word), so the
-        // bigram-count agg carries it at no extra cardinality — which
-        // lets the two VOCABULARY-sized count tables join each other
-        // first, and the per-doc frame join only once
-        val c12 = bg.groupBy("k12", "k1").agg(sum("m").as("n12"))
-        val c1 = bg.groupBy("k1").agg(sum("m").as("n1"))
-        val probs = c12.join(c1, Seq("k1"))
-          .select(col("k12"),
-            floor(lit(1000000.0) * col("n12") / col("n1"))
-              .cast("long").as("p"))
-        bg.join(probs, Seq("k12"))
+        // The corpus-wide bigram count n12 and left-word count n1 are
+        // WINDOW sums over the per-doc frame (partitioned by k12 / k1),
+        // not separate vocabulary aggregations joined back in: the old
+        // persist + 2 aggs + 2 joins shape cost 4 extra jobs of
+        // scheduler floor; the window form is one linear pipeline —
+        // explode -> per-doc agg -> window(k12) -> window(k1) -> per-doc
+        // agg — every exchange keyed, nothing unpartitioned, no cache.
+        // The explicit repartition(n, key) IS the window's exchange
+        // (hashpartitioning(key, n) satisfies its required
+        // distribution), pinned to the configured shuffle parallelism:
+        // the frame is small in BYTES but the window sort is CPU-heavy,
+        // and AQE's size-based coalescing was profiled collapsing it to
+        // 1-2 tasks (0.35 s single-core sorts on an 8-core run).
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        bg
+          .repartition(n, col("k12"))
+          .withColumn("n12", sum("m").over(Window.partitionBy("k12")))
+          .repartition(n, col("k1"))
+          .withColumn("n1", sum("m").over(Window.partitionBy("k1")))
+          .withColumn("p",
+            floor(lit(1000000.0) * col("n12") / col("n1")).cast("long"))
           .groupBy("doc_id")
           .agg(sum("m").as("n_bigrams"),
             sum(col("m") * col("p")).as("lm_score"))
@@ -341,21 +350,37 @@ object CorpusOps {
     // (DuckDB promotes to HUGEINT, Spark does not) — past that, rank on
     // double lift instead; the exact-integer form is the ORACLE contract
     // at verification scale.
-    // Plan: one explode + three bigram-keyed aggs + a 1-row total
-    // broadcast onto the vocabulary-sized frame, TakeOrdered(20).
+    // Plan: ONE linear job — explode -> bigram agg -> window(l) ->
+    // window(r) -> TakeOrdered(20) — plus a 1-row total broadcast. The
+    // marginals n_x / n_y are window sums over the bigram frame
+    // (partitioned by l / by r), not separate vocabulary aggs joined
+    // back in (the old persist + 3 aggs + 2 joins paid 5 jobs of
+    // scheduler floor for the same numbers). The grand total nn doesn't
+    // need the bigram frame at all: every doc contributes exactly
+    // max(|toks|-1, 0) adjacent pairs, so nn comes straight off the
+    // documents scan as a 1-row agg — no persist, no plan fan-out.
     Entry("x16_collocations",
       (s, dir) => {
         val pairs = BpeTrain.adjacentPairs(split(col("text"), " "))
-        val bg = Tables.spread(t(s, dir, "documents"))
+        // spread: the split() is CPU-heavy and the fixture scan is one
+        // row group — unspread this 1-row agg tokenizes on a single core
+        val tot = Tables.spread(t(s, dir, "documents"))
+          .agg(sum(greatest(size(split(col("text"), " ")) - 1, lit(0))
+            .cast("long")).as("nn"))
+        Tables.spread(t(s, dir, "documents"))
           .select(explode(pairs).as("p"))
           .select(col("p.l").as("l"), col("p.r").as("r"))
           .groupBy("l", "r").agg(count(lit(1)).as("n_xy"))
-          .persist()
-        val nx = bg.groupBy("l").agg(sum("n_xy").as("n_x"))
-        val ny = bg.groupBy("r").agg(sum("n_xy").as("n_y"))
-        val tot = bg.agg(sum("n_xy").as("nn"))
-        bg.filter(col("n_xy") >= 5)
-          .join(nx, "l").join(ny, "r")
+          // pinned-parallelism window exchanges — same rationale as
+          // t_bigram_lm above (AQE coalesced the CPU-heavy window sort
+          // to a single task on the byte-small vocabulary frame)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("l"))
+          .withColumn("n_x", sum("n_xy").over(Window.partitionBy("l")))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("r"))
+          .withColumn("n_y", sum("n_xy").over(Window.partitionBy("r")))
+          .filter(col("n_xy") >= 5)
           .crossJoin(broadcast(tot))
           .select(col("l"), col("r"), col("n_xy"),
             expr("n_xy * nn * 1000 DIV (n_x * n_y)").as("lift_e3"))

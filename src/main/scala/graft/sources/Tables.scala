@@ -130,12 +130,18 @@ object Tables {
     * higher-order-function folds, regex) serializes on one core. A
     * few-MB shuffle buys full-core parallelism for that compute
     * (measured: the bigram explode alone dropped 2.3s -> 0.3s at
-    * local[32]). Use it ONLY in front of compute-heavy narrow maps:
-    * at real scale inputs arrive in thousands of splits and the
-    * repartition is a row-group-starvation workaround to drop, not a
-    * pattern to keep. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * local[32]). Use it ONLY in front of compute-heavy narrow maps.
+    *
+    * CONDITIONAL: at real scale inputs arrive in thousands of splits,
+    * where an unconditional repartition would add a full shuffle AND
+    * could REDUCE parallelism to defaultParallelism — so the
+    * repartition fires only when the input has fewer partitions than
+    * the session's parallelism (the starved-scan case it exists for).
+    * The partition-count probe is plan-time only (no job runs). */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 
   /** Load a fixture table from `dir` with its declared schema. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

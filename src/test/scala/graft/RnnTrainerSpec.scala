@@ -81,4 +81,46 @@ class RnnTrainerSpec extends AnyFunSuite {
       .as("ok")).agg(avg("ok")).head().getDouble(0)
     assert(acc >= 0.9, s"accuracy $acc")
   }
+
+  // rk column for the dropout mask seed
+  private lazy val dfRk = df.withColumn("rk",
+    xxhash64(col("x1"), col("x2"), col("x3"), col("x4"), col("x5"),
+      col("y")))
+
+  test("BPTT gradients match finite differences WITH dropout active") {
+    // fixed (epoch, rowKey) -> deterministic masks, so FD through
+    // gradientsVal differentiates the same masked loss (the GdTrainer
+    // dropout-FD argument, now through the recurrence + dropped head)
+    val eps = 1e-5
+    def gAt(w: RnnWeights) = RnnTrainer.gradientsVal(dfRk, xs, col("y"),
+      col("rk"), w, epoch = 2, dropout = 0.3, lit(false))._1
+    val g = gAt(w0)
+    def lossAt(w: RnnWeights): Double = gAt(w).loss
+    def fd(up: RnnWeights, dn: RnnWeights): Double =
+      (lossAt(up) - lossAt(dn)) / (2 * eps)
+    val fwx = fd(w0.copy(wx = w0.wx.updated(1, w0.wx(1) + eps)),
+      w0.copy(wx = w0.wx.updated(1, w0.wx(1) - eps)))
+    assert(math.abs(fwx - g.wx(1)) < 1e-6, s"wx: $fwx vs ${g.wx(1)}")
+    def bumpWh(d: Double) = w0.copy(wh =
+      w0.wh.updated(2, w0.wh(2).updated(1, w0.wh(2)(1) + d)))
+    val fwh = fd(bumpWh(eps), bumpWh(-eps))
+    assert(math.abs(fwh - g.wh(2)(1)) < 1e-6, s"wh: $fwh vs ${g.wh(2)(1)}")
+    def bumpW2(d: Double) = w0.copy(w2 =
+      w0.w2.updated(1, w0.w2(1).updated(2, w0.w2(1)(2) + d)))
+    val fw2 = fd(bumpW2(eps), bumpW2(-eps))
+    assert(math.abs(fw2 - g.w2(1)(2)) < 1e-6, s"w2: $fw2 vs ${g.w2(1)(2)}")
+  }
+
+  test("dropout masks are partitioning-invariant and vary by epoch") {
+    def gAt(part: org.apache.spark.sql.DataFrame, e: Int) =
+      RnnTrainer.gradientsVal(part, xs, col("y"), col("rk"), w0,
+        epoch = e, dropout = 0.3, lit(false))._1
+    def flat(g: RnnTrainer.RnnGrads) =
+      g.wx ++ g.wh.flatten ++ g.b ++ g.w2.flatten ++ g.b2 :+ g.loss
+    // same epoch, different layout -> bit-stable within float tolerance
+    flat(gAt(dfRk.repartition(7), 1)).zip(flat(gAt(dfRk.coalesce(1), 1)))
+      .foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // different epoch -> different masks -> different gradients
+    assert(flat(gAt(dfRk, 1)) != flat(gAt(dfRk, 2)))
+  }
 }
