@@ -32,6 +32,7 @@ case class CountMinAgg(
     child: Expression,
     depth: Int,
     width: Int,
+    portable: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
@@ -60,12 +61,26 @@ case class CountMinAgg(
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
-      var i = 0
-      while (i < depth) {
-        val h = XXH64.hashUTF8String(s, seeds(i))
-        val slot = ((h % width) + width) % width
-        buffer(i * width + slot.toInt) += 1L
-        i += 1
+      if (portable) {
+        // md5-affine family (PortableHash): one md5 per value, depth
+        // affine slots — bit-identical to PortableHash.h(col, i) % width,
+        // which is what lets the q44 grid be rebuilt by a DuckDB oracle
+        val w = PortableHash.md5wBytes(s.getBytes) % PortableHash.M
+        var i = 0
+        while (i < depth) {
+          val slot = ((PortableHash.a(i) * w + PortableHash.b(i))
+            % PortableHash.P) % width
+          buffer(i * width + slot.toInt) += 1L
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < depth) {
+          val h = XXH64.hashUTF8String(s, seeds(i))
+          val slot = ((h % width) + width) % width
+          buffer(i * width + slot.toInt) += 1L
+          i += 1
+        }
       }
     }
     buffer
@@ -135,6 +150,39 @@ object CountMinAgg {
       org.apache.spark.sql.functions.lit(width))
   }
 
+  /** Portable-family variant of [[countMinAgg]] — same grid layout and
+    * merge algebra, slots from [[PortableHash]] so an external oracle
+    * can rebuild the whole sketch. */
+  def registerPortable(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier("count_min_agg_portable")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[CountMinAgg].getName,
+          "count_min_agg_portable"),
+        { args =>
+          require(args.length == 3,
+            "count_min_agg_portable takes (column, depth, width)")
+          def intOf(e: Expression): Int = e.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"expected integer literal, got $other")
+          }
+          CountMinAgg(args.head, intOf(args(1)), intOf(args(2)),
+            portable = true).toAggregateExpression()
+        })
+  }
+
+  def countMinAggPortable(spark: SparkSession, item: Column, depth: Int,
+      width: Int): Column = {
+    registerPortable(spark)
+    org.apache.spark.sql.functions.call_function("count_min_agg_portable",
+      item,
+      org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width))
+  }
+
   /** Point-estimate column for `item` against a sketch column laid out
     * row-major depth x width: min over rows of the item's counter.
     * The hash family mirrors [[CountMinAgg.update]] via the builtin
@@ -145,6 +193,17 @@ object CountMinAgg {
     import org.apache.spark.sql.functions._
     (0 until depth).map { i =>
       val slot = pmod(xxhash64(lit(i), item), lit(width.toLong))
+      element_at(sketch, (lit(i.toLong * width) + slot + 1L).cast("int"))
+    }.reduce(least(_, _))
+  }
+
+  /** [[estimate]] against a PORTABLE-family grid — the slot expression
+    * mirrors the portable `update` path via [[PortableHash.h]]. */
+  def estimatePortable(sketch: Column, item: Column,
+      depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    (0 until depth).map { i =>
+      val slot = PortableHash.h(item, i) % lit(width.toLong)
       element_at(sketch, (lit(i.toLong * width) + slot + 1L).cast("int"))
     }.reduce(least(_, _))
   }

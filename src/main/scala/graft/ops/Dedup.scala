@@ -301,6 +301,90 @@ object Dedup {
     jaccardOnPairs(keeper, sets, idCol, threshold)
   }
 
+  /** [[minhashSignatures]] on the engine-portable md5-affine family
+    * ([[graft.functions.PortableHash]]): one md5 per token staged ONCE,
+    * then k affine transforms — same plan shape (k codegen'd `min`
+    * columns, one shuffle), but the signatures are reproducible by any
+    * engine with RFC-1321 md5, which is what upgrades the x4_minhash_lsh
+    * registry entry from a rows-only check to a full DuckDB hash oracle.
+    */
+  def minhashSignaturesPortable(sets: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    import graft.functions.PortableHash
+    val w = (PortableHash.md5w(col("tok")) % lit(PortableHash.M)).as("w")
+    val mins = (0 until numHashes).map(i =>
+      min((lit(PortableHash.a(i)) * col("w") + lit(PortableHash.b(i)))
+        % lit(PortableHash.P)).as(s"h$i"))
+    sets.select(col(idCol), w)
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Portable band bucket: plain fold of the band's signature slice
+    * modulo 1e9+7 — [[bandBuckets]] without the engine-side xxhash64
+    * wrap, so an oracle can replay it with a list fold. Signature
+    * values are already < 2^31, so acc*1000003 + x < 2^51: overflow-safe
+    * on engines that check. */
+  private def bandBucketsPortable(sig: Column, bands: Int,
+      numHashes: Int): Column = {
+    val r = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(sig, b * lit(r) + lit(1), lit(r)), lit(0L),
+        (acc, x) => (acc * 1000003L + x) % 1000000007L))
+  }
+
+  private def bucketRowsPortable(sigs: DataFrame, idCol: String,
+      bands: Int, numHashes: Int): DataFrame = sigs
+    .select(col(idCol),
+      posexplode(bandBucketsPortable(col("sig"), bands, numHashes)))
+    .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+
+  /** [[minhashLshDedup]] on the portable family — identical pipeline
+    * (exact pre-pass → signatures → per-bucket min → per-doc min keeper
+    * → exact-Jaccard verify), differing only in the hash family and
+    * band-bucket fold, both replayable in ANSI SQL. */
+  def minhashLshDedupPortable(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val reps = exact(df, textCol, idCol)
+    val sets = reps.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val sigs = minhashSignaturesPortable(sets, idCol, numHashes)
+    val buckets = bucketRowsPortable(sigs, idCol, bands, numHashes)
+    val bucketMin = buckets.groupBy("band", "bucket")
+      .agg(min(col(idCol)).as("bmin"))
+    val keeper = buckets.join(bucketMin, Seq("band", "bucket"))
+      .groupBy(col(idCol)).agg(min(col("bmin")).as("keep"))
+      .filter(col("keep") < col(idCol))
+      .select(col("keep").as("d1"), col(idCol).as("d2"))
+    jaccardOnPairs(keeper, sets, idCol, threshold)
+  }
+
+  /** Portable SimHash: the 64-bit signature as two 32-bit planes voted
+    * by the first and second words of each token's md5 (an oracle can
+    * rebuild both words from hex substrings, where xxhash64 is engine-
+    * internal). Same plan shape as [[simhash]] — one staged md5 per
+    * token, 64 codegen'd `sum` columns, one shuffle. Output:
+    * (idCol, simhash) with the planes packed `hi << 32 | lo` (shiftleft
+    * is a bitwise op — no ANSI overflow check to trip on bit 31). */
+  def simhashPortable(sets: DataFrame, idCol: String): DataFrame = {
+    val hex = md5(col("tok"))
+    val staged = sets.select(col(idCol),
+      conv(substring(hex, 1, 8), 16, 10).cast("long").as("wlo"),
+      conv(substring(hex, 9, 8), 16, 10).cast("long").as("whi"))
+    def votes(word: String, pre: String) = (0 until 32).map(j =>
+      sum(when(shiftright(col(word), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"$pre$j"))
+    val aggs = votes("wlo", "lo") ++ votes("whi", "hi")
+    def plane(pre: String) = (0 until 32).map(j =>
+      when(col(s"$pre$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    staged.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (shiftleft(plane("hi"), 32).bitwiseOR(plane("lo"))).as("simhash"))
+  }
+
   /** Resolve keeper ASSIGNMENT CHAINS to final cluster roots by pointer
     * jumping: `assign` is (d1 = keeper, d2 = doc) from
     * [[minhashLshDedup]]; when c's keeper b is itself assigned to a,

@@ -145,6 +145,28 @@ object Multimodal {
     })
   }
 
+  /** [[extractFeatures]] with a PORTABLE stub: 8 integer-valued dims
+    * from the payload's md5 (16-bit windows of the digest), instead of
+    * the LCG plane summary — deterministic like the LCG stub, but
+    * reproducible by any engine with md5 over the same bytes, which is
+    * what lets x5_media_features carry a full DuckDB oracle. The
+    * Spark-side plumbing is identical and REAL: binary column in, one
+    * codec ("digest") constructed per PARTITION and reused across its
+    * iterator — the batch shape a ~100ms-construction real codec
+    * needs — typed Dataset[MediaFeature] out. */
+  def extractFeaturesPortable(media: Dataset[Media]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val d = digest.digest(m.bytes)
+        val f = Array.tabulate(8)(j =>
+          (((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)).toFloat)
+        MediaFeature(m.media_id, m.kind, f)
+      }
+    }
+  }
+
   /** Metadata-only projection — must NOT read payload bytes at the scan
     * (column pruning on the binary column; asserted in MultimodalSpec). */
   def metadata(media: Dataset[Media]): DataFrame =

@@ -128,6 +128,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF on DETERMINISTIC SEED CENTROIDS: the coarse quantizer is the
+    * `nCentroids` lowest-id vectors themselves (no iterative fit), cell
+    * assignment is argmax rounded-cosine with centroid-id tie-break.
+    * Same index/query split as [[cosineTopKIvf]] — nearest `nProbe`
+    * cells of the probe are scanned — but every step is plain relational
+    * algebra over IEEE-deterministic arithmetic, so an external oracle
+    * can replay the index, the probe ranking, and the final top-k
+    * (which is what upgrades x2_cosine_topk_ivf to a full hash check;
+    * the k-means variant stays the data-adaptive engine path, recall-
+    * asserted in SimilaritySpec). Centroids and probe are 1-to-
+    * `nCentroids`-row broadcasts; assignment is one windowed rank over
+    * the (vectors x centroids) frame — shuffle key = vector id. */
+  def cosineTopKIvfSeeded(df: DataFrame, vecCol: String, idCol: String,
+      probeId: Long, k: Int, nCentroids: Int = 8,
+      nProbe: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = df.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+    val probe = df.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__probe"))
+    val assigned = df.crossJoin(broadcast(cents))
+      .withColumn("__cs",
+        round(fcosine(df)(col(vecCol), col("__cvec")), 4))
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col(idCol)).orderBy(desc("__cs"), asc("__cid"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("__cid").as("__cell"))
+    val probeCells = cents.crossJoin(broadcast(probe))
+      .withColumn("__pcs",
+        round(fcosine(df)(col("__cvec"), col("__probe")), 4))
+      .orderBy(desc("__pcs"), asc("__cid")).limit(nProbe)
+      .select(col("__cid").as("__pcell"))
+    assigned.join(broadcast(probeCells), col("__cell") === col("__pcell"))
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+        round(fcosine(df)(col(vecCol), col("__probe")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
   /** Exact k-NN classification: for the first `nProbes` vectors,
     * majority-vote the label of their k nearest neighbors (rounded
     * cosine, excluding self) — the label-propagation / labeling-QA

@@ -241,37 +241,163 @@ object Analytics {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
-    // Q33 — mergeable HLL sketches, two-level: per-(priority, status)
-    // DataSketches HLL built with hll_sketch_agg, then UNIONED up to
-    // priority level with hll_union_agg — the pre-aggregated sketch
-    // table pattern that replaces exact count-distinct at 100 TB
-    // (sketches merge associatively, so daily partials roll up without
-    // re-reading raw data). Estimate is engine-side → rows-only check;
-    // SketchSpec bounds its error against the exact q25 counts.
+    // Q33 — mergeable HLL sketch, two-level: per-(priority, status)
+    // register tables (bucket → max rank over the md5-derived hash),
+    // MAX-merged up to priority level — the pre-aggregated sketch-table
+    // pattern that replaces exact count-distinct at 100 TB (registers
+    // merge associatively by elementwise max, so daily partials roll up
+    // without re-reading raw data; the two groupBys below ARE that
+    // merge). The hash is the portable md5 word (PortableHash), the
+    // estimator HyperLogLog's harmonic mean with the small-range
+    // linear-counting branch (Flajolet 2007): every term 2^-reg is an
+    // exact power of two, so the bucket sum is EXACT in IEEE double
+    // regardless of order and DuckDB replays the estimate bit-for-bit
+    // at the rounded precision → full hash oracle. Spark's DataSketches
+    // builtins (hll_sketch_agg/hll_union_agg) are the drop-in
+    // engine-native alternative, pinned against this estimator in
+    // SketchSpec. m = 256 buckets: ±6.5% rse, registers are 256 bytes
+    // per group.
     Entry("q33_hll_distinct",
-      (s, dir) => t(s, dir, "orders")
-        .groupBy("o_orderpriority", "o_orderstatus")
-        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
-        .groupBy("o_orderpriority")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-          .as("approx_custs"))
-        .orderBy("o_orderpriority"),
-      None),
+      (s, dir) => {
+        import graft.functions.PortableHash
+        val h = PortableHash.md5w(col("o_custkey"))
+        val v = shiftrightunsigned(h, 8) // 24 rank bits above the bucket
+        val staged = t(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderstatus"),
+          h.bitwiseAND(255L).as("bucket"),
+          when(v === 0, 25).otherwise(lit(25) - length(bin(v))).as("rank"))
+        staged
+          .groupBy("o_orderpriority", "o_orderstatus", "bucket")
+          .agg(max("rank").as("reg"))
+          .groupBy("o_orderpriority", "bucket")
+          .agg(max("reg").as("reg"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("nb"),
+            // 2^-reg via an integer shift (the functions-API shiftleft
+            // only takes a literal count; the SQL form shifts by a
+            // column) — every term an exact power of two, so the sum
+            // is order-independent and engine-exact
+            sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), reg)")
+              .cast("double")).as("snon"))
+          .select(col("o_orderpriority"),
+            ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)))
+              * lit(65536.0)
+              / (lit(256.0) - col("nb").cast("double") + col("snon")))
+              .as("raw"),
+            (lit(256) - col("nb")).as("v"))
+          // Flajolet's small-range branch: raw <= 2.5m with empty
+          // buckets → linear counting m*ln(m/V) (the raw harmonic mean
+          // overshoots ~2x at low fill — SketchSpec's sf0.001 case).
+          // ln() differs across libms only in the last ulp; at round-2
+          // that cannot move the printed value (the branch PREDICATE
+          // compares exact-deterministic doubles, so both engines take
+          // the same branch).
+          .select(col("o_orderpriority"),
+            round(when(col("raw") <= 640.0 && col("v") > 0,
+              lit(256.0) * log(lit(256.0) / col("v").cast("double")))
+              .otherwise(col("raw")), 2).as("approx_custs"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH st AS (
+                SELECT o_orderpriority, o_orderstatus,
+                       h & 255 AS bucket,
+                       CASE WHEN h >> 8 = 0 THEN 25
+                            ELSE 25 - length(bin(h >> 8)) END AS rank
+                FROM (SELECT o_orderpriority, o_orderstatus,
+                        ${graft.functions.PortableHash.md5wSql("o_custkey")}
+                          AS h
+                      FROM orders)),
+              l1 AS (SELECT o_orderpriority, o_orderstatus, bucket,
+                            max(rank) AS reg
+                     FROM st GROUP BY 1, 2, 3),
+              l2 AS (SELECT o_orderpriority, bucket, max(reg) AS reg
+                     FROM l1 GROUP BY 1, 2),
+              e AS (SELECT o_orderpriority, count(*) AS nb,
+                           sum(1.0 / (CAST(1 AS BIGINT) << reg)) AS snon
+                    FROM l2 GROUP BY 1),
+              r AS (SELECT o_orderpriority,
+                           (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                             / (256.0 - nb + snon) AS raw,
+                           256 - nb AS v
+                    FROM e)
+              SELECT o_orderpriority,
+                     round(CASE WHEN raw <= 640.0 AND v > 0
+                           THEN 256.0 * ln(256.0 / v)
+                           ELSE raw END, 2) AS approx_custs
+              FROM r ORDER BY o_orderpriority""")),
 
-    // Q34 — approximate quantiles per return flag (Greenwald-Khanna
-    // style sketch behind percentile_approx; mergeable across
-    // partitions). Engine-side sketch → rows-only; SketchSpec brackets
-    // it against the exact percentile.
+    // Q34 — approximate quantiles per return flag from a FIXED-GRID
+    // histogram sketch: 1024 buckets over the l_extendedprice domain,
+    // built in one hash aggregation; the quantile is read off the
+    // cumulative histogram with linear interpolation inside the
+    // crossing bucket. Grids merge by elementwise ADDITION (same
+    // daily-partial rollup algebra as q33/q44), the estimate is a
+    // handful of IEEE-deterministic double ops → full hash oracle,
+    // error is bounded by one bucket width (~102: SketchSpec brackets
+    // it against the exact percentile). Spark's percentile_approx
+    // (Greenwald-Khanna) is the engine-native alternative when the
+    // domain is unknown a priori; the fixed grid is what a 100 TB
+    // pipeline with known value ranges ships — cheaper, mergeable, and
+    // engine-portable.
     Entry("q34_approx_quantile",
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(percentile_approx(col("l_extendedprice"), lit(0.5),
-            lit(10000)), 4).as("p50"),
-          round(percentile_approx(col("l_extendedprice"), lit(0.95),
-            lit(10000)), 4).as("p95"))
-        .orderBy("l_returnflag"),
-      None),
+      (s, dir) => {
+        val B = 1024
+        val lo = 900.0
+        val hi = 105000.0
+        val x = col("l_extendedprice").cast("double")
+        val bucket = least(greatest(
+          floor((x - lit(lo)) / lit(hi - lo) * lit(B.toDouble)), lit(0.0)),
+          lit((B - 1).toDouble)).cast("long")
+        val hist = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), bucket.as("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val cum = hist
+          .withColumn("cum", sum("c").over(Window
+            .partitionBy("l_returnflag").orderBy("bucket")))
+          .withColumn("n", sum("c").over(Window
+            .partitionBy("l_returnflag")))
+        def pick(q: Double, name: String) = cum
+          .withColumn("target", ceil(lit(q) * col("n").cast("double")))
+          .filter(col("cum") >= col("target") &&
+            (col("cum") - col("c")) < col("target"))
+          .select(col("l_returnflag"),
+            round(lit(lo) + (col("bucket").cast("double")
+              + (col("target").cast("double")
+                - (col("cum") - col("c")).cast("double"))
+                / col("c").cast("double"))
+              * lit((hi - lo) / B), 4).as(name))
+        pick(0.5, "p50").join(pick(0.95, "p95"), Seq("l_returnflag"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (
+                SELECT l_returnflag,
+                       CAST(least(greatest(floor(
+                           (CAST(l_extendedprice AS DOUBLE) - 900.0)
+                           / (105000.0 - 900.0) * 1024.0), 0.0), 1023.0)
+                         AS BIGINT) AS bucket,
+                       count(*) AS c
+                FROM lineitem GROUP BY 1, 2),
+              cum AS (
+                SELECT l_returnflag, bucket, c,
+                       sum(c) OVER (PARTITION BY l_returnflag
+                         ORDER BY bucket) AS cum,
+                       sum(c) OVER (PARTITION BY l_returnflag) AS n
+                FROM h),
+              p50 AS (
+                SELECT l_returnflag,
+                       round(900.0 + (bucket + (ceil(0.5 * n) - (cum - c))
+                         / c) * ((105000.0 - 900.0) / 1024), 4) AS p50
+                FROM cum WHERE cum >= ceil(0.5 * n)
+                           AND cum - c < ceil(0.5 * n)),
+              p95 AS (
+                SELECT l_returnflag,
+                       round(900.0 + (bucket + (ceil(0.95 * n) - (cum - c))
+                         / c) * ((105000.0 - 900.0) / 1024), 4) AS p95
+                FROM cum WHERE cum >= ceil(0.95 * n)
+                           AND cum - c < ceil(0.95 * n))
+              SELECT p50.l_returnflag, p50.p50, p95.p95
+              FROM p50 JOIN p95 USING (l_returnflag)
+              ORDER BY l_returnflag""")),
 
     // Q44 — Count-Min frequency sketch (graft.functions.CountMinAgg,
     // the third mergeable-sketch family next to HLL q33 and quantiles
@@ -279,8 +405,10 @@ object Analytics {
     // each distinct priority's point estimate (min over rows) beside
     // its exact count. Over-count-only by construction: est >= exact
     // always, equal here because 5 keys cannot collide across 4 rows
-    // of 256 slots (bounds asserted in CountMinAggSpec). Rows-only:
-    // the grid is the engine's xxhash64 family. At 100 TB the sketch
+    // of 256 slots (bounds asserted in CountMinAggSpec). The grid runs
+    // the md5-affine PORTABLE family, so DuckDB rebuilds the sketch
+    // cell-for-cell → full hash oracle (the xxhash64 family remains the
+    // engine-internal default of count_min_agg). At 100 TB the sketch
     // is the pre-aggregated daily-partial pattern — grids merge by
     // elementwise addition, so rollups never re-read raw data.
     Entry("q44_cms_freq",
@@ -288,18 +416,39 @@ object Analytics {
         val d = 4
         val wdt = 256
         val orders = t(s, dir, "orders")
-        val sk = orders.agg(graft.functions.CountMinAgg.countMinAgg(
+        val sk = orders.agg(graft.functions.CountMinAgg.countMinAggPortable(
           s, col("o_orderpriority"), d, wdt).as("sk"))
         orders.groupBy("o_orderpriority")
           .agg(count(lit(1)).as("exact"))
           .crossJoin(broadcast(sk))
           .select(col("o_orderpriority"), col("exact"),
-            graft.functions.CountMinAgg.estimate(col("sk"),
+            graft.functions.CountMinAgg.estimatePortable(col("sk"),
               col("o_orderpriority"), d, wdt).as("est"))
           .withColumn("overcount", col("est") - col("exact"))
           .orderBy("o_orderpriority")
       },
-      None),
+      Some {
+        import graft.functions.PortableHash
+        val aL = (0 until 4).map(PortableHash.a).mkString("[", ",", "]")
+        val bL = (0 until 4).map(PortableHash.b).mkString("[", ",", "]")
+        val w = PortableHash.md5wSql("o_orderpriority")
+        s"""WITH g AS (
+              SELECT i, ($aL[i + 1] * ($w % ${PortableHash.M})
+                         + $bL[i + 1]) % ${PortableHash.P} % 256 AS slot,
+                     count(*) AS cnt
+              FROM orders CROSS JOIN range(0, 4) s(i) GROUP BY 1, 2),
+            keys AS (SELECT o_orderpriority, count(*) AS exact
+                     FROM orders GROUP BY 1)
+            SELECT k.o_orderpriority, k.exact, min(g.cnt) AS est,
+                   min(g.cnt) - k.exact AS overcount
+            FROM keys k CROSS JOIN range(0, 4) s(i)
+            JOIN g ON g.i = s.i
+                  AND g.slot = ($aL[s.i + 1]
+                    * (${PortableHash.md5wSql("k.o_orderpriority")}
+                       % ${PortableHash.M})
+                    + $bL[s.i + 1]) % ${PortableHash.P} % 256
+            GROUP BY 1, 2 ORDER BY 1"""
+      }),
 
     // S1 — CSV sink + source roundtrip with the reference's exact read
     // options (header=true, inferSchema=true → the two-pass scan,

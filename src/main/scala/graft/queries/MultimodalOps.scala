@@ -42,13 +42,32 @@ object MultimodalOps {
 
     // X5b — stubbed decode -> feature extraction -> cosine top-10 vs the
     // media_id=0 probe: the multimodal-to-similarity composition. The
-    // stub codec is engine-side only -> rows-only check.
+    // PORTABLE stub (md5-window features, integer-valued floats) makes
+    // the whole composition DuckDB-replayable -> full hash oracle; the
+    // LCG-plane stub stays on the frame pipeline (decode/resize/sample,
+    // MultimodalSpec).
     Entry("x5_media_features",
       (s, dir) => {
         val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
-        val feats = Multimodal.extractFeatures(media).toDF()
+        val feats = Multimodal.extractFeaturesPortable(media).toDF()
         Similarity.cosineTopK(feats, "feature", "media_id", 0L, 10)
       },
-      None)
+      Some {
+        val dims = (1 to 8).map(j =>
+          s"""CAST(CAST(concat('0x', substring(md5(text),
+              ${(j - 1) * 4 + 1}, 4)) AS BIGINT) AS DOUBLE)""")
+          .mkString("[", ",\n ", "]")
+        s"""WITH feats AS (
+              SELECT doc_id AS media_id, $dims AS f FROM documents),
+            probe AS (SELECT f AS p FROM feats WHERE media_id = 0),
+            d AS (SELECT c.media_id,
+                    sum(c.f[i] * p.p[i]) AS dp,
+                    sqrt(sum(c.f[i] * c.f[i])) AS na,
+                    sqrt(sum(p.p[i] * p.p[i])) AS nb
+                  FROM feats c CROSS JOIN probe p, range(1, 9) t(i)
+                  GROUP BY c.media_id)
+            SELECT media_id, round(dp / (na * nb), 4) AS cos_sim
+            FROM d ORDER BY cos_sim DESC, media_id LIMIT 10"""
+      })
   )
 }

@@ -33,6 +33,49 @@ object SimilarityOps {
         SELECT vec_id, round(dp / (na * nb), 4) AS cos_sim FROM d
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  /** DuckDB replay of Similarity.cosineTopKIvfSeeded(8 cells, 6 probed,
+    * k=10) + the recall-vs-exact gate: assignment ranks rounded cosine
+    * with centroid-id tie-break, exactly as the Spark window does. */
+  private def ivfSeededSql: String = {
+    // rounded cosine between a vector column pair, summed over 64 dims
+    def cos(a: String, b: String) =
+      s"""round(sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))
+           / (sqrt(sum(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))
+              * sqrt(sum(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))), 4)"""
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+        probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+        ac AS (SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cv")} AS cs
+               FROM embeddings e CROSS JOIN cents c, range(1, 65) t(i)
+               GROUP BY e.vec_id, c.cid),
+        asgn AS (SELECT vec_id, cid AS cell FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+                   FROM ac) WHERE rn = 1),
+        pcell AS (SELECT cid AS pcell FROM (
+                    SELECT c.cid, ${cos("c.cv", "p.p")} AS pcs
+                    FROM cents c CROSS JOIN probe p, range(1, 65) t(i)
+                    GROUP BY c.cid)
+                  ORDER BY pcs DESC, cid ASC LIMIT 6),
+        scored AS (SELECT e.vec_id, ${cos("e.embedding", "p.p")} AS cos_sim
+                   FROM embeddings e
+                   JOIN asgn a ON a.vec_id = e.vec_id
+                   JOIN pcell ON a.cell = pcell
+                   CROSS JOIN probe p, range(1, 65) t(i)
+                   GROUP BY e.vec_id),
+        ivf AS (SELECT vec_id, cos_sim FROM scored
+                ORDER BY cos_sim DESC, vec_id ASC LIMIT 10),
+        ext AS (SELECT e.vec_id, ${cos("e.embedding", "p.p")} AS cs
+                FROM embeddings e CROSS JOIN probe p, range(1, 65) t(i)
+                GROUP BY e.vec_id
+                ORDER BY cs DESC, vec_id ASC LIMIT 10),
+        rec AS (SELECT count(*) AS recall10
+                FROM ivf JOIN ext USING (vec_id))
+        SELECT ivf.vec_id, ivf.cos_sim, rec.recall10
+        FROM ivf CROSS JOIN rec WHERE recall10 >= 8
+        ORDER BY cos_sim DESC, vec_id ASC"""
+  }
+
   private def signBucketSql(v: String, nBits: Int = 8): String =
     (0 until nBits)
       .map(j => s"(CASE WHEN $v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
@@ -53,28 +96,25 @@ object SimilarityOps {
         t(s, dir, "embeddings"), "embedding", "vec_id", 0L, 10, 8),
       Some(cosineSql("bit_count(xor(bkt, pbkt)) <= 1"))),
 
-    // X2c — IVF (k-means-cell) ANN top-10: the data-adapted ANN beside
-    // the sign-LSH variant. KMeans cells are engine-side (seeded MLlib
-    // fit) -> rows-only check. The `recall10` column counts the overlap
-    // with the EXACT top-10 computed in the same query, and the output
-    // is gated on recall10 >= 8: if IVF recall ever collapses the entry
-    // emits 0 rows and the driver's rows-only check fails — the
-    // strongest assertion a hash-free entry can carry. (Also asserted
-    // in SimilaritySpec.)
+    // X2c — IVF ANN top-10 on DETERMINISTIC SEED CENTROIDS (the 8
+    // lowest-id vectors; argmax rounded-cosine assignment, 6 of 8 cells
+    // probed): relational index + query that DuckDB replays end-to-end
+    // → full hash oracle. The k-means variant
+    // (Similarity.cosineTopKIvf, seeded MLlib fit) remains the
+    // data-adaptive engine path, recall-asserted in SimilaritySpec.
+    // 8 cells / 6 probed (75% scan fraction): these synthetic
+    // embeddings are nearly unclustered; on real (clustered)
+    // embeddings the same operator runs at 2-4% scan fraction — the
+    // dial is explicit. The `recall10` column counts overlap with the
+    // EXACT top-10 computed in the same query and the output is gated
+    // on recall10 >= 8 (replayed in the oracle's WHERE), so a recall
+    // collapse empties the result on either engine.
+    // persist: the 10-row IVF result feeds BOTH the overlap agg and
+    // the final join; released by the harness's clearCache-after-query.
     Entry("x2_cosine_topk_ivf",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        // 8 cells / 6 probed (75% scan fraction): these synthetic
-        // embeddings are nearly unclustered, so k-means cells carry
-        // little locality — measured recall@10 at 16 cells plateaus at
-        // 7/10 even probing 8 of them, while 8/6 delivers 9-10/10 at
-        // every SF. On real (clustered) embeddings the same operator
-        // runs at 2-4% scan fraction; the dial is explicit.
-        // persist: the 10-row IVF result feeds BOTH the overlap agg and
-        // the final join — uncached, the whole indexed scan + cosine +
-        // top-k would execute twice. Released by the harness's
-        // clearCache-after-query (Bench.exec / Verify).
-        val ivf = Similarity.cosineTopKIvf(
+        val ivf = Similarity.cosineTopKIvfSeeded(
           emb, "embedding", "vec_id", 0L, 10, 8, 6).persist()
         val exact = Similarity.cosineTopK(emb, "embedding", "vec_id", 0L, 10)
           .select(col("vec_id").as("e_id"))
@@ -85,7 +125,7 @@ object SimilarityOps {
           .filter(col("recall10") >= 8)
           .orderBy(desc("cos_sim"), asc("vec_id"))
       },
-      None),
+      Some(ivfSeededSql)),
 
     // Embedding-cosine near-duplicate pairs, sign-bucket blocked
     // (8 bits = 256 buckets: ~16x fewer within-bucket pairs than 4).

@@ -20,6 +20,90 @@ object TextOps {
   // fire on the fixture's repeated template sentences (see the entry)
   private val DfCap = 25
 
+  // DuckDB replay of Dedup.minhashLshDedupPortable(documents, 32, 8, .5):
+  // the affine coefficients are the SAME PortableHash literals the Spark
+  // plan embeds, so signatures — and therefore buckets, keepers, and the
+  // verified pair set — must agree bit-for-bit.
+  private def minhashLshSql: String = {
+    import graft.functions.PortableHash
+    val k = 32
+    val aList = (0 until k).map(PortableHash.a).mkString("[", ",", "]")
+    val bList = (0 until k).map(PortableHash.b).mkString("[", ",", "]")
+    s"""WITH reps AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+        toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(string_split(text, ' ')) AS tok FROM reps),
+        tw AS (
+          SELECT doc_id,
+                 ${PortableHash.md5wSql("tok")} % ${PortableHash.M} AS w
+          FROM toks),
+        sig AS (
+          SELECT doc_id, i,
+                 min(($aList[i + 1] * w + $bList[i + 1])
+                     % ${PortableHash.P}) AS sv
+          FROM tw CROSS JOIN range(0, $k) s(i) GROUP BY doc_id, i),
+        bkt AS (
+          SELECT doc_id, i // 4 AS band,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list(sv ORDER BY i)),
+                   (acc, x) -> (acc * 1000003 + x) % 1000000007) AS bucket
+          FROM sig GROUP BY doc_id, i // 4),
+        bmin AS (SELECT band, bucket, min(doc_id) AS bm
+                 FROM bkt GROUP BY 1, 2),
+        keeper AS (
+          SELECT min(m.bm) AS d1, b.doc_id AS d2
+          FROM bkt b JOIN bmin m USING (band, bucket)
+          GROUP BY b.doc_id HAVING min(m.bm) < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT k.d1, k.d2, count(*) AS c
+          FROM keeper k JOIN toks t1 ON t1.doc_id = k.d1
+                        JOIN toks t2 ON t2.doc_id = k.d2
+                                    AND t2.tok = t1.tok
+          GROUP BY k.d1, k.d2)
+        SELECT i.d1, i.d2,
+               round(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+        FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
+                     JOIN sizes s2 ON s2.doc_id = i.d2
+        WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
+        ORDER BY d1, d2"""
+  }
+
+  // DuckDB replay of the portable SimHash pair query: rebuild both
+  // 32-bit planes from md5 words, then check ALL pairs at hamming <= 6 —
+  // the quadratic form the Spark side's pigeonhole banding provably
+  // equals (a pair within 6 bits matches at least one of 7 bands).
+  private def simhashSql: String =
+    s"""WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(string_split(text, ' ')) AS tok FROM documents),
+        tw AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+                   AS wlo,
+                 CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT)
+                   AS whi
+          FROM toks),
+        votes AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (wlo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS slo,
+                 sum(CASE WHEN (whi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS shi
+          FROM tw CROSS JOIN range(0, 32) r(j) GROUP BY doc_id, j),
+        sig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN slo > 0 THEN CAST(1 AS BIGINT) << j
+                          ELSE 0 END) AS lo,
+                 sum(CASE WHEN shi > 0 THEN CAST(1 AS BIGINT) << j
+                          ELSE 0 END) AS hi
+          FROM votes GROUP BY doc_id)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6"""
+
   val entries: Seq[Entry] = Seq(
 
     // X1 — exact dedup: hash-groupBy on sha2(text), keep min doc_id.
@@ -175,27 +259,34 @@ object TextOps {
     // MinHash + LSH dedup assignments (exact-dedup pre-pass → signatures
     // over representatives → per-bucket min keeper → exact-Jaccard verify
     // of the single per-doc pair) — the 100 TB dedup path; output rows
-    // are linear in docs even on a near-duplicate-dense corpus. The
-    // engine-side hash family (xxhash64) has no DuckDB equivalent →
-    // rows-only check.
+    // are linear in docs even on a near-duplicate-dense corpus. Runs on
+    // the md5-affine PORTABLE hash family (PortableHash), so DuckDB
+    // replays the whole pipeline — signatures, band folds, keeper
+    // assignment, Jaccard verify — as a full hash oracle. (The
+    // xxhash64-family MinHashAgg fast path stays the engine-internal
+    // variant, pinned equal-in-structure by DedupSpec/MinHashAggSpec.)
     Entry("x4_minhash_lsh",
-      (s, dir) => Dedup.minhashLshDedup(t(s, dir, "documents"),
+      (s, dir) => Dedup.minhashLshDedupPortable(t(s, dir, "documents"),
         "text", "doc_id", 32, 8, 0.5)
         .orderBy("d1", "d2"),
-      None),
+      Some(minhashLshSql)),
 
     // SimHash signatures + hamming-close pairs (<= 6 of 64 bits) via
     // exact pigeonhole banding — equi-join candidates, no O(n^2) loop.
-    // No ORDER BY: the rows-only check needs no total order, and the
-    // pair set is ~630k rows at sf0.1 — a free full sort otherwise.
+    // Portable md5-word bit votes (two 32-bit planes) → the oracle
+    // rebuilds every signature and checks the pair set with a naive
+    // quadratic join, which is exactly what the banding provably equals
+    // (any pair within 6 bits matches at least one of 7 bands). No
+    // ORDER BY: hash-compare sorts rows itself, and the pair set is
+    // ~630k rows at sf0.1 — a free full sort otherwise.
     Entry("x4_simhash",
       (s, dir) => {
         val sets = Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id",
           "source")
-        val sigs = Dedup.simhashAgg(sets, "doc_id")
+        val sigs = Dedup.simhashPortable(sets, "doc_id")
         Dedup.simhashNearDupPairs(sigs, "doc_id", 6)
       },
-      None),
+      Some(simhashSql)),
 
     // Language-ID heuristic (script ranges + function words).
     Entry("t_lang_id",

@@ -47,17 +47,21 @@ class SketchSpec extends AnyFunSuite {
     assert(whole == repartitioned)
   }
 
-  test("q33 two-level hll union estimates within 5% of exact distinct") {
+  test("q33 two-level hll union estimates within 3 rse of exact distinct") {
     val o = Tables.load(spark, dir, "orders")
     val exact = o.groupBy("o_orderpriority")
       .agg(countDistinct("o_custkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val approx = graft.queries.Registry.all
       .find(_.name == "q33_hll_distinct").get.run(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(approx.keySet == exact.keySet)
+    // portable raw-HLL estimator at m = 256 buckets: rse = 1.04/sqrt(m)
+    // = 6.5%; 3x rse = 19.5% is the against-bad-luck bound (the
+    // DataSketches builtin the estimator is pinned against above is
+    // tighter only because it switches estimators at low fill)
     exact.foreach { case (p, n) =>
-      assert(math.abs(approx(p) - n).toDouble / n < 0.05,
+      assert(math.abs(approx(p) - n) / n < 3 * 1.04 / math.sqrt(256.0),
         s"$p: approx=${approx(p)} exact=$n")
     }
   }
