@@ -63,6 +63,28 @@ object TrainerCommon {
     pmod(xxhash64(rowKey, lit(salt)), lit(1000L)) <
       lit(math.round(1000 * valFrac))
 
+  /** [[valSplit]] on the engine-portable md5-affine family
+    * ([[graft.functions.PortableHash]], seed index 17): row lands in
+    * the validation slice iff `h(concat(keys, '#')) % 1000 <
+    * round(1000*valFrac)`. Same contract (deterministic, rerun-stable,
+    * partitioning-invariant), but ALSO replayable by an external
+    * oracle — which is what lets q61_trainer_contract hash-check the
+    * exact train/val row sets the ES trainers consume. Keys are cast
+    * to string and '#'-joined, matching [[valSplitPortableSql]]. */
+  def valSplitPortable(keys: Seq[Column], valFrac: Double = 0.2): Column =
+    graft.functions.PortableHash.h(
+      concat_ws("#", keys.map(_.cast("string")): _*), 17) %
+      lit(1000L) < lit(math.round(1000 * valFrac))
+
+  /** DuckDB replay of [[valSplitPortable]] over SQL expression texts. */
+  def valSplitPortableSql(keys: Seq[String],
+      valFrac: Double = 0.2): String = {
+    val joined = keys.map(k => s"CAST($k AS VARCHAR)")
+      .mkString("concat(", ", '#', ", ")")
+    s"${graft.functions.PortableHash.hSql(joined, 17)} % 1000 < " +
+      s"${math.round(1000 * valFrac)}"
+  }
+
   /** Outcome of [[earlyStop]]: weights restored to the best-val epoch,
     * per-epoch train losses (loss at start of epoch, the trainers'
     * existing convention), per-epoch END-of-epoch validation losses,

@@ -383,7 +383,8 @@ object NeuralOps {
         val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
         val es = RnnTrainer.fitEs(facts, xs, y, w0, maxEpochs = 4,
           lr = 0.5, rowKey = rk, dropout = 0.3,
-          isVal = TrainerCommon.valSplit(rk), patience = 5)
+          isVal = TrainerCommon.valSplitPortable(
+            Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
         val (lab, fs) = labeled(facts, xs, y)
         (es.trainLosses, accOf(RnnTrainer.predictStaged(
           lab, Seq(col("y")), fs, es.weights, "pred")))
@@ -414,7 +415,8 @@ object NeuralOps {
         val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
         val es = Rnn2Trainer.fitEs(facts, xs, y, w0, maxEpochs = 3,
           lr = 0.25, rowKey = rk, dropout = 0.3,
-          isVal = TrainerCommon.valSplit(rk), patience = 5)
+          isVal = TrainerCommon.valSplitPortable(
+            Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
         val (lab, fs) = labeled(facts, xs, y)
         (es.trainLosses, accOf(Rnn2Trainer.predictStaged(
           lab, Seq(col("y")), fs, es.weights, "pred")))
@@ -471,7 +473,8 @@ object NeuralOps {
         val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
         val es = Lstm2Trainer.fitEs(facts, xs.take(4), y, w0,
           maxEpochs = 3, lr = 0.5, rowKey = rk, dropout = 0.3,
-          isVal = TrainerCommon.valSplit(rk), patience = 5)
+          isVal = TrainerCommon.valSplitPortable(
+            Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
         val (lab, fs) = labeled(facts, xs, y)
         (es.trainLosses, accOf(Lstm2Trainer.predictStaged(
           lab, Seq(col("y")), fs.take(4), es.weights, "pred")))
@@ -572,7 +575,8 @@ object NeuralOps {
             kernel = 3, dense = 4, classes = 2, seed = 41L)
           val es = ConvNetTrainer.fitEs(facts, xs, y, w0, maxEpochs = 3,
             lr = 0.5, rowKey = rk, dropout = 0.5,
-            isVal = TrainerCommon.valSplit(rk), patience = 5)
+            isVal = TrainerCommon.valSplitPortable(
+            Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
           val scored = ConvNetTrainer.predictStaged(
             facts.withColumn("y", y), Seq(col("y")), xs, es.weights,
             "pred")
@@ -624,7 +628,7 @@ object NeuralOps {
         val w0 = GdTrainer.init(d, 6, 2, seed = 11L)
         val es = GdTrainer.fitEs(emb, feats, col("y"), col("rk"),
           w0, maxEpochs = 8, lr = 0.5, dropout = 0.3,
-          isVal = TrainerCommon.valSplit(col("rk")), patience = 5)
+          isVal = TrainerCommon.valSplitPortable(Seq(col("rk"))), patience = 5)
         val (w, losses) = (es.weights, es.trainLosses)
         val acc = emb.select((GdTrainer.predict(feats, w) === col("y"))
           .cast("double").as("ok")).agg(avg("ok")).head().getDouble(0)
@@ -641,6 +645,54 @@ object NeuralOps {
         rows.toDF("epoch", "loss", "val_loss", "best_epoch",
           "stopped_epoch", "final_acc").orderBy("epoch")
       },
-      None)
+      None),
+
+    // Q61 — the trainer harness's deterministic SCAFFOLDING, oracle-
+    // gated: the q42/q43/q56-q60 lineitem slice (l_orderkey % 4 = 0)
+    // and the md5-affine 20% validation split every EarlyStopping
+    // trainer consumes (TrainerCommon.valSplitPortable — q40 keys on
+    // vec_id, the lineitem trainers on (l_orderkey, l_linenumber)),
+    // counted per family and hash-compared against DuckDB replaying
+    // the same hash. The float training trajectories themselves are
+    // rows-only BY DESIGN (gradient sums over arbitrary partition
+    // orders are not cross-engine reproducible; finite-difference
+    // specs own that correctness) — this entry makes everything
+    // AROUND them externally checkable: slice definition, split
+    // fraction, split membership.
+    Entry("q61_trainer_contract",
+      (s, dir) => {
+        val ivL = TrainerCommon.valSplitPortable(
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(ivL, 1L).otherwise(0L)).as("n_val"))
+          .select(lit("lineitem_q4").as("family"), col("n_rows"),
+            (col("n_rows") - col("n_val")).as("n_train"), col("n_val"))
+        val ivE = TrainerCommon.valSplitPortable(Seq(col("vec_id")))
+        val emb = t(s, dir, "embeddings")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(ivE, 1L).otherwise(0L)).as("n_val"))
+          .select(lit("embeddings").as("family"), col("n_rows"),
+            (col("n_rows") - col("n_val")).as("n_train"), col("n_val"))
+        li.unionAll(emb).orderBy("family")
+      },
+      Some {
+        val ivE = TrainerCommon.valSplitPortableSql(Seq("vec_id"))
+        val ivL = TrainerCommon.valSplitPortableSql(
+          Seq("l_orderkey", "l_linenumber"))
+        s"""SELECT 'embeddings' AS family, count(*) AS n_rows,
+               CAST(sum(CASE WHEN $ivE THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_train,
+               CAST(sum(CASE WHEN $ivE THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_val
+            FROM embeddings
+            UNION ALL
+            SELECT 'lineitem_q4', count(*),
+               CAST(sum(CASE WHEN $ivL THEN 0 ELSE 1 END) AS BIGINT),
+               CAST(sum(CASE WHEN $ivL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem WHERE l_orderkey % 4 = 0
+            ORDER BY family"""
+      })
   )
 }
