@@ -413,13 +413,16 @@ object NeuralOps {
         val w0 = w0i.copy(b1 = w0i.b1.map(_.abs + 0.1),
           b2 = w0i.b2.map(_.abs + 0.1))
         val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
-        val es = Rnn2Trainer.fitEs(facts, xs, y, w0, maxEpochs = 3,
+        // T=6 of the 8 features, 2 ES epochs (3 aggregation passes):
+        // per-pass cost here is driver-side plan/codegen depth, not
+        // data — the q56 rationale, doubled by the second layer
+        val es = Rnn2Trainer.fitEs(facts, xs.take(6), y, w0, maxEpochs = 2,
           lr = 0.25, rowKey = rk, dropout = 0.3,
           isVal = TrainerCommon.valSplitPortable(
             Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
         val (lab, fs) = labeled(facts, xs, y)
         (es.trainLosses, accOf(Rnn2Trainer.predictStaged(
-          lab, Seq(col("y")), fs, es.weights, "pred")))
+          lab, Seq(col("y")), fs.take(6), es.weights, "pred")))
       },
       None),
 
@@ -456,7 +459,9 @@ object NeuralOps {
     // reference's COMPLETE recurrent stack `lstm_model.py:19-26` —
     // LSTM(u1, return_sequences) -> Dropout(.3) -> LSTM(u2) ->
     // Dropout(.3) -> Dense(d, relu) -> softmax — trained by stacked
-    // gated BPTT under the EarlyStopping harness. Closes the M4
+    // gated BPTT (full dropout; the EarlyStopping harness composes
+    // via Lstm2Trainer.fitEs and is exercised on the cheaper stacked
+    // entry q59 — see the in-body cost note). Closes the M4
     // STACKING delta (q56 is the single-layer block); the remaining
     // difference is WIDTH only (2/2 units + Dense(3) vs 64/128 +
     // Dense(64) — constructor arguments, held small per the q56
@@ -471,26 +476,34 @@ object NeuralOps {
         val w0 = Lstm2Trainer.init(u1 = 2, u2 = 2, d = 3, classes = 2,
           seed = 47L)
         val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
-        val es = Lstm2Trainer.fitEs(facts, xs.take(4), y, w0,
-          maxEpochs = 3, lr = 0.5, rowKey = rk, dropout = 0.3,
-          isVal = TrainerCommon.valSplitPortable(
-            Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
+        // T=3, 2 plain-fit epochs (2 aggregation passes; the ES
+        // harness — which costs a trailing validation pass — is
+        // demonstrated on q40/q42/q58/q59; this entry's job is the
+        // stacked gated BPTT): the stacked DAG is ~15 staged frontiers
+        // per step forward+backward and per-pass cost is driver-side
+        // plan/codegen depth, not data (measured 29s at T=4/3 ES
+        // epochs vs ~8s here at sf0.1 — same semantics,
+        // Lstm2TrainerSpec pins the math at T=5)
+        val (w, losses) = Lstm2Trainer.fit(facts, xs.take(3), y, w0,
+          epochs = 2, lr = 0.5, rowKey = rk, dropout = 0.3)
         val (lab, fs) = labeled(facts, xs, y)
-        (es.trainLosses, accOf(Lstm2Trainer.predictStaged(
-          lab, Seq(col("y")), fs.take(4), es.weights, "pred")))
+        (losses, accOf(Lstm2Trainer.predictStaged(
+          lab, Seq(col("y")), fs.take(3), w, "pred")))
       },
       None),
 
-    // Q43 — CONVOLUTIONAL training (ConvTrainer): 4 full-batch epochs
+    // Q43 — CONVOLUTIONAL training (ConvTrainer): full-batch epochs
     // of Conv1D(3 filters, k=3, relu) -> global MAX pool (the
     // reference's pooling; gradient routed to the first argmax
-    // position) -> softmax over the 8-step lineitem sequence — the
-    // TRAINING half of the M2 gap (q37 covers scoring; remaining delta
-    // vs the reference's stacked conv blocks is documented on
-    // ConvTrainer). Same shape as q42: staged forward+backward
+    // position) -> post-pool Dropout(.5) (`cnn_model.py:29`) ->
+    // softmax over the 8-step lineitem sequence, under the
+    // EarlyStopping harness — the TRAINING half of the M2 gap (q37
+    // covers scoring; the reference's full stacked block structure is
+    // q57/q58). Same shape as q42: staged forward+backward
     // expressions, one aggregation per epoch, deterministic 25% slice,
     // rows-only; ConvTrainerSpec holds finite-difference checks for
-    // both pooling modes and learns a position-invariant task.
+    // both pooling modes (with and without dropout) and learns a
+    // position-invariant task.
     Entry("q43_conv_train",
       (s, dir) => trainEntry(s, dir) { (facts, xs, y) =>
         val w0i = ConvTrainer.init(filters = 3, kernel = 3, classes = 2,
@@ -498,11 +511,19 @@ object NeuralOps {
         // positive initial biases keep filters alive under max-pool's
         // sparse argmax routing (the ConvTrainerSpec dead-filter note)
         val w0 = w0i.copy(b = w0i.b.map(_.abs + 0.1))
-        val (w, losses) = ConvTrainer.fit(facts, xs, y, w0,
-          epochs = 4, lr = 0.5, pool = ConvTrainer.MaxPool)
+        val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
+        // the reference's Dropout(.5) after the conv block
+        // (cnn_model.py:29) + EarlyStopping, both riding the same
+        // per-epoch aggregation (3 epochs + the trailing val pass)
+        val es = ConvTrainer.fitEs(facts, xs, y, w0, maxEpochs = 3,
+          lr = 0.5, rowKey = rk, dropout = 0.5,
+          isVal = TrainerCommon.valSplitPortable(
+            Seq(col("l_orderkey"), col("l_linenumber"))),
+          pool = ConvTrainer.MaxPool, patience = 5)
         val (lab, fs) = labeled(facts, xs, y)
-        (losses, accOf(ConvTrainer.predictStaged(
-          lab, Seq(col("y")), fs, w, "pred", ConvTrainer.MaxPool)))
+        (es.trainLosses, accOf(ConvTrainer.predictStaged(
+          lab, Seq(col("y")), fs, es.weights, "pred",
+          ConvTrainer.MaxPool)))
       },
       None),
 
