@@ -65,6 +65,85 @@ object CorpusOps {
   private val QBias = 2L
   private val qwSql = QW.mkString("[", ", ", "]")
 
+  /** DuckDB replay of [[graft.ops.BpeTrain.fit]]'s state as an
+    * unrolled CTE chain: `w{i}` is the (word, freq, symbols) table
+    * after merge i, `p{i}`/`m{i}` the step-i pair counts and argmax.
+    * The greedy left-to-right fuse is a `list_reduce` over
+    * single-element lists (list_reduce's accumulator must share the
+    * element type) with the merge pair captured from the LEFT JOINed
+    * `m{i}` row — an empty `m{i}` (early stop: no pair reaches
+    * `minCount`) leaves the word table unchanged and contributes no
+    * output row, exactly the Scala loop's termination. Word tables are
+    * MATERIALIZED: each is read by both the next pair count and the
+    * next fuse, and an inlined 12-deep chain would re-evaluate
+    * exponentially. */
+  private def bpeChainSql(steps: Int, minCount: Long): String = {
+    def fuseSql(syms: String): String =
+      s"""list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+            list_transform($syms, s -> [s])),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l
+                            AND x[1] = m.r
+                      THEN acc[:-2] || [m.l || m.r]
+                      ELSE acc || x END)"""
+    val w0 = s"""w0 AS MATERIALIZED (
+        SELECT word, count(*) AS freq,
+               string_split(word, '') || ['${BpeTrain.EndOfWord}'] AS syms
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE length(word) > 0 GROUP BY word)"""
+    val iters = (1 to steps).map { i =>
+      s"""p$i AS (SELECT pr.l AS l, pr.r AS r,
+                  CAST(sum(freq) AS BIGINT) AS n
+            FROM w${i - 1},
+              unnest(list_transform(generate_series(1, len(syms) - 1),
+                k -> {'l': syms[k], 'r': syms[k + 1]})) AS t(pr)
+            GROUP BY 1, 2),
+          m$i AS (SELECT l, r, n FROM p$i WHERE n >= $minCount
+            ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+          w$i AS MATERIALIZED (
+            SELECT word, freq,
+                   CASE WHEN m.l IS NULL THEN w.syms
+                        ELSE ${fuseSql("w.syms")} END AS syms
+            FROM w${i - 1} w LEFT JOIN m$i m ON TRUE)"""
+    }
+    s"$w0,\n${iters.mkString(",\n")}"
+  }
+
+  private def bpeTrainSql(steps: Int, minCount: Long): String = {
+    val out = (1 to steps).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, l AS "left", r AS "right", n
+          FROM m$i""").mkString("\n UNION ALL ")
+    s"WITH ${bpeChainSql(steps, minCount)}\n$out ORDER BY step"
+  }
+
+  /** DuckDB replay of [[graft.ops.BpeTrain.applyMerges]] over the whole
+    * corpus: the train chain's final word table ALREADY holds each
+    * distinct word's symbols after all `steps` merges (training fuses
+    * the full vocabulary each step with exactly the fold encode
+    * replays), so encoding = positional word explode + join on the
+    * fused vocabulary + ordered reassembly of the token stream. */
+  private def bpeEncodeSql(steps: Int, minCount: Long): String =
+    s"""WITH ${bpeChainSql(steps, minCount)},
+        d AS (SELECT doc_id,
+                list_filter(string_split(text, ' '),
+                  w -> length(w) > 0) AS ws
+              FROM documents),
+        pos AS (SELECT doc_id, i, ws[i] AS word
+                FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
+        tok AS (SELECT p.doc_id, p.i, w$steps.syms
+                FROM pos p JOIN w$steps ON w$steps.word = p.word),
+        agg AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+                 md5(string_agg(array_to_string(syms, ' '), ' '
+                   ORDER BY i)) AS h
+               FROM tok GROUP BY doc_id)
+        SELECT d2.doc_id, coalesce(a.n_words, 0) AS n_words,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.h, md5('')) AS h
+        FROM documents d2 LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id"""
+
   /** Portable token->bucket hash: (ascii(first char)*31 + length) % 64.
     * ascii/length are identical in Spark and DuckDB, unlike either
     * engine's internal string hash. Collision quality is beside the
@@ -223,14 +302,20 @@ object CorpusOps {
               FROM documents d JOIN r ON d.source = r.source
               GROUP BY 1, 2, 3, 4 ORDER BY d.source""")),
 
+    // T12 helpers live above the entries list: see bpeTrainSql.
     // T12 — BPE tokenizer TRAINING (ops.BpeTrain): learn 12 merges from
     // the corpus, Sennrich-style — one corpus-wide shuffle (the word
     // count), then every iteration runs on the vocabulary-sized frame
     // (pair explode + agg + top-1), which is what makes distributed BPE
-    // feasible at 100 TB. Deterministic tie-break -> a reproducible
-    // merge table; rows-only (iterative argmax+fusion has no tractable
-    // ANSI replay), semantics pinned by BpeTrainSpec's exact step-for-
-    // step equality with an in-memory reference implementation.
+    // feasible at 100 TB. Deterministic tie-break (count desc, pair asc
+    // in UTF-8 binary order — DuckDB's default collation) -> a
+    // reproducible merge table, and the ENTIRE iterative fit is
+    // replayed by the oracle as an UNROLLED 12-step CTE chain (the q39
+    // sign-GD scheme applied to a tokenizer: per step, a pair-count
+    // agg, the argmax row, and a greedy list_reduce fuse — word tables
+    // MATERIALIZED so the two consumers of each step don't re-evaluate
+    // the chain). BpeTrainSpec additionally pins step-for-step equality
+    // with an in-memory reference implementation.
     Entry("t_bpe_train",
       (s, dir) => {
         import s.implicits._
@@ -240,7 +325,7 @@ object CorpusOps {
           .toDF("step", "left", "right", "n")
           .orderBy("step")
       },
-      None),
+      Some(bpeTrainSql(steps = 12, minCount = 2L))),
 
     // T12b — BPE tokenizer ENCODE: fit 8 merges, then tokenize the whole
     // corpus with them ([[BpeTrain.applyMerges]] — the learned merge
@@ -248,28 +333,25 @@ object CorpusOps {
     // pattern: a trained tokenizer is fit state, exactly like q16's
     // index map). Emits per-doc word/token counts plus an md5 of the
     // full token stream, so the check pins the CONTENT of the
-    // tokenization, not just its size. Rows-only (the merges come from
-    // the iterative fit; no tractable ANSI replay) — encode semantics
-    // are pinned exactly by BpeEncodeSpec against an independent
-    // in-memory encoder. Encode itself is a pure per-row map: zero
-    // shuffles before the contract ORDER BY, linear at any corpus size.
+    // tokenization, not just its size — and the oracle replays BOTH
+    // halves: the 8-merge fit via the unrolled t_bpe_train chain, then
+    // encode as a positional join against the fused vocabulary
+    // (bpeEncodeSql). BpeEncodeSpec additionally pins encode against
+    // an independent in-memory encoder. Encode itself is a pure
+    // per-row map: zero shuffles before the contract ORDER BY, linear
+    // at any corpus size.
     Entry("t_bpe_encode",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val merges = BpeTrain.fit(docs, "text", steps = 8, minCount = 2L)
-        // the per-word merge-replay fold is the heaviest per-row map in
-        // the registry — spread it across cores (see Tables.spread)
-        Tables.spread(docs)
-          .select(col("doc_id"),
-            BpeTrain.applyMerges(col("text"), merges).as("wt"))
-          .select(col("doc_id"), size(col("wt")).cast("long").as("n_words"),
-            flatten(col("wt")).as("toks"))
-          .select(col("doc_id"), col("n_words"),
-            size(col("toks")).cast("long").as("n_tokens"),
-            md5(array_join(col("toks"), " ")).as("h"))
-          .orderBy("doc_id")
+        // vocabulary-join tokenization: the merge-replay fold runs per
+        // DISTINCT word, never per occurrence (BpeTrain.encodeStats —
+        // the 100 TB shape and a 5x local win). No ORDER BY: the
+        // hash-compare sorts rows itself, and a range sort would
+        // evaluate the aggregation projection twice (the q41 note).
+        BpeTrain.encodeStats(docs, "text", "doc_id", merges)
       },
-      None),
+      Some(bpeEncodeSql(steps = 8, minCount = 2L))),
 
     // T13 — bigram language-model scoring: train corpus bigram counts,
     // score each doc by the sum of scaled conditional probabilities
