@@ -356,17 +356,22 @@ object Analytics {
             .partitionBy("l_returnflag").orderBy("bucket")))
           .withColumn("n", sum("c").over(Window
             .partitionBy("l_returnflag")))
-        def pick(q: Double, name: String) = cum
-          .withColumn("target", ceil(lit(q) * col("n").cast("double")))
-          .filter(col("cum") >= col("target") &&
-            (col("cum") - col("c")) < col("target"))
-          .select(col("l_returnflag"),
-            round(lit(lo) + (col("bucket").cast("double")
-              + (col("target").cast("double")
+        // one pass for both quantiles: the crossing-bucket estimate as
+        // a conditional aggregate per q, instead of two filtered
+        // subframes whose join would recompute the histogram scan
+        def est(q: Double) = {
+          val target = ceil(lit(q) * col("n").cast("double"))
+          val crossing = col("cum") >= target &&
+            (col("cum") - col("c")) < target
+          round(max(when(crossing,
+            lit(lo) + (col("bucket").cast("double")
+              + (target.cast("double")
                 - (col("cum") - col("c")).cast("double"))
                 / col("c").cast("double"))
-              * lit((hi - lo) / B), 4).as(name))
-        pick(0.5, "p50").join(pick(0.95, "p95"), Seq("l_returnflag"))
+              * lit((hi - lo) / B))), 4)
+        }
+        cum.groupBy("l_returnflag")
+          .agg(est(0.5).as("p50"), est(0.95).as("p95"))
           .orderBy("l_returnflag")
       },
       Some("""WITH h AS (
