@@ -15,13 +15,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   * tokenizer-trainer parity at the semantic level.
   *
   * Distribution shape: ONE corpus-wide shuffle total (the initial word
-  * count). Every merge iteration then runs on the vocabulary-sized
-  * frame — pair explode + hash agg + top-1 (TakeOrderedAndProject), one
-  * action per step, previous iteration's cache released after the next
-  * is materialized (the resolveClusters discipline). At 100 TB the
-  * vocab frame is millions of rows, not the corpus: iterating there is
-  * what makes distributed BPE feasible. The merge itself is a pure
-  * `aggregate` fold per word — no UDFs anywhere.
+  * count), after which the capped (word, freq) table is fit state on
+  * the driver and the merge loop runs in memory — see [[fit]]. Encoding
+  * stays fully distributed ([[encodeStats]]): the learned merges ship
+  * into the plan as literals and the fuse is a pure `aggregate` fold
+  * per distinct word — no UDFs anywhere.
   */
 object BpeTrain {
 
@@ -55,57 +53,114 @@ object BpeTrain {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
-  /** The (word, freq, symbols) table BPE iterates on: one corpus-wide
-    * aggregation, symbols = characters + [[EndOfWord]]. */
-  def wordTable(df: DataFrame, textCol: String): DataFrame =
-    graft.sources.Tables.spread(df)
-      .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("symbols",
-        concat(split(col("word"), ""), array(lit(EndOfWord))))
-
   /** Learn `steps` merges from the corpus. Stops early if no adjacent
     * pair occurs at least `minCount` times. Tie-break contract: pairs
     * with equal counts order by Spark's string comparison, i.e. UTF-8
     * BINARY order — for supplementary-plane characters (surrogate pairs)
     * this differs from Java's UTF-16 `compareTo`; any reference
-    * implementation must compare UTF-8 bytes (BpeTrainSpec does). */
+    * implementation must compare UTF-8 bytes (BpeTrainSpec does).
+    *
+    * Execution shape (the industry trainer shape, e.g. HF `tokenizers`):
+    * the CORPUS is touched exactly once — one distributed word-count
+    * aggregation — and the merge loop then runs driver-side over the
+    * collected (word, freq) table, which is fit state bounded by
+    * `maxWords` (top-N by freq desc / word asc — a total order, word is
+    * unique — so the cap is deterministic at any scale). At 100 TB the
+    * capped vocabulary is a few MB while the corpus is trillions of
+    * occurrences; iterating on the driver costs zero scheduler floor
+    * per step, where the previous per-step job form paid 2 jobs x
+    * `steps` (profiled: ~1.7s for 12 steps at sf0.1 vs ~0.4s for the
+    * single aggregation). The driver loop replays the exact engine
+    * semantics: code-point symbols, freq-weighted pair counts, UTF-8
+    * tie-break, greedy left-to-right fuse. */
   def fit(df: DataFrame, textCol: String, steps: Int,
-      minCount: Long = 2L): Seq[Merge] = {
-    // localCheckpoint, not persist: each step's table is the previous
-    // one plus a nested `fuse` fold, so under persist() the LOGICAL
-    // plan still deepens by one fold per step and the analyzer re-walks
-    // the whole chain on every action — measured ~3.7s of driver-side
-    // planning vs ~1s of execution for 12 steps at sf0.1. Checkpointing
-    // truncates lineage to a flat scan per step (constant planning
-    // cost); eager=true makes the materialization the step's job. The
-    // executor-loss caveat of localCheckpoint is acceptable: a lost
-    // executor fails the fit, which simply reruns — same contract as
-    // any other driver-side iterative fit in ml/.
-    var cached = wordTable(df, textCol).localCheckpoint(true)
+      minCount: Long = 2L, maxWords: Int = MaxFitWords): Seq[Merge] = {
+    val words = graft.sources.Tables.spread(df)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // TakeOrderedAndProject, not a full sort: only the capped top-N
+      // ever reaches the driver
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    fitInMemory(words, steps, minCount)
+  }
+
+  /** Driver-memory cap for [[fit]]'s word table (~a few tens of MB of
+    * strings at the default; raise it only with driver heap to match). */
+  val MaxFitWords: Int = 1 << 20
+
+  /** UTF-8 binary string order — the engine/oracle tie-break contract
+    * (Spark UTF8String and DuckDB's default collation both compare
+    * UTF-8 bytes; Java's `compareTo` is UTF-16 order and diverges on
+    * supplementary-plane characters). */
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val (ab, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    var c = 0
+    while (i < n && c == 0) {
+      c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff)
+      i += 1
+    }
+    if (c != 0) c else java.lang.Integer.compare(ab.length, bb.length)
+  }
+
+  /** The in-memory merge loop over a (word, freq) table: semantics
+    * identical to the distributed fold ([[fuse]]) step for step
+    * (BpeTrainSpec pins this against an independent replay). Symbols
+    * split by CODE POINT, matching Spark's `split(word, "")` (zero-width
+    * regex matches advance by code point, never through a surrogate
+    * pair). */
+  private def fitInMemory(words: Array[(String, Long)], steps: Int,
+      minCount: Long): Seq[Merge] = {
+    def codePoints(w: String): List[String] =
+      w.codePoints().toArray.toList
+        .map(cp => new String(Character.toChars(cp)))
+    var table: Array[(List[String], Long)] =
+      words.map { case (w, f) => (codePoints(w) :+ EndOfWord, f) }
+    val pairOrd = Ordering.Tuple2(utf8Order, utf8Order)
     var out = List.empty[Merge]
     var step = 1
     var done = false
     while (step <= steps && !done) {
-      // weight each in-word pair occurrence by the word's corpus freq
-      val top = cached
-        .select(col("freq"), explode(adjacentPairs(col("symbols"))).as("p"))
-        .groupBy(col("p.l"), col("p.r")).agg(sum("freq").as("n"))
-        .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      top.headOption.filter(_.getAs[Long]("n") >= minCount) match {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      table.foreach { case (syms, f) =>
+        syms.lazyZip(syms.tail).foreach { (l, r) =>
+          counts((l, r)) = counts.getOrElse((l, r), 0L) + f
+        }
+      }
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, kv) => acc match {
+          case Some(b) if b._2 > kv._2 ||
+            (b._2 == kv._2 && pairOrd.lteq(b._1, kv._1)) => acc
+          case _ => Some(kv)
+        }
+      }
+      best.filter(_._2 >= minCount) match {
         case None => done = true
-        case Some(row) =>
-          val (a, b, n) = (row.getAs[String]("l"), row.getAs[String]("r"),
-            row.getAs[Long]("n"))
+        case Some(((a, b), n)) =>
           out ::= Merge(step.toLong, a, b, n)
-          cached = cached.withColumn("symbols",
-            fuse(col("symbols"), a, b)).localCheckpoint(true)
+          table = table.map { case (syms, f) =>
+            (fuseInMemory(syms, a, b), f)
+          }
           step += 1
       }
     }
     out.reverse
+  }
+
+  /** Greedy left-to-right fuse, driver twin of the [[fuse]] column. */
+  private def fuseInMemory(syms: List[String], a: String,
+      b: String): List[String] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[String]
+    syms.foreach { s =>
+      if (buf.nonEmpty && buf.last == a && s == b)
+        buf.update(buf.length - 1, a + b)
+      else buf += s
+    }
+    buf.toList
   }
 
   /** Tokenize a text column with a learned merge list: char-split every

@@ -85,12 +85,19 @@ object CorpusOps {
                             AND x[1] = m.r
                       THEN acc[:-2] || [m.l || m.r]
                       ELSE acc || x END)"""
+    // The vocab cap (fit's maxWords, deterministic: freq desc / word asc
+    // is a total order since word is unique) mirrored via QUALIFY — it
+    // never binds at verification scale but is part of fit's contract.
     val w0 = s"""w0 AS MATERIALIZED (
-        SELECT word, count(*) AS freq,
+        SELECT word, freq,
                string_split(word, '') || ['${BpeTrain.EndOfWord}'] AS syms
-        FROM (SELECT unnest(string_split(text, ' ')) AS word
-              FROM documents)
-        WHERE length(word) > 0 GROUP BY word)"""
+        FROM (SELECT word, count(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE length(word) > 0 GROUP BY word
+              QUALIFY row_number()
+                OVER (ORDER BY freq DESC, word ASC)
+                <= ${BpeTrain.MaxFitWords}))"""
     val iters = (1 to steps).map { i =>
       s"""p$i AS (SELECT pr.l AS l, pr.r AS r,
                   CAST(sum(freq) AS BIGINT) AS n
@@ -305,9 +312,11 @@ object CorpusOps {
     // T12 helpers live above the entries list: see bpeTrainSql.
     // T12 — BPE tokenizer TRAINING (ops.BpeTrain): learn 12 merges from
     // the corpus, Sennrich-style — one corpus-wide shuffle (the word
-    // count), then every iteration runs on the vocabulary-sized frame
-    // (pair explode + agg + top-1), which is what makes distributed BPE
-    // feasible at 100 TB. Deterministic tie-break (count desc, pair asc
+    // count), then the merge loop runs driver-side over the collected
+    // capped vocabulary (fit state, the HF-tokenizers shape — the
+    // corpus is touched exactly once at any scale; the previous
+    // per-step job form paid 2 jobs x 12 steps of scheduler floor for
+    // the same answer). Deterministic tie-break (count desc, pair asc
     // in UTF-8 binary order — DuckDB's default collation) -> a
     // reproducible merge table, and the ENTIRE iterative fit is
     // replayed by the oracle as an UNROLLED 12-step CTE chain (the q39
