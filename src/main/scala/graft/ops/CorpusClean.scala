@@ -94,27 +94,37 @@ object CorpusClean {
             bench.withColumn(textCol,
               regexp_replace(col(textCol), "[0-9]+", "<NUM>"))
           else bench
-        val benchShingles = Dedup.shingleTokens(benchNorm, textCol, idCol, 3)
-          .select("tok").distinct()
-        // per-doc-distinct long form, so count(1) per tok IS document
-        // frequency; hot boilerplate shingles are cut map-side (see
-        // Config.maxShingleDf) before the fanout-prone join
-        val trainShingles0 = Dedup.shingleTokens(redacted, textCol, idCol, 3)
-        val trainShingles =
-          if (config.maxShingleDf > 0) {
-            val hot = trainShingles0.groupBy("tok")
-              .agg(count(lit(1)).as("df"))
-              .filter(col("df") > config.maxShingleDf).select("tok")
-            // No broadcast hint: "heavy hitters are few" holds on real
-            // corpora, but a small cap on a highly repetitive corpus
-            // makes `hot` corpus-sized — a forced broadcast there is a
-            // driver OOM. AQE sees the actual post-filter size at
-            // runtime and broadcasts exactly when it is small.
-            trainShingles0.join(hot, Seq("tok"), "left_anti")
-          } else trainShingles0
-        val contaminated = trainShingles
-          .join(benchShingles, "tok")
-          .groupBy(idCol).agg(countDistinct("tok").as("shared"))
+        // Benchmark membership AND (when capped) the training document
+        // frequency both ride ONE k-keyed window exchange over the
+        // tagged union of train + bench shingles — the previous
+        // distinct + hot-agg + anti-join + join chain shuffled the
+        // corpus-sized shingle frame three more times for the same two
+        // numbers (the t_decontaminate / t_bigram_lm window rationale).
+        // 8-byte xxhash64 keys, not shingle strings: the window needs
+        // IDENTITY only, and a collision would fail the p1 oracle
+        // loudly. shingleTokens is per-doc distinct, so the count per
+        // (doc, k) IS the shared-shingle count and sum(1 - bench) per k
+        // IS the training df.
+        val trainShingles = Dedup.shingleTokens(redacted, textCol, idCol, 3)
+          .select(col(idCol), xxhash64(col("tok")).as("k"))
+        val idType = trainShingles.schema(idCol).dataType
+        val tagged = trainShingles.withColumn("bench", lit(0L))
+          .unionByName(Dedup.shingleTokens(benchNorm, textCol, idCol, 3)
+            .select(lit(null).cast(idType).as(idCol),
+              xxhash64(col("tok")).as("k"), lit(1L).as("bench")))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+        val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val flagged = tagged.repartition(n, col("k"))
+          .withColumn("in_bench", max("bench").over(w))
+        val trainSide =
+          if (config.maxShingleDf > 0)
+            flagged.withColumn("train_df", sum(lit(1L) - col("bench")).over(w))
+              .filter(col("bench") === 0L && col("in_bench") === 1L &&
+                col("train_df") <= config.maxShingleDf)
+          else
+            flagged.filter(col("bench") === 0L && col("in_bench") === 1L)
+        val contaminated = trainSide
+          .groupBy(idCol).agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= config.contaminationShingles)
           .select(idCol)
         // persisted: the audit count plus every downstream stage

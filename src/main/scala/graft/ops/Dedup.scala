@@ -84,11 +84,17 @@ object Dedup {
     * are each one score projection + threshold over this frame. */
   private def blockedIntersection(sets: DataFrame, idCol: String,
       blockCol: String): DataFrame = {
-    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = sets.select(col(idCol).as("d1"), col(blockCol).as("blk"),
-      xxhash64(col("tok")).as("tokh"))
-    val b = sets.select(col(idCol).as("d2"), col(blockCol).as("blk2"),
-      xxhash64(col("tok")).as("tokh2"))
+    // persist the HASHED long form: three consumers (both join sides +
+    // the size agg) would otherwise each re-run the scan + tokenize +
+    // explode lineage; the cached frame is (id, block, int64) — a
+    // fraction of the string form's bytes (released by the runner's
+    // clearCache, the Q36 pattern)
+    val hashed = sets.select(col(idCol), col(blockCol).as("blk"),
+      xxhash64(col("tok")).as("tokh")).persist()
+    val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = hashed.select(col(idCol).as("d1"), col("blk"), col("tokh"))
+    val b = hashed.select(col(idCol).as("d2"), col("blk").as("blk2"),
+      col("tokh").as("tokh2"))
     a.join(b,
         col("tokh") === col("tokh2") && col("blk") === col("blk2") &&
           col("d1") < col("d2"))

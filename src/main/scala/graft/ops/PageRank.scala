@@ -55,9 +55,18 @@ object PageRank {
     // twice). Out-degree rides in as a window count over the same
     // src-keyed shuffle the cache fill already does — no separate
     // aggregate + join-back.
-    val e = edges.select(col("src"), col("dst")).persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
+    // ONE cached frame, not three: edgesDeg (edges + out-degree via a
+    // src-keyed window over the same shuffle) is the only frame the
+    // iterations consume, and `nodes` derives from it cache-locally —
+    // persisting the raw edge frame separately paid an extra
+    // materialization pass over the expensive caller edge expression
+    // (q45's orders x lineitem distinct) for nothing.
+    val edgesDeg = edges.select(col("src"), col("dst"))
+      .withColumn("deg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src"))).persist()
+    val nodes = edgesDeg.select(col("src").as("id"))
+      .union(edgesDeg.select(col("dst").as("id")))
       .distinct()
       .persist()
     // No explicit repartition here: the rank frame is node-sized, so AQE
@@ -66,9 +75,6 @@ object PageRank {
     // on the cache added a full edge shuffle for nothing, 3.8s -> 4.6s.)
     // The per-iteration cost that remains — the dst-keyed contribution
     // aggregation — is inherent to the Pregel-as-joins form.
-    val edgesDeg = e.withColumn("deg",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("src"))).persist()
 
     var r = nodes.select(col("id"), lit(scale).as("pr"))
     for (_ <- 1 to iters) {

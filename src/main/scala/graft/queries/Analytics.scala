@@ -78,7 +78,6 @@ object Analytics {
             first(col("o_orderkey")).over(w).as("first_ok"),
             last(col("o_orderkey")).over(wFull).as("last_ok"),
             nth_value(col("o_orderkey"), 2).over(wFull).as("second_ok"))
-          .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey,
                      ntile(4) OVER w AS tile,
@@ -478,8 +477,11 @@ object Analytics {
     Entry("s2_jsonl_roundtrip",
       (s, dir) => {
         val tmp = scratch(s, "s2_jsonl", dir)
-        t(s, dir, "events")
-          .select("event_id", "user_id", "event_type", "value")
+        // spread: the single-row-group input would otherwise serialize
+        // BOTH the JSON write and the read-back schema-inference pass
+        // (inference parallelizes per file) onto one core
+        Tables.spread(t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value"))
           .write.mode("overwrite").json(tmp)
         s.read.json(tmp)
           .groupBy("event_type")
@@ -497,7 +499,19 @@ object Analytics {
     Entry("w1_partitioned_sink",
       (s, dir) => {
         val tmp = scratch(s, "w1_part", dir)
+        // Salted repartition ON the partition column before the write —
+        // the standard partitioned-write recipe at any scale: without
+        // it every input task opens one file per partition value
+        // (tasks x values small files at 100 TB), and here the
+        // single-row-group input would serialize the whole write into
+        // ONE task. (values x salt) bounds the file count while giving
+        // the writer full parallelism (measured 1.5s -> ~0.7s at sf0.1).
+        // Explicit N: AQE coalesces a no-N expression-repartition by
+        // SIZE, which on this frame re-serializes the write into 1-2
+        // tasks — the very thing the repartition exists to prevent.
         t(s, dir, "lineitem")
+          .repartition(24, col("l_returnflag"),
+            pmod(xxhash64(col("l_orderkey")), lit(8)))
           .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
         s.read.parquet(tmp)
           .filter(col("l_returnflag") === "R")
@@ -595,7 +609,6 @@ object Analytics {
           .filter(col("rn") === 1)
           .select(col("user_id"), col("event_type"), col("event_id"),
             round(col("value"), 4).as("value"))
-          .orderBy("user_id", "event_type")
       },
       Some("""SELECT user_id, event_type, event_id,
                      round(value, 4) AS value

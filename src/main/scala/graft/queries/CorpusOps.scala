@@ -172,8 +172,7 @@ object CorpusOps {
       (s, dir) => spanGrid(t(s, dir, "documents"))
         .select(col("doc_id"), col("chunk_id"),
           size(col("chunk")).cast("long").as("n_tok"),
-          md5(array_join(col("chunk"), " ")).as("h"))
-        .orderBy("doc_id", "chunk_id"),
+          md5(array_join(col("chunk"), " ")).as("h")),
       Some(s"""WITH $spanGridSql
               SELECT doc_id, chunk_id,
                      len(toks[chunk_id*$S+1 : chunk_id*$S+$W]) AS n_tok,
@@ -192,8 +191,7 @@ object CorpusOps {
         .groupBy("h")
         .agg(countDistinct("doc_id").as("n_docs"),
           count(lit(1)).as("n_occ"))
-        .filter(col("n_docs") >= 2)
-        .orderBy("h"),
+        .filter(col("n_docs") >= 2),
       Some(s"""WITH $spanGridSql,
               spans AS (
                 SELECT doc_id,
@@ -216,26 +214,24 @@ object CorpusOps {
     Entry("t_boilerplate",
       (s, dir) => {
         // shuffle 8-byte shingle hashes, not ~20-char strings: the df
-        // count and the join key only need shingle IDENTITY, and a
-        // 64-bit collision among ~10^5..10^9 distinct shingles is
-        // vanishingly rare (and would fail the hash oracle loudly)
-        // persist: the frame feeds both the df count and the join probe,
-        // and without it the scan+shingle+explode lineage runs twice
-        // (released by the runner's clearCache, the Q36 pattern)
-        val shingles = Dedup.shingleSets(
+        // count only needs shingle IDENTITY, and a 64-bit collision
+        // among ~10^5..10^9 distinct shingles is vanishingly rare (and
+        // would fail the hash oracle loudly). The df rides a k-keyed
+        // WINDOW over one pinned exchange — the previous persist + agg
+        // + join-back shape paid a cache fill and a second shuffle for
+        // the same number (the t_bigram_lm window rationale).
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        Dedup.shingleSets(
             t(s, dir, "documents"), "text", "doc_id", "source", 3)
           .select(col("doc_id"), xxhash64(col("tok")).as("k"))
-          .persist()
-        val dfreq = shingles.groupBy("k")
-          .agg(count(lit(1)).as("df"))
-        shingles.join(dfreq, "k")
+          .repartition(n, col("k"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("k")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_boiler"))
           .withColumn("bp_ratio_e4",
             floor(col("n_boiler") * lit(10000.0) / col("n_shingles"))
               .cast("long"))
-          .orderBy("doc_id")
       },
       Some("""WITH grams AS (
                 SELECT DISTINCT doc_id,
@@ -411,7 +407,6 @@ object CorpusOps {
           .groupBy("doc_id")
           .agg(sum("m").as("n_bigrams"),
             sum(col("m") * col("p")).as("lm_score"))
-          .orderBy("doc_id")
       },
       Some("""WITH t AS (
                 SELECT doc_id, string_split(text, ' ') AS toks
@@ -558,7 +553,6 @@ object CorpusOps {
               floor(abs(x - (col("mn") + q * col("scale"))) * lit(1e6))),
             lit(0.0), _ + _).cast("long"))
           .select("vec_id", "qsum", "esum")
-          .orderBy("vec_id")
       },
       Some("""WITH e AS (
                 SELECT vec_id,
@@ -605,8 +599,7 @@ object CorpusOps {
             (acc, tok) => acc +
               element_at(typedLit(QW), (bucket(tok) + 1).cast("int")))
             .as("score"))
-        .withColumn("keep", (col("score") >= 0).cast("long"))
-        .orderBy("doc_id"),
+        .withColumn("keep", (col("score") >= 0).cast("long")),
       Some(s"""SELECT doc_id,
                      CAST($QBias + sum(($qwSql)[
                        (ascii(tok) * 31 + len(tok)) % 64 + 1])

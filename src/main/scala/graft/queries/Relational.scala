@@ -43,8 +43,7 @@ object Relational {
     Entry("q02_filter",
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
               FROM lineitem
               WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -127,8 +126,7 @@ object Relational {
           "left_outer")
         .groupBy("s_suppkey")
         .agg(count(col("l_orderkey")).as("n_items"),
-          round(coalesce(sum("l_quantity"), lit(0.0)), 4).as("qty"))
-        .orderBy("s_suppkey"),
+          round(coalesce(sum("l_quantity"), lit(0.0)), 4).as("qty")),
       Some("""SELECT s_suppkey, count(l_orderkey) AS n_items,
                      round(coalesce(sum(l_quantity), 0.0), 4) AS qty
               FROM supplier LEFT JOIN lineitem ON s_suppkey = l_suppkey
@@ -246,7 +244,6 @@ object Relational {
             row_number().over(wRn).cast("long").as("rn"),
             rank().over(wRk).cast("long").as("rk"),
             dense_rank().over(wRk).cast("long").as("drk"))
-          .orderBy("o_custkey", "rn")
       },
       Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
                      row_number() OVER (PARTITION BY o_custkey
@@ -265,7 +262,6 @@ object Relational {
         t(s, dir, "events")
           .select(col("user_id"), col("event_id"),
             round(sum("value").over(w), 4).as("run_sum"))
-          .orderBy("user_id", "event_id")
       },
       Some("""SELECT user_id, event_id,
                      round(sum(value) OVER (PARTITION BY user_id
@@ -284,7 +280,6 @@ object Relational {
           .filter(col("rn") <= 3)
           .select(col("o_custkey"), col("o_orderkey"),
             round(col("o_totalprice"), 4).as("price"), col("rn"))
-          .orderBy("o_custkey", "rn")
       },
       Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price, rn
               FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -301,7 +296,6 @@ object Relational {
           .select(col("user_id"), col("event_id"),
             round(col("value") - lag("value", 1).over(w), 4).as("delta_prev"),
             round(lead("value", 1).over(w) - col("value"), 4).as("delta_next"))
-          .orderBy("user_id", "event_id")
       },
       Some("""SELECT user_id, event_id,
                      round(value - lag(value, 1) OVER w, 4) AS delta_prev,
@@ -338,7 +332,6 @@ object Relational {
           Seq("value"))
           .select(col("user_id"), col("event_id"),
             round(col("asof_value"), 4).as("last_purchase"))
-          .orderBy("user_id", "event_id")
       },
       Some("""SELECT l.user_id, l.event_id,
                      round(r.value, 4) AS last_purchase
@@ -363,7 +356,6 @@ object Relational {
           .groupBy("user_id", "event_id")
           .agg(count(lit(1)).as("n_clicks"),
             round(sum("r_value"), 4).as("click_value"))
-          .orderBy("user_id", "event_id")
       },
       Some("""SELECT l.user_id, l.event_id, count(*) AS n_clicks,
                      round(sum(r.value), 4) AS click_value
@@ -405,8 +397,7 @@ object Relational {
         .groupBy(year(col("l_shipdate")).cast("long").as("yr"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"),
-          count(lit(1)).as("n"))
-        .orderBy("yr"),
+          count(lit(1)).as("n")),
       Some("""SELECT year(l_shipdate) AS yr,
                      round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
                      count(*) AS n
@@ -416,8 +407,7 @@ object Relational {
       (s, dir) => t(s, dir, "orders")
         .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
           .as("mon"))
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
-        .orderBy("mon"),
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price")),
       Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
                      count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
               FROM orders GROUP BY mon ORDER BY mon""")),
@@ -448,7 +438,6 @@ object Relational {
             m.getItem("k").as("k"))
           .groupBy("n_keys")
           .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
-          .orderBy("n_keys")
       },
       Some("""SELECT coalesce(len(json_keys(props)), -1) AS n_keys,
                      count(*) AS n,
@@ -517,8 +506,7 @@ object Relational {
     Entry("q15_regexp",
       (s, dir) => t(s, dir, "part")
         .select(col("p_partkey"),
-          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))
-        .orderBy("p_partkey"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head")),
       Some("""SELECT p_partkey,
                      regexp_extract(p_type, '^(\w+)', 1) AS type_head
               FROM part ORDER BY p_partkey""")),
@@ -544,8 +532,7 @@ object Relational {
           round(element_at(col("qs"), 1), 4).as("q_min"),
           round(element_at(col("qs"), -1), 4).as("q_max"),
           round(aggregate(col("qs"), lit(0.0), (a, x) => a + x), 4)
-            .as("q_sum"))
-        .orderBy("l_orderkey"),
+            .as("q_sum")),
       Some("""SELECT l_orderkey, count(*) AS n,
                      round(min(l_quantity), 4) AS q_min,
                      round(max(l_quantity), 4) AS q_max,
@@ -556,8 +543,7 @@ object Relational {
     Entry("q15_explode_tokens",
       (s, dir) => t(s, dir, "part")
         .select(explode(split(col("p_name"), " ")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n"))
-        .orderBy("token"),
+        .groupBy("token").agg(count(lit(1)).as("n")),
       Some("""SELECT token, count(*) AS n
               FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
               GROUP BY token ORDER BY token"""))

@@ -135,8 +135,7 @@ object TextOps {
     Entry("x4_jaccard_neardup",
       (s, dir) => Dedup.jaccardPairs(
         Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id", "source"),
-        "doc_id", "source", 0.6)
-        .orderBy("d1", "d2"),
+        "doc_id", "source", 0.6),
       Some("""WITH toks AS (
                 SELECT DISTINCT doc_id, source,
                        unnest(string_split(text, ' ')) AS tok
@@ -160,8 +159,7 @@ object TextOps {
     Entry("x4_ngram_jaccard",
       (s, dir) => Dedup.jaccardPairs(
         Dedup.shingleSets(t(s, dir, "documents"), "text", "doc_id", "source", 3),
-        "doc_id", "source", 0.35)
-        .orderBy("d1", "d2"),
+        "doc_id", "source", 0.35),
       Some("""WITH grams AS (
                 SELECT DISTINCT doc_id, source,
                        unnest(list_transform(
@@ -192,8 +190,7 @@ object TextOps {
     Entry("x14_containment",
       (s, dir) => Dedup.containmentPairs(
         Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id", "source"),
-        "doc_id", "source", 0.9)
-        .orderBy("d1", "d2"),
+        "doc_id", "source", 0.9),
       Some("""WITH toks AS (
                 SELECT DISTINCT doc_id, source,
                        unnest(string_split(text, ' ')) AS tok
@@ -224,19 +221,23 @@ object TextOps {
     // agg, join back) — the t_boilerplate linear shape.
     Entry("t_ngram_novelty",
       (s, dir) => {
-        val sh = Dedup.shingleTokens(
+        // first-seen doc per shingle as a min() WINDOW over one pinned
+        // k-keyed exchange — the previous persist + agg + join-back
+        // paid a cache fill and a second shuffle for the same number
+        // (the t_bigram_lm window rationale)
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        Dedup.shingleTokens(
             t(s, dir, "documents"), "text", "doc_id", 3)
           .select(col("doc_id"), xxhash64(col("tok")).as("k"))
-          .persist()
-        val first = sh.groupBy("k").agg(min("doc_id").as("first_doc"))
-        sh.join(first, "k")
+          .repartition(n, col("k"))
+          .withColumn("first_doc",
+            min("doc_id").over(Window.partitionBy("k")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("first_doc") === col("doc_id"), 1L)
               .otherwise(0L)).as("n_novel"))
           .withColumn("novelty_e4",
             expr("n_novel * 10000 DIV n_shingles"))
-          .orderBy("doc_id")
       },
       Some("""WITH grams AS (
                 SELECT DISTINCT doc_id,
@@ -267,8 +268,7 @@ object TextOps {
     // variant, pinned equal-in-structure by DedupSpec/MinHashAggSpec.)
     Entry("x4_minhash_lsh",
       (s, dir) => Dedup.minhashLshDedupPortable(t(s, dir, "documents"),
-        "text", "doc_id", 32, 8, 0.5)
-        .orderBy("d1", "d2"),
+        "text", "doc_id", 32, 8, 0.5),
       Some(minhashLshSql)),
 
     // SimHash signatures + hamming-close pairs (<= 6 of 64 bits) via
@@ -310,8 +310,7 @@ object TextOps {
     Entry("t_quality",
       (s, dir) => TextStats.qualityColumns(t(s, dir, "documents"), "text")
         .select("doc_id", "n_tok", "mean_tok_len", "stopword_ratio",
-          "symbol_ratio")
-        .orderBy("doc_id"),
+          "symbol_ratio"),
       Some(s"""SELECT doc_id,
                      len(string_split(text, ' ')) AS n_tok,
                      round(length(text) * 1.0
@@ -330,8 +329,7 @@ object TextOps {
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
           TextStats.tokenCount(col("text")).as("ws_tokens"),
-          TextStats.bpeTokenCount(col("text")).as("bpe_tokens"))
-        .orderBy("doc_id"),
+          TextStats.bpeTokenCount(col("text")).as("bpe_tokens")),
       Some("""SELECT doc_id,
                      len(string_split(text, ' ')) AS ws_tokens,
                      len(regexp_extract_all(text,
@@ -357,7 +355,6 @@ object TextOps {
         scored.withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
           .select("doc_id", "rk", "tok", "tf", "df", "tfidf")
-          .orderBy("doc_id", "rk")
       },
       Some("""WITH toks AS (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -413,15 +410,29 @@ object TextOps {
     Entry("t_decontaminate",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val shingles = Dedup.shingleSets(docs, "text", "doc_id", "source", 3)
-        val bench = shingles.filter(col("source") === "src0")
-          .select(col("tok")).distinct()
-        shingles.filter(col("source") =!= "src0")
-          .join(bench, "tok")
+        // ONE pass over the shingle explosion: benchmark membership is a
+        // max() window over the tok-keyed shuffle, not a distinct + join
+        // — the two-branch form re-executed the corpus explode per
+        // branch and shuffled both join sides (the t_bigram_lm window
+        // rationale). count(1), not countDistinct: shingleSets is
+        // per-doc distinct already. The explicit repartition(n, tok) IS
+        // the window's exchange, pinned so AQE's size-based coalescing
+        // can't serialize the CPU-heavy window sort.
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        Dedup.shingleSets(docs, "text", "doc_id", "source", 3)
+          // long keys, not strings: the window only needs shingle
+          // IDENTITY, and the k-keyed sort is ~3x cheaper than a
+          // string sort (the t_boilerplate rationale; a collision
+          // would fail the oracle loudly)
+          .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("k"))
+          .repartition(n, col("k"))
+          .withColumn("in_bench",
+            max(when(col("source") === "src0", 1L).otherwise(0L))
+              .over(Window.partitionBy("k")))
+          .filter(col("source") =!= "src0" && col("in_bench") === 1L)
           .groupBy("doc_id")
-          .agg(countDistinct("tok").as("shared_shingles"))
+          .agg(count(lit(1)).as("shared_shingles"))
           .filter(col("shared_shingles") >= 3)
-          .orderBy("doc_id")
       },
       Some("""WITH grams AS (
                 SELECT DISTINCT doc_id, source,
@@ -513,22 +524,27 @@ object TextOps {
     Entry("t_decontam_capped",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val shingles = Dedup.shingleSets(docs, "text", "doc_id", "source", 3)
-        val bench = shingles.filter(col("source") === "src0")
-          .select(col("tok")).distinct()
-        val train = shingles.filter(col("source") =!= "src0")
-        // shingleSets is per-doc distinct, so count(1) per tok IS the
-        // training document frequency. No broadcast hint on the hot
-        // set (the CorpusClean rationale: AQE broadcasts it exactly
-        // when it is actually small).
-        val hot = train.groupBy("tok").agg(count(lit(1)).as("df"))
-          .filter(col("df") > DfCap).select("tok")
-        train.join(hot, Seq("tok"), "left_anti")
-          .join(bench, "tok")
+        // Both the benchmark-membership flag AND the training document
+        // frequency (shingleSets is per-doc distinct, so count of train
+        // rows per tok IS the df) ride ONE tok-keyed window shuffle —
+        // the previous distinct+anti-join+join form exploded the corpus
+        // three times and shuffled five frames for the same two numbers
+        // (the t_decontaminate / t_bigram_lm window rationale).
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val w = Window.partitionBy("k")
+        Dedup.shingleSets(docs, "text", "doc_id", "source", 3)
+          // long shingle keys pre-shuffle (t_boilerplate rationale)
+          .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("k"))
+          .repartition(n, col("k"))
+          .withColumn("in_bench",
+            max(when(col("source") === "src0", 1L).otherwise(0L)).over(w))
+          .withColumn("train_df",
+            sum(when(col("source") =!= "src0", 1L).otherwise(0L)).over(w))
+          .filter(col("source") =!= "src0" && col("in_bench") === 1L &&
+            col("train_df") <= DfCap)
           .groupBy("doc_id")
-          .agg(countDistinct("tok").as("shared_shingles"))
+          .agg(count(lit(1)).as("shared_shingles"))
           .filter(col("shared_shingles") >= 3)
-          .orderBy("doc_id")
       },
       Some(s"""WITH grams AS (
                 SELECT DISTINCT doc_id, source,
@@ -615,8 +631,7 @@ object TextOps {
     // Rolling-hash document fingerprint (order-sensitive).
     Entry("t_fingerprint",
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"),
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp")),
       Some("""SELECT doc_id,
                      list_reduce(
                        list_prepend(CAST(0 AS BIGINT),
