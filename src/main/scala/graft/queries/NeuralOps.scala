@@ -594,7 +594,11 @@ object NeuralOps {
         try {
           val w0 = ConvNetTrainer.init(T = 22, filters = Seq(2, 2, 2),
             kernel = 3, dense = 4, classes = 2, seed = 41L)
-          val es = ConvNetTrainer.fitEs(facts, xs, y, w0, maxEpochs = 3,
+          // 2 epochs: the ES harness + loss-descent gate need two
+          // points, and per-epoch cost here is plan/codegen depth of
+          // the 3-block staged DAG, not data (the q56 rationale) —
+          // epoch 3 added ~2.3s of bench wall for no extra coverage
+          val es = ConvNetTrainer.fitEs(facts, xs, y, w0, maxEpochs = 2,
             lr = 0.5, rowKey = rk, dropout = 0.5,
             isVal = TrainerCommon.valSplitPortable(
             Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
