@@ -346,8 +346,13 @@ object TextOps {
         val toks = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val scored = tf.join(dfq, "tok").crossJoin(broadcast(total))
+        // df = docs containing tok = tf rows per tok — a count() window
+        // over one pinned tok-keyed exchange, not a vocabulary agg
+        // joined back in (the t_bigram_lm window rationale)
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val scored = tf.repartition(n, col("tok"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+          .crossJoin(broadcast(total))
           .withColumn("tfidf", round(col("tf") *
             log(col("n_total").cast("double") / col("df")), 4))
         val w = Window.partitionBy("doc_id")

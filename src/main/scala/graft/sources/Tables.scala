@@ -143,13 +143,29 @@ object Tables {
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }
 
+  /** Per-(session, dir, table) DataFrame handles: `spark.read.parquet`
+    * builds a fresh file index (a driver-side listing) and re-analyzes
+    * the scan on every call, which a 100+-query session pays hundreds
+    * of times for the same immutable tables — the same reuse a table
+    * catalog provides. DataFrames are immutable, so sharing the handle
+    * is safe; keyed by session so test suites with their own sessions
+    * never see a foreign session's plan. */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      DataFrame]()
+
   /** Load a fixture table from `dir` with its declared schema. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // bound the map (and the session refs it pins) — many short-lived
+    // sessions x dirs would otherwise accumulate for the JVM lifetime
+    if (handles.size > 256) handles.clear()
+    handles.computeIfAbsent((spark, dir, name), _ => {
+      val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+      if (name == "events")
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df
+    })
   }
 }
