@@ -61,26 +61,34 @@ object CorpusClean {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val n0 = docs.count()
     val toks = split(col(textCol), " ")
-    val quality = TextStats.qualityColumns(docs, textCol)
-      .filter(col("n_tok") >= config.minTokens &&
-        col("symbol_ratio") <= config.maxSymbolRatio &&
-        col("stopword_ratio") <= config.maxStopwordRatio &&
-        (size(array_distinct(toks)) / size(toks)) >= config.minDistinctRatio)
+    // ONE pass computes BOTH audit counts: rows are flagged (not
+    // filtered) through the quality gate, cached post-redaction, and
+    // n0/n1 come from a single aggregate over the cached frame — the
+    // previous separate docs.count() paid one extra full scan job per
+    // clean() for a number the flagged frame already holds. Downstream
+    // reads filter the flag on the CACHED frame (a codegen'd predicate
+    // over in-memory columns). Redacting the few rejected rows too is
+    // the price; rejected fractions are small by construction.
+    val flagged = TextStats.qualityColumns(docs, textCol)
+      .withColumn("__q",
+        (col("n_tok") >= config.minTokens &&
+          col("symbol_ratio") <= config.maxSymbolRatio &&
+          col("stopword_ratio") <= config.maxStopwordRatio &&
+          (size(array_distinct(toks)) / size(toks))
+            >= config.minDistinctRatio).cast("long"))
       .drop("n_tok", "mean_tok_len", "stopword_ratio", "symbol_ratio")
+    val staged =
+      (if (config.redactDigits)
+        flagged.withColumn(textCol,
+          regexp_replace(col(textCol), "[0-9]+", "<NUM>"))
+      else flagged).persist()
+    val cRow = staged.agg(count(lit(1)), sum("__q")).head()
+    val (n0, n1) = (cRow.getLong(0), Option(cRow.get(1))
+      .map(_.asInstanceOf[Long]).getOrElse(0L))
     // redaction is a transform, not a filter (rows_in == rows_out) —
     // run BEFORE dedup so docs differing only in masked digits collapse
-    val redacted =
-      (if (config.redactDigits)
-        quality.withColumn(textCol,
-          regexp_replace(col(textCol), "[0-9]+", "<NUM>"))
-      else quality).persist()
-    // counting REDACTED (row-preserving) instead of quality materializes
-    // the cache in the same pass — the quality+redact prefix otherwise
-    // re-executes for the decontamination join (measured ~20% of the
-    // p1 audit's cost)
-    val n1 = redacted.count()
+    val redacted = staged.filter(col("__q") === 1L).drop("__q")
 
     // decontamination: drop docs sharing >= contaminationShingles
     // distinct 3-grams with the benchmark slice (shingle-keyed join).
@@ -159,7 +167,7 @@ object CorpusClean {
     // session lifetime. Re-materializing the returned frame after this
     // point recomputes the stages — callers that iterate over the
     // cleaned corpus should persist it themselves.
-    redacted.unpersist()
+    staged.unpersist()
     cached.foreach(_.unpersist())
 
     val audit = (Seq(
