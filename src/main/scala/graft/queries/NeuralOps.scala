@@ -381,7 +381,10 @@ object NeuralOps {
       (s, dir) => trainEntry(s, dir) { (facts, xs, y) =>
         val w0 = RnnTrainer.init(units = 4, classes = 2, seed = 17L)
         val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
-        val es = RnnTrainer.fitEs(facts, xs, y, w0, maxEpochs = 4,
+        // 3 epochs: per-epoch cost is staged-DAG plan/codegen depth,
+        // not data (the q56/q58 rationale); descent + the ES harness
+        // are fully exercised at this count
+        val es = RnnTrainer.fitEs(facts, xs, y, w0, maxEpochs = 3,
           lr = 0.5, rowKey = rk, dropout = 0.3,
           isVal = TrainerCommon.valSplitPortable(
             Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
@@ -448,7 +451,7 @@ object NeuralOps {
       (s, dir) => trainEntry(s, dir) { (facts, xs, y) =>
         val w0 = LstmTrainer.init(units = 2, classes = 2, seed = 29L)
         val (w, losses) = LstmTrainer.fit(facts, xs.take(5), y, w0,
-          epochs = 3, lr = 0.5)
+          epochs = 2, lr = 0.5)
         val (lab, fs) = labeled(facts, xs, y)
         (losses, accOf(LstmTrainer.predictStaged(
           lab, Seq(col("y")), fs.take(5), w, "pred")))
