@@ -87,6 +87,26 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(BpeTrain.fit(df, "text", steps = 5, minCount = 2L).isEmpty)
   }
 
+  test("maxWords caps the fit's word table deterministically") {
+    val df = corpus.toDF("text")
+    // replay on the top-3 words by (freq desc, word asc): 'low' (5),
+    // 'new' (4), then the freq-1 tie block starts at 'lower' (2)...
+    // compute the expected capped corpus from the same counting rule
+    val counts = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    val top = counts.toSeq.sortBy { case (w, f) => (-f, w) }.take(3)
+    val cappedCorpus = top.flatMap { case (w, f) =>
+      Seq.fill(f.toInt)(w)
+    }.mkString(" ")
+    val got = BpeTrain.fit(df, "text", steps = 6, minCount = 2L,
+      maxWords = 3)
+    val want = replayFit(Seq(cappedCorpus), steps = 6, minCount = 2L)
+    assert(got == want)
+    assert(got.nonEmpty)
+    // and the cap genuinely binds: the uncapped fit differs
+    assert(got != BpeTrain.fit(df, "text", steps = 6, minCount = 2L))
+  }
+
   test("applyMerges replays learned merges in order on new text") {
     val df = corpus.toDF("text")
     val merges = BpeTrain.fit(df, "text", steps = 8, minCount = 2L)

@@ -110,4 +110,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(s.select(sum("doc_id")).head().getLong(0) ==
       docs.select(sum("doc_id")).head().getLong(0))
   }
+
+  test("load hands back one analyzed handle per (session, dir, table)") {
+    // the handle cache contract: same coordinates -> the SAME DataFrame
+    // object (no re-listing / re-analysis), different table -> different
+    val a = Tables.load(spark, dir, "orders")
+    val b = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "lineitem")
+    assert(a eq b)
+    assert(!(a eq c))
+  }
 }
