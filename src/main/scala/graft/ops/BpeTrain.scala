@@ -79,8 +79,10 @@ object BpeTrain {
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      // TakeOrderedAndProject, not a full sort: only the capped top-N
-      // ever reaches the driver
+      // sort + limit: only the capped top-N ever reaches the driver.
+      // (Caps below spark.sql.execution.topKSortFallbackThreshold plan
+      // as TakeOrderedAndProject; above it this is one global sort of
+      // the vocabulary-sized COUNT frame — still never the corpus.)
       .orderBy(col("freq").desc, col("word").asc)
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -26,10 +26,22 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Exact dedup returning the surviving rows. */
+  /** Exact dedup returning the surviving rows: keep the smallest id
+    * per content digest, as a min() window over ONE digest-keyed
+    * exchange — the aggregate + semi-join form paid a second scan of
+    * the input and shuffled both join sides for the same survivor set.
+    * Pinned parallelism: the frame is CPU-heavy per row (full text
+    * rides the shuffle) and byte-small frames otherwise coalesce to
+    * 1-2 window tasks under AQE (the t_bigram_lm rationale). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keep = exactStats(df, textCol, idCol).select(col("keep_id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.withColumn("__digest", sha2(col(textCol), 256))
+      .repartition(n, col("__digest"))
+      .withColumn("__keep",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__digest")))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__digest", "__keep")
   }
 
   /** Distinct whitespace-token set per doc, exploded to long form:
