@@ -303,6 +303,25 @@ object Dedup {
     * per-bucket min → per-doc min keeper → verify that pair exactly.
     * Output: (d1 = keeper, d2 = doc, jaccard) for verified d1 < d2.
     */
+  /** Shared LSH keeper assignment: each doc's keeper is the smallest id
+    * sharing ANY band bucket with it — the per-bucket min as a window
+    * over one pinned (band, bucket)-keyed exchange (the agg + join-back
+    * form paid a second shuffle of the band frame for the same number),
+    * then a per-doc min. Output LINEAR in docs: (d1 = keeper, d2 = doc),
+    * keeper < doc. */
+  private def lshKeepers(buckets: DataFrame, idCol: String): DataFrame = {
+    val n = buckets.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    buckets
+      .repartition(n, col("band"), col("bucket"))
+      .withColumn("bmin",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")))
+      .groupBy(col(idCol)).agg(min(col("bmin")).as("keep"))
+      .filter(col("keep") < col(idCol))
+      .select(col("keep").as("d1"), col(idCol).as("d2"))
+  }
+
   def minhashLshDedup(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val reps = exact(df, textCol, idCol)
@@ -310,13 +329,7 @@ object Dedup {
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
     val sigs = minhashSignaturesAgg(sets, idCol, numHashes)
     val buckets = bucketRows(sigs, idCol, bands, numHashes)
-    val bucketMin = buckets.groupBy("band", "bucket")
-      .agg(min(col(idCol)).as("bmin"))
-    val keeper = buckets.join(bucketMin, Seq("band", "bucket"))
-      .groupBy(col(idCol)).agg(min(col("bmin")).as("keep"))
-      .filter(col("keep") < col(idCol))
-      .select(col("keep").as("d1"), col(idCol).as("d2"))
-    jaccardOnPairs(keeper, sets, idCol, threshold)
+    jaccardOnPairs(lshKeepers(buckets, idCol), sets, idCol, threshold)
   }
 
   /** [[minhashSignatures]] on the engine-portable md5-affine family
@@ -370,13 +383,7 @@ object Dedup {
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
     val sigs = minhashSignaturesPortable(sets, idCol, numHashes)
     val buckets = bucketRowsPortable(sigs, idCol, bands, numHashes)
-    val bucketMin = buckets.groupBy("band", "bucket")
-      .agg(min(col(idCol)).as("bmin"))
-    val keeper = buckets.join(bucketMin, Seq("band", "bucket"))
-      .groupBy(col(idCol)).agg(min(col("bmin")).as("keep"))
-      .filter(col("keep") < col(idCol))
-      .select(col("keep").as("d1"), col(idCol).as("d2"))
-    jaccardOnPairs(keeper, sets, idCol, threshold)
+    jaccardOnPairs(lshKeepers(buckets, idCol), sets, idCol, threshold)
   }
 
   /** Portable SimHash: the 64-bit signature as two 32-bit planes voted
