@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * (hash-groupBy), n-gram Jaccard near-dup, MinHash+LSH, SimHash.
   *
   * Scale design:
-  *  - exact dedup is one hash aggregation on a 256-bit digest — the
-  *    shuffle key is the digest, so data skew follows duplicate clusters
-  *    and AQE's skew handling applies;
+  *  - exact dedup is one digest-keyed exchange (min-id window) — the
+  *    shuffle key is the 256-bit digest, so data skew follows duplicate
+  *    clusters;
   *  - all-pairs Jaccard is quadratic and only ever run within small
   *    blocking groups (here: `source`); the 100 TB path is MinHash+LSH,
   *    where candidate generation is a band-bucket self-join whose shuffle
