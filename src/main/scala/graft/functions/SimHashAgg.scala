@@ -39,19 +39,26 @@ case class SimHashAgg(
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"simhash_agg requires a string column, got ${child.dataType.sql}")
+      s"simhash_agg requires a string or bigint column, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    // null parity with the declarative form: xxhash64(null) evaluates
-    // to the seed (42), so a null token still votes the seed's bits —
-    // skipping it here would break the bit-for-bit equivalence contract
+    // String input: one xxhash64 per token (null parity with the
+    // declarative form — xxhash64(null) evaluates to the seed 42, so a
+    // null token still votes the seed's bits). Long input: RAW-BITS
+    // mode — the caller already computed the 64 vote bits (e.g. the
+    // portable md5 planes, packed hi << 32 | lo); a null long votes -1
+    // on every bit, matching the declarative `when(bit === 1, 1)
+    // .otherwise(-1)` whose null condition takes the otherwise branch.
     val h =
-      if (v == null) 42L
+      if (child.dataType == LongType) {
+        if (v == null) 0L else v.asInstanceOf[Long]
+      } else if (v == null) 42L
       else XXH64.hashUTF8String(v.asInstanceOf[UTF8String], 42L)
     var j = 0
     while (j < 64) {

@@ -394,20 +394,20 @@ object Dedup {
     * (idCol, simhash) with the planes packed `hi << 32 | lo` (shiftleft
     * is a bitwise op — no ANSI overflow check to trip on bit 31). */
   def simhashPortable(sets: DataFrame, idCol: String): DataFrame = {
+    val spark = sets.sparkSession
     val hex = md5(col("tok"))
-    val staged = sets.select(col(idCol),
-      conv(substring(hex, 1, 8), 16, 10).cast("long").as("wlo"),
-      conv(substring(hex, 9, 8), 16, 10).cast("long").as("whi"))
-    def votes(word: String, pre: String) = (0 until 32).map(j =>
-      sum(when(shiftright(col(word), j).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"$pre$j"))
-    val aggs = votes("wlo", "lo") ++ votes("whi", "hi")
-    def plane(pre: String) = (0 until 32).map(j =>
-      when(col(s"$pre$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    staged.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        (shiftleft(plane("hi"), 32).bitwiseOR(plane("lo"))).as("simhash"))
+    // pack the two md5 words as hi << 32 | lo: bit j of the packed long
+    // IS lo-plane bit j (j < 32) / hi-plane bit j-32 — so the raw-bits
+    // SimHashAgg buffer votes exactly the two planes the previous 64
+    // independent sum(when(...)) aggregate columns computed, at one
+    // buffer update per token (SimHashAggSpec pins the equivalence)
+    val packed = shiftleft(conv(substring(hex, 9, 8), 16, 10)
+        .cast("long"), 32)
+      .bitwiseOR(conv(substring(hex, 1, 8), 16, 10).cast("long"))
+    sets.select(col(idCol), packed.as("w"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashAgg
+        .simhashAgg(spark, col("w")).as("simhash"))
   }
 
   /** Resolve keeper ASSIGNMENT CHAINS to final cluster roots by pointer

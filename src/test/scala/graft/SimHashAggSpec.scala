@@ -40,6 +40,34 @@ class SimHashAggSpec extends AnyFunSuite {
     assert(imperative == declarative)
   }
 
+  test("raw-bits long mode equals the declarative two-plane portable form") {
+    import org.apache.spark.sql.functions._
+    val sets = Dedup.tokenSets(
+      Tables.load(spark, TestSpark.sf0001, "documents"),
+      "text", "doc_id", "source")
+    // the declarative portable form simhashPortable replaced: 64
+    // independent sum(when(...)) vote columns over the two md5 words
+    val hex = md5(col("tok"))
+    val staged = sets.select(col("doc_id"),
+      conv(substring(hex, 1, 8), 16, 10).cast("long").as("wlo"),
+      conv(substring(hex, 9, 8), 16, 10).cast("long").as("whi"))
+    def votes(word: String, pre: String) = (0 until 32).map(j =>
+      sum(when(shiftright(col(word), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"$pre$j"))
+    val aggs = votes("wlo", "lo") ++ votes("whi", "hi")
+    def plane(pre: String) = (0 until 32).map(j =>
+      when(col(s"$pre$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val declarative = staged.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (shiftleft(plane("hi"), 32).bitwiseOR(plane("lo"))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawBits = Dedup.simhashPortable(sets, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rawBits == declarative)
+  }
+
   test("simhash_agg is SQL-callable after registration") {
     graft.functions.SimHashAgg.register(spark)
     import spark.implicits._
