@@ -20,6 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-hashing every token 64 times (aggregate expressions share no
   * common subexpressions across columns).
   *
+  * A LongType child selects RAW-BITS mode: the input's own bits are the
+  * votes (no hashing) — how the portable md5-plane SimHash
+  * ([[graft.ops.Dedup.simhashPortable]]) rides the same buffer.
+  *
   * Bit semantics reproduce the declarative form exactly (default
   * xxhash64 seed 42; bit j of the result is 1 iff the count of tokens
   * with bit j set strictly exceeds the count without) — asserted in
