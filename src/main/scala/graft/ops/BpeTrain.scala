@@ -168,9 +168,9 @@ object BpeTrain {
   /** Tokenize a text column with a learned merge list: char-split every
     * word, then replay the merges in learned order (merge order is the
     * BPE contract — later merges build on earlier fusions). Empty words
-    * (doubled/leading/trailing spaces) are dropped, matching
-    * [[wordTable]]'s training-side filter. Output: array of token
-    * arrays, one per word. */
+    * (doubled/leading/trailing spaces) are dropped, matching [[fit]]'s
+    * training-side word filter. Output: array of token arrays, one per
+    * word. */
   def applyMerges(textCol: Column, merges: Seq[Merge]): Column =
     transform(filter(split(textCol, " "), w => length(w) > 0), w => {
       val init = concat(split(w, ""), array(lit(EndOfWord)))
