@@ -110,13 +110,16 @@ object TrainerCommon {
     * Semantics (Keras loop, min mode, min_delta = 0): an epoch improves
     * iff its val loss is STRICTLY below the best so far; `wait` resets
     * on improvement, else increments; training stops when wait reaches
-    * `patience`; the returned weights are the END of the best epoch's
-    * snapshot. Weight snapshots are O(params) driver memory, only the
-    * best is retained.
+    * `patience` — so patience = 0 stops at the FIRST non-improving
+    * epoch, exactly as Keras `EarlyStopping(patience=0)` does. Pass
+    * `patience < 0` to disable the stop entirely (train all maxEpochs;
+    * restore-best still applies). The returned weights are the END of
+    * the best epoch's snapshot. Weight snapshots are O(params) driver
+    * memory, only the best is retained.
     */
   def earlyStop[W](w0: W, maxEpochs: Int, patience: Int)(
       epochPass: (W, Int) => (W, Double, Double)): EsResult[W] = {
-    require(maxEpochs >= 1 && patience >= 0, "bad earlyStop params")
+    require(maxEpochs >= 1, "bad earlyStop params")
     var w = w0
     var bestW = w0
     var bestVal = Double.PositiveInfinity
@@ -135,7 +138,10 @@ object TrainerCommon {
           bestVal = valAtStart; bestW = w; bestEpoch = e - 1; wait = 0
         } else {
           wait += 1
-          if (wait >= patience && patience > 0) stopped = e - 1
+          // Keras parity including patience=0: the first non-improving
+          // epoch trips wait(1) >= patience(0) and training stops there.
+          // Negative patience = stopping disabled (fixed-epoch training).
+          if (patience >= 0 && wait >= patience) stopped = e - 1
         }
       }
       if (stopped == 0 && e <= maxEpochs) {

@@ -84,9 +84,18 @@ object BpeTrain {
       // as TakeOrderedAndProject; above it this is one global sort of
       // the vocabulary-sized COUNT frame — still never the corpus.)
       .orderBy(col("freq").desc, col("word").asc)
-      .limit(maxWords)
+      // one sentinel row past the cap: if it comes back, the vocabulary
+      // exceeded maxWords and pair counts will exclude the tail — warn
+      // loudly so large-vocab callers notice the semantics shift vs an
+      // uncapped fit (the oracle mirrors the cap, so results stay
+      // engine-consistent either way)
+      .limit(maxWords + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    fitInMemory(words, steps, minCount)
+    if (words.length > maxWords)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BpeTrain.fit: vocabulary exceeds maxWords=$maxWords; " +
+          "pair counts exclude the dropped tail (capped-fit semantics)")
+    fitInMemory(words.take(maxWords), steps, minCount)
   }
 
   /** Driver-memory cap for [[fit]]'s word table (~a few tens of MB of

@@ -15,15 +15,23 @@ import java.nio.file.{Files, Paths}
   * Driver-side by design: every input is fit-state-sized (O(models),
   * O(epochs), O(k²) confusion cells) — the same collect class the ML
   * fit surface already uses. Never point this at a fact table.
+  *
+  * Each reference-shaped entry point writes BOTH formats — the `.svg`
+  * built here and a pixel-identical-in-intent `.png` rasterized by
+  * [[PlotPng]] (JDK `BufferedImage`, headless, no native codecs) — so
+  * the reference's PNG artifact contract is met exactly while the SVG
+  * remains for dashboards that prefer vectors.
   */
 object PlotSink {
 
-  private val W = 640
-  private val H = 420
-  private val ML = 70  // left margin
-  private val MB = 60  // bottom margin
-  private val MT = 40  // top margin
-  private val MR = 20  // right margin
+  // geometry + palette shared with the raster renderer ([[PlotPng]]) so
+  // the SVG and PNG outputs depict identical charts
+  private[sources] val W = 640
+  private[sources] val H = 420
+  private[sources] val ML = 70  // left margin
+  private[sources] val MB = 60  // bottom margin
+  private[sources] val MT = 40  // top margin
+  private[sources] val MR = 20  // right margin
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -39,8 +47,8 @@ object PlotSink {
        |<text x="${(ML + W - MR) / 2}" y="${H - 12}" text-anchor="middle" font-size="12">${esc(xLabel)}</text>
        |<text x="18" y="${(MT + H - MB) / 2}" text-anchor="middle" font-size="12" transform="rotate(-90 18 ${(MT + H - MB) / 2})">${esc(yLabel)}</text>""".stripMargin
 
-  private val palette = Seq("#1f77b4", "#2ca02c", "#d62728", "#ff7f0e",
-    "#9467bd", "#8c564b")
+  private[sources] val palette = Seq("#1f77b4", "#2ca02c", "#d62728",
+    "#ff7f0e", "#9467bd", "#8c564b")
 
   /** Multi-series line chart (the accuracy/loss curve shape): series =
     * (name, per-epoch values). Y spans [min, max] of the data, X is the
@@ -139,11 +147,13 @@ object PlotSink {
       history.get(k).map(v => (if (k.startsWith("val")) "Validation" else "Train") -> v))
     val loss = Seq("loss", "val_loss").flatMap(k =>
       history.get(k).map(v => (if (k.startsWith("val")) "Validation" else "Train") -> v))
-    val svg = lineChart(
-      acc.map { case (n, v) => (s"$n acc", v) } ++
-        loss.map { case (n, v) => (s"$n loss", v) },
-      s"$modelName - Accuracy/Loss ($dataType data)")
-    write(dir, s"${modelName}_${dataType}_accuracy_loss.svg", svg)
+    val curves = acc.map { case (n, v) => (s"$n acc", v) } ++
+      loss.map { case (n, v) => (s"$n loss", v) }
+    val chartTitle = s"$modelName - Accuracy/Loss ($dataType data)"
+    PlotPng.write(dir, s"${modelName}_${dataType}_accuracy_loss.png",
+      PlotPng.lineChart(curves, chartTitle))
+    write(dir, s"${modelName}_${dataType}_accuracy_loss.svg",
+      lineChart(curves, chartTitle))
   }
 
   /** `compare_models_accuracy` (`:55-89`) over the engine's metrics
@@ -151,22 +161,29 @@ object PlotSink {
   def compareModelsAccuracy(metrics: DataFrame, dataType: String,
       dir: String): String = {
     val rows = metrics.select("model", "accuracy").collect()
-    val svg = barChart(rows.map(_.getString(0)).toSeq,
-      rows.map(_.getDouble(1)).toSeq,
-      s"Model accuracy comparison ($dataType data)", "Model", "Accuracy",
-      v => f"$v%.4f", yMax = Some(1.1))
-    write(dir, s"comparison_${dataType}_accuracy.svg", svg)
+    val (ls, vs) =
+      (rows.map(_.getString(0)).toSeq, rows.map(_.getDouble(1)).toSeq)
+    val chartTitle = s"Model accuracy comparison ($dataType data)"
+    PlotPng.write(dir, s"comparison_${dataType}_accuracy.png",
+      PlotPng.barChart(ls, vs, chartTitle, "Model", "Accuracy",
+        v => f"$v%.4f", yMax = Some(1.1)))
+    write(dir, s"comparison_${dataType}_accuracy.svg",
+      barChart(ls, vs, chartTitle, "Model", "Accuracy",
+        v => f"$v%.4f", yMax = Some(1.1)))
   }
 
   /** `plot_training_time` (`:92-127`). */
   def plotTrainingTime(metrics: DataFrame, dataType: String,
       dir: String): String = {
     val rows = metrics.select("model", "train_seconds").collect()
-    val svg = barChart(rows.map(_.getString(0)).toSeq,
-      rows.map(_.getDouble(1)).toSeq,
-      s"Training time comparison ($dataType data)", "Model", "Seconds",
-      v => f"$v%.2fs")
-    write(dir, s"comparison_${dataType}_training_time.svg", svg)
+    val (ls, vs) =
+      (rows.map(_.getString(0)).toSeq, rows.map(_.getDouble(1)).toSeq)
+    val chartTitle = s"Training time comparison ($dataType data)"
+    PlotPng.write(dir, s"comparison_${dataType}_training_time.png",
+      PlotPng.barChart(ls, vs, chartTitle, "Model", "Seconds",
+        v => f"$v%.2fs"))
+    write(dir, s"comparison_${dataType}_training_time.svg",
+      barChart(ls, vs, chartTitle, "Model", "Seconds", v => f"$v%.2fs"))
   }
 
   /** `plot_confusion_matrix` (`:129-161`) over the engine's pivoted
@@ -183,8 +200,10 @@ object PlotSink {
         case i: Int => i.toLong
         case null => 0L
       }).toSeq).toSeq
-    val svg = heatmap(matrix, classes,
-      s"Confusion matrix - $modelName ($dataType data)")
-    write(dir, s"${modelName}_${dataType}_confusion_matrix.svg", svg)
+    val chartTitle = s"Confusion matrix - $modelName ($dataType data)"
+    PlotPng.write(dir, s"${modelName}_${dataType}_confusion_matrix.png",
+      PlotPng.heatmap(matrix, classes, chartTitle))
+    write(dir, s"${modelName}_${dataType}_confusion_matrix.svg",
+      heatmap(matrix, classes, chartTitle))
   }
 }

@@ -137,10 +137,33 @@ object Tables {
     * could REDUCE parallelism to defaultParallelism — so the
     * repartition fires only when the input has fewer partitions than
     * the session's parallelism (the starved-scan case it exists for).
-    * The partition-count probe is plan-time only (no job runs). */
+    *
+    * SCAN-ROOTED ONLY: the partition-count probe reads
+    * `df.rdd.getNumPartitions`, which is plan-time-cheap for a narrow
+    * scan plan but — with AQE enabled — eagerly materializes query
+    * stages (submits real jobs) the moment the plan contains an
+    * exchange. So spread() refuses to probe anything that is not a
+    * Project/Filter chain over a leaf relation and returns such frames
+    * unchanged: a shuffled frame already has shuffle-partition
+    * parallelism and was never the starved single-row-group case this
+    * helper exists for. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    if (!scanRooted(df.queryExecution.analyzed)) df
+    else if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p)
+  }
+
+  private def scanRooted(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case _: LeafNode          => true
+      case Project(_, child)    => scanRooted(child)
+      case Filter(_, child)     => scanRooted(child)
+      case SubqueryAlias(_, c)  => scanRooted(c)
+      case _                    => false
+    }
   }
 
   /** Per-(session, dir, table) DataFrame handles: `spark.read.parquet`
@@ -149,16 +172,29 @@ object Tables {
     * of times for the same immutable tables — the same reuse a table
     * catalog provides. DataFrames are immutable, so sharing the handle
     * is safe; keyed by session so test suites with their own sessions
-    * never see a foreign session's plan. */
+    * never see a foreign session's plan.
+    *
+    * CACHE CONTRACT: `dir` contents must be immutable for the lifetime
+    * of the session — the cached DataFrame pins the file index built at
+    * first load, so a fixture dir rewritten in place would serve stale
+    * file listings (write to a fresh dir instead, as every sink entry
+    * in this repo does). Entries whose session has been stopped are
+    * evicted on the next load() so dead sessions (and their plans) are
+    * not pinned until the size bound trips. */
   private val handles =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
       DataFrame]()
 
   /** Load a fixture table from `dir` with its declared schema. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // bound the map (and the session refs it pins) — many short-lived
-    // sessions x dirs would otherwise accumulate for the JVM lifetime
-    if (handles.size > 256) handles.clear()
+    // drop handles owned by stopped sessions first; only if the map is
+    // still oversized (256 live session x dir x table combos) fall back
+    // to the wholesale clear that bounds JVM-lifetime growth
+    if (handles.size > 256) {
+      val it = handles.keySet.iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      if (handles.size > 256) handles.clear()
+    }
     handles.computeIfAbsent((spark, dir, name), _ => {
       val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
       if (name == "events")

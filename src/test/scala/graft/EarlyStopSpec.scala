@@ -54,9 +54,19 @@ class EarlyStopSpec extends AnyFunSuite {
     assert(r.stoppedEpoch == 3 && r.bestEpoch == 1 && r.weights == 1)
   }
 
-  test("earlyStop with patience=0 disables stopping") {
+  test("earlyStop patience=0 stops at the first non-improving epoch") {
+    // Keras EarlyStopping(patience=0): epoch 4 fails to beat epoch 3's
+    // 7.0 and training stops right there
     val vals = Seq(9.0, 8.0, 7.0, 9.9, 9.9)
     val r = TrainerCommon.earlyStop(0, maxEpochs = 5, patience = 0)(
+      scripted(vals))
+    assert(r.stoppedEpoch == 4, s"stopped=${r.stoppedEpoch}")
+    assert(r.bestEpoch == 3 && r.weights == 3)
+  }
+
+  test("earlyStop with negative patience disables stopping") {
+    val vals = Seq(9.0, 8.0, 7.0, 9.9, 9.9)
+    val r = TrainerCommon.earlyStop(0, maxEpochs = 5, patience = -1)(
       scripted(vals))
     assert(r.stoppedEpoch == 5)
     assert(r.bestEpoch == 3 && r.weights == 3) // restore-best still on
@@ -107,7 +117,7 @@ class EarlyStopSpec extends AnyFunSuite {
     val w0 = GdTrainer.init(1, 3, 2, seed = 9L)
     val es = GdTrainer.fitEs(adversarial, Seq(col("x0")), col("y"),
       col("rk"), w0, maxEpochs = 3, lr = 0.5, dropout = 0.0,
-      isVal = col("rk") < 8, patience = 0)
+      isVal = col("rk") < 8, patience = -1)
     val (_, plainLosses) = GdTrainer.fit(
       adversarial.filter(col("rk") >= 8), Seq(col("x0")), col("y"),
       col("rk"), w0, epochs = 3, lr = 0.5)
@@ -135,7 +145,7 @@ class EarlyStopSpec extends AnyFunSuite {
     val w0 = GdTrainer.init(1, 3, 2, seed = 5L)
     val es = GdTrainer.fitEs(adversarial, Seq(col("x0")), col("y"),
       col("rk"), w0, maxEpochs = 2, lr = 0.5, dropout = 0.5,
-      isVal = col("rk") < 8, patience = 0)
+      isVal = col("rk") < 8, patience = -1)
     // weights after epoch 1 = one dropped step on the train slice
     val (w1, _) = GdTrainer.fit(adversarial.filter(col("rk") >= 8),
       Seq(col("x0")), col("y"), col("rk"), w0, epochs = 1, lr = 0.5,

@@ -69,5 +69,41 @@ class PlotSinkSpec extends AnyFunSuite {
     }
     // training-time labels carry the reference's seconds format
     assert(Files.readString(Paths.get(p2)).contains("30.25s"))
+    // the reference's actual artifact format (matplotlib PNG) lands too:
+    // same stem, .png extension, decodable at the shared chart geometry
+    Seq(p1, p2, p3, p4).foreach { p =>
+      val png = Paths.get(p.stripSuffix(".svg") + ".png")
+      assert(Files.exists(png), png)
+      val img = javax.imageio.ImageIO.read(png.toFile)
+      assert(img != null, s"not decodable as an image: $png")
+      assert(img.getWidth == 640 && img.getHeight == 420, png)
+    }
+  }
+
+  test("png charts paint the palette and respect the heatmap contract") {
+    import graft.sources.PlotPng
+    // bar 0 paints palette(0) = #1f77b4 somewhere in the plot area
+    val bars = PlotPng.barChart(Seq("a", "b"), Seq(0.5, 1.0), "t", "x", "y",
+      v => f"$v%.1f")
+    val blue = 0x1f77b4
+    val hasBlue = (0 until bars.getWidth).exists(x =>
+      (0 until bars.getHeight).exists(y =>
+        (bars.getRGB(x, y) & 0xffffff) == blue))
+    assert(hasBlue, "bar chart missing palette(0) pixels")
+    // negative bars refuse loudly, matching the SVG contract
+    intercept[IllegalArgumentException] {
+      PlotPng.barChart(Seq("a"), Seq(-1.0), "t", "x", "y", _.toString)
+    }
+    // oversized confusion matrices refuse rather than degenerate
+    intercept[IllegalArgumentException] {
+      PlotPng.heatmap(Seq.fill(400)(Seq.fill(400)(1L)),
+        (1 to 400).map(_.toString), "cm")
+    }
+    // max cell shades to the deepest blue (75,75,255); zero stays white-ish
+    val hm = PlotPng.heatmap(Seq(Seq(10L, 0L), Seq(0L, 10L)), Seq("a", "b"), "cm")
+    val deepest = new java.awt.Color(75, 75, 255).getRGB & 0xffffff
+    val hasDeep = (0 until hm.getWidth).exists(x =>
+      (0 until hm.getHeight).exists(y => (hm.getRGB(x, y) & 0xffffff) == deepest))
+    assert(hasDeep, "heatmap missing max-intensity cells")
   }
 }
