@@ -28,8 +28,10 @@ object GraftSession {
     // and AQE never coalesces an explicit-N repartition (see
     // t_bigram_lm / x16_collocations). A global minPartitionSize floor
     // was A/B-measured a wash at local[32] and stays default.
-    // fixture events.ts is TIMESTAMP(NANOS): read as int64, converted
-    // in Tables.load (Spark has no nanosecond timestamp type)
+    // fixture events.ts has shipped both as TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) across generations; this flag keeps the nanos
+    // generation readable (as int64, converted in Tables.loadEvents —
+    // Spark has no nanosecond timestamp type) and is a no-op for micros
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 

@@ -18,6 +18,26 @@ object TimeWindows {
 
   val entries: Seq[Entry] = Seq(
 
+    // Q-TS — fixture-unit sanity gate. Round 7's regenerated fixtures
+    // silently changed events.ts from TIMESTAMP(NANOS)-as-int64 to
+    // logical TIMESTAMP_MICROS; the stale div-1000 conversion compressed
+    // 30 days of events into ~43 minutes and every time-window query
+    // failed with no indication why. This entry pins the loaded time
+    // range itself (year + day span), so a unit error fails loudly by
+    // name in the correctness gate instead of surfacing as mysterious
+    // row-count drift in five downstream queries.
+    Entry("q_ts_sanity",
+      (s, dir) => t(s, dir, "events")
+        .agg(year(min(col("ts"))).as("min_year"),
+          year(max(col("ts"))).as("max_year"),
+          datediff(max(col("ts")), min(col("ts"))).as("span_days"),
+          count(lit(1)).as("n")),
+      Some("""SELECT year(min(ts)) AS min_year, year(max(ts)) AS max_year,
+                     date_diff('day', CAST(min(ts) AS DATE),
+                               CAST(max(ts) AS DATE)) AS span_days,
+                     count(*) AS n
+              FROM events""")),
+
     // Q21 — tumbling 5-minute window count/sum per event_type.
     Entry("q21_tumbling_window",
       (s, dir) => t(s, dir, "events")

@@ -76,19 +76,36 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // ts is TIMESTAMP(NANOS) in the file — Spark has no nanosecond
-  // timestamp type, so it is read as raw int64 nanos (requires
-  // spark.sql.legacy.parquet.nanosAsLong=true, set by GraftSession /
-  // Verify / Bench) and converted to a microsecond TimestampType in
-  // load() below with an integer `div` (a double division would lose
-  // precision above 2^53).
+  // `ts` has shipped in two physical encodings across fixture
+  // generations: logical TIMESTAMP(MICROS) (current) and
+  // TIMESTAMP(NANOS) (older drops). Spark has no nanosecond timestamp
+  // type, so nanos files are read as raw int64
+  // (spark.sql.legacy.parquet.nanosAsLong=true, set by GraftSession /
+  // Verify / Bench) and converted with an integer `div 1000` (a double
+  // division would lose precision above 2^53); micros files are read as
+  // TimestampType directly. load() sniffs which encoding a file uses
+  // from its footer — see loadEvents().
   val events = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Read schema for the TIMESTAMP(NANOS) fixture generation: ts as the
+    * raw int64 the nanosAsLong flag exposes. Also the declared payload
+    * contract for the Kafka JSON source (EventStreams.fromKafka). */
+  val eventsRawNanos =
+    StructType(events.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+
+  /** True when the events parquet at `path` (file or dir) stores `ts` as
+    * raw int64 nanos rather than logical TIMESTAMP(MICROS). Schema
+    * inference is a driver-only footer read — no data scan; with
+    * nanosAsLong=true a NANOS column infers as LongType. */
+  def eventsTsIsRawNanos(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(path).schema("ts").dataType == LongType
 
   val documents = StructType(Seq(
     StructField("doc_id", LongType),
@@ -196,12 +213,28 @@ object Tables {
       if (handles.size > 256) handles.clear()
     }
     handles.computeIfAbsent((spark, dir, name), _ => {
-      val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
-      if (name == "events")
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      else df
+      if (name == "events") loadEvents(spark, s"$dir/$name.parquet")
+      else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     })
+  }
+
+  /** Load `events`, sniffing the `ts` encoding from the parquet footer.
+    *
+    * Schema inference (a driver-only footer read — no data scan) tells
+    * the two fixture generations apart: with nanosAsLong=true a
+    * TIMESTAMP(NANOS) column infers as LongType, while a
+    * TIMESTAMP(MICROS) column infers as a timestamp type. Only the nanos
+    * generation needs the int64 `div 1000` conversion; applying it to a
+    * micros file would compress 30 days of events into ~43 minutes
+    * (the round-7 q21/q22/q23/q27/q55 oracle break). The per-(session,
+    * dir) handle cache above means the sniff runs once per fixture dir,
+    * not per query. */
+  private def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    if (eventsTsIsRawNanos(spark, path))
+      spark.read.schema(eventsRawNanos).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.read.schema(events).parquet(path)
   }
 }

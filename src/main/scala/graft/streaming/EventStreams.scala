@@ -258,12 +258,19 @@ object EventStreams {
       if (java.nio.file.Files.isRegularFile(p))
         (p.getParent.toString, p.getFileName.toString)
       else (path, "*")
+    // sniff the ts encoding from a batch footer read (same two fixture
+    // generations Tables.loadEvents handles: raw int64 nanos vs logical
+    // TIMESTAMP_MICROS) — a streaming source can't inspect footers
+    // itself, so the read schema must be decided up front
+    val rawNanos = Tables.eventsTsIsRawNanos(spark, path)
     val raw = spark.readStream
-      .schema(Tables.events)
+      .schema(if (rawNanos) Tables.eventsRawNanos else Tables.events)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", glob)
       .parquet(dir)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (rawNanos)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** foreachBatch scoring sink (SURVEY §2.8): score each micro-batch
@@ -298,8 +305,10 @@ object EventStreams {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .load()
+    // payload contract: ts arrives as int64 epoch-nanos in the JSON
+    // (producers emit raw clock reads; the int64 `div` keeps precision)
     raw.select(from_json(col("value").cast("string"),
-        Tables.events).as("e"))
+        Tables.eventsRawNanos).as("e"))
       .select(col("e.*"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

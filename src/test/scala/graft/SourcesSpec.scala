@@ -111,6 +111,39 @@ class SourcesSpec extends AnyFunSuite {
       docs.select(sum("doc_id")).head().getLong(0))
   }
 
+  test("events loader reads both ts encodings to identical timestamps") {
+    // The fixture generator has shipped events.ts as TIMESTAMP(NANOS)
+    // (inferred LongType under nanosAsLong → div-1000 conversion) and as
+    // logical TIMESTAMP_MICROS (inferred TimestampType → direct read).
+    // Write one dir in each encoding and assert Tables.load lands on the
+    // same wall-clock instants. Spark cannot WRITE nanos-annotated
+    // parquet, so the nanos generation is modeled as plain int64 — which
+    // infers as LongType exactly like a NANOS column does under the
+    // flag, exercising the same sniff branch.
+    val src = Tables.load(spark, dir, "events").limit(50)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val microsDir = tmp("ev_micros")
+    val nanosDir = tmp("ev_nanos")
+    src.write.mode("overwrite").parquet(s"$microsDir/events.parquet")
+    src.withColumn("ts",
+        unix_micros(col("ts")) * 1000L) // int64 epoch-nanos
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val a = Tables.load(spark, microsDir, "events")
+    val b = Tables.load(spark, nanosDir, "events")
+    assert(a.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(b.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val av = a.orderBy("event_id").select("ts").collect().map(_.getTimestamp(0))
+    val bv = b.orderBy("event_id").select("ts").collect().map(_.getTimestamp(0))
+    assert(av.sameElements(bv))
+    // and the sniffed range is the fixture's real range (the q_ts_sanity
+    // contract): events span days, not minutes
+    val span = a.agg(max(unix_timestamp(col("ts"))) -
+      min(unix_timestamp(col("ts")))).head().getLong(0)
+    assert(span > 3600L, s"ts span $span s — unit regression?")
+  }
+
   test("load hands back one analyzed handle per (session, dir, table)") {
     // the handle cache contract: same coordinates -> the SAME DataFrame
     // object (no re-listing / re-analysis), different table -> different
