@@ -112,30 +112,61 @@ object TimeWindows {
     // over the time order. Emitted as epoch seconds (the Q21-Q23
     // timezone-proof contract); the carried metric is the rounded
     // per-minute sum+count pair, never an avg (half-boundary hashing).
-    // Scale note: the single-partition fill window is O(grid) =
-    // O(time-range / resolution) — independent of event volume (a year
-    // of minutes is 526k rows); at wider ranges partition the fill by
-    // day and stitch boundaries with a per-day-last broadcast.
+    //
+    // SCALE SHAPE: the fill window is PARTITIONED BY DAY — grid minutes
+    // fill within their own day in parallel, and day boundaries are
+    // stitched with a per-day carry frame (the last observation of every
+    // PRECEDING day, computed with a running last over the day axis).
+    // The only unpartitioned window left runs on that day axis:
+    // O(time-range / 1 day) rows (a year = 365), constant in both event
+    // volume and grid resolution, and broadcast back onto the grid. The
+    // earlier form ran one global window over the whole O(range/minute)
+    // grid — fine at a year (526k rows) but a single-task serialization
+    // at decade ranges / second resolutions; this shape is flat in
+    // range/resolution.
     Entry("q55_resample_ffill",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val agg = t(s, dir, "events")
           .groupBy(date_trunc("minute", col("ts")).as("m"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sm"))
-        val grid = agg.agg(min("m").as("lo"), max("m").as("hi"))
-          .select(explode(sequence(col("lo"), col("hi"),
-            expr("interval 1 minute"))).as("m"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy("m")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)
-        grid.join(agg, Seq("m"), "left")
-          .withColumn("last_m",
+        // one row per day in [lo, hi]; repartition by day so the
+        // per-day minute explode below fans out across tasks instead of
+        // inheriting the 1-row bounds frame's single partition
+        val days = agg.agg(min("m").as("lo"), max("m").as("hi"))
+          .select(explode(sequence(date_trunc("day", col("lo")),
+            date_trunc("day", col("hi")), expr("interval 1 day"))).as("day"),
+            col("lo"), col("hi"))
+          .repartition(col("day"))
+        val grid = days.select(col("day"), explode(sequence(
+          greatest(col("day"), col("lo")),
+          least(expr("day + interval 23 hours 59 minutes"), col("hi")),
+          expr("interval 1 minute"))).as("m"))
+        // within-day fill: window partitioned by day — parallel
+        val wDay = Window.partitionBy("day").orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val filled = grid.join(agg, Seq("m"), "left")
+          .withColumn("lm_day",
             last(when(col("n").isNotNull, col("m")), ignoreNulls = true)
-              .over(w))
-          .withColumn("f_sum", last(col("sm"), ignoreNulls = true).over(w))
+              .over(wDay))
+          .withColumn("sm_day", last(col("sm"), ignoreNulls = true).over(wDay))
+        // boundary carry: last observation of each day (one keyed agg),
+        // run forward over the tiny day axis, broadcast onto the grid
+        val perDay = agg
+          .groupBy(date_trunc("day", col("m")).as("day"))
+          .agg(max(col("m")).as("dlm"), max_by(col("sm"), col("m")).as("dsm"))
+        val wDays = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = days.select("day").join(perDay, Seq("day"), "left")
+          .withColumn("carry_m", last(col("dlm"), ignoreNulls = true).over(wDays))
+          .withColumn("carry_sm", last(col("dsm"), ignoreNulls = true).over(wDays))
+          .select("day", "carry_m", "carry_sm")
+        filled.join(broadcast(carry), Seq("day"))
           .select(unix_timestamp(col("m")).as("m_epoch"),
             coalesce(col("n"), lit(0L)).as("n"),
-            unix_timestamp(col("last_m")).as("last_epoch"),
-            col("f_sum"))
+            unix_timestamp(coalesce(col("lm_day"), col("carry_m")))
+              .as("last_epoch"),
+            coalesce(col("sm_day"), col("carry_sm")).as("f_sum"))
           .orderBy("m_epoch")
       },
       Some("""WITH agg AS (

@@ -83,6 +83,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(1200))
   }
 
+  test("q55's grid fill window is partitioned by day") {
+    // the forward-fill over the minute grid must NOT be a global
+    // single-partition window: the fill windows (lm_day/sm_day) carry a
+    // day partition key. The only unpartitioned window allowed is the
+    // O(range/1day) boundary-carry over the day axis.
+    val p = plans("q55_resample_ffill")
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p.take(800))
+    // partition columns print before the sort orders; a spec whose first
+    // element already carries a sort direction has NO partition key
+    def partitioned(s: String) = {
+      val first = s.split(",")(0)
+      !(first.contains(" ASC") || first.contains(" DESC"))
+    }
+    // the grid-fill specs order by the minute column m — each must be
+    // partitioned (by day); only the day-axis carry may be unpartitioned
+    val fillSpecs = specs.filter(_.contains("m#"))
+    assert(fillSpecs.nonEmpty, s"no minute-ordered window:\n$specs")
+    fillSpecs.foreach { s =>
+      assert(partitioned(s) && s.contains("day#"),
+        s"grid fill running unpartitioned: $s")
+    }
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE prints the unfinalized plan until first execution — run the
     // query through the noop sink, then inspect the FINAL plan
