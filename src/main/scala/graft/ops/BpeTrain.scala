@@ -74,7 +74,20 @@ object BpeTrain {
     * semantics: code-point symbols, freq-weighted pair counts, UTF-8
     * tie-break, greedy left-to-right fuse. */
   def fit(df: DataFrame, textCol: String, steps: Int,
-      minCount: Long = 2L, maxWords: Int = MaxFitWords): Seq[Merge] = {
+      minCount: Long = 2L, maxWords: Int = MaxFitWords): Seq[Merge] =
+    fitWithVocab(df, textCol, steps, minCount, maxWords)._1
+
+  /** [[fit]] that also returns the fused vocabulary — (word, final token
+    * list) for every word of the capped fit table — from the SAME single
+    * corpus aggregation. Callers that encode right after training
+    * ([[encodeStatsWithVocab]]) skip a second corpus-wide distinct-word
+    * discovery AND the per-distinct-word merge replay: the fit loop has
+    * already fused every table word as a side effect of pair counting.
+    * The vocabulary is fit state (capped by `maxWords`), NOT a full
+    * corpus vocabulary — encode falls back to the fold for unseen words. */
+  def fitWithVocab(df: DataFrame, textCol: String, steps: Int,
+      minCount: Long = 2L, maxWords: Int = MaxFitWords)
+      : (Seq[Merge], Seq[(String, Seq[String])]) = {
     val words = graft.sources.Tables.spread(df)
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -95,7 +108,7 @@ object BpeTrain {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"BpeTrain.fit: vocabulary exceeds maxWords=$maxWords; " +
           "pair counts exclude the dropped tail (capped-fit semantics)")
-    fitInMemory(words.take(maxWords), steps, minCount)
+    fitInMemoryFull(words.take(maxWords), steps, minCount)
   }
 
   /** Driver-memory cap for [[fit]]'s word table (~a few tens of MB of
@@ -125,7 +138,14 @@ object BpeTrain {
     * regex matches advance by code point, never through a surrogate
     * pair). */
   private def fitInMemory(words: Array[(String, Long)], steps: Int,
-      minCount: Long): Seq[Merge] = {
+      minCount: Long): Seq[Merge] =
+    fitInMemoryFull(words, steps, minCount)._1
+
+  /** [[fitInMemory]] plus the word table AFTER all merges — each word's
+    * final token list, i.e. the fused vocabulary the encode side would
+    * otherwise recompute by replaying the merges per distinct word. */
+  private def fitInMemoryFull(words: Array[(String, Long)], steps: Int,
+      minCount: Long): (Seq[Merge], Seq[(String, Seq[String])]) = {
     def codePoints(w: String): List[String] =
       w.codePoints().toArray.toList
         .map(cp => new String(Character.toChars(cp)))
@@ -159,7 +179,8 @@ object BpeTrain {
           step += 1
       }
     }
-    out.reverse
+    (out.reverse,
+      words.map(_._1).zip(table.map(_._1)).toSeq)
   }
 
   /** Greedy left-to-right fuse, driver twin of the [[fuse]] column. */
@@ -205,9 +226,51 @@ object BpeTrain {
       .withColumn("toks", merges.foldLeft(
         concat(split(col("word"), ""), array(lit(EndOfWord)))
       )((c, m) => fuse(c, m.left, m.right)))
-    val pos = docs.select(col(idCol), posexplode(words))
+    // spread BEFORE the positional explode: the occurrence side is
+    // corpus-sized and the explode + join-probe work is per-occurrence —
+    // on the single-row-group fixture scan it would otherwise serialize
+    // in one task (the vocab side above is already spread)
+    val pos = graft.sources.Tables.spread(docs)
+      .select(col(idCol), posexplode(words))
       .select(col(idCol), col("pos"), col("col").as("word"))
     val agg = pos.join(vocab, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("toks"))).cast("long").as("n_tokens"),
+        md5(array_join(flatten(transform(
+          sort_array(collect_list(struct(col("pos"), col("toks")))),
+          s => s.getField("toks"))), " ")).as("h"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("h"), md5(lit(""))).as("h"))
+  }
+
+  /** [[encodeStats]] against a driver-held fused vocabulary (from
+    * [[fitWithVocab]]): the per-word token lists ship as a BROADCAST
+    * literal frame instead of being recomputed by a distinct + fold pass
+    * over the corpus — one corpus-side exchange (the per-doc rollup)
+    * instead of three. Words outside the capped vocabulary fall back to
+    * the merge-replay fold inline (coalesce short-circuits, so the fold
+    * evaluates only on misses), keeping output byte-identical to
+    * [[encodeStats]] at any vocabulary size. The broadcast is bounded by
+    * the fit cap (`maxWords`), the same state the fit already held. */
+  def encodeStatsWithVocab(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge], vocab: Seq[(String, Seq[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vdf = broadcast(vocab.toDF("word", "vtoks"))
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val pos = graft.sources.Tables.spread(docs)
+      .select(col(idCol), posexplode(words))
+      .select(col(idCol), col("pos"), col("col").as("word"))
+    val fold = merges.foldLeft(
+      concat(split(col("word"), ""), array(lit(EndOfWord)))
+    )((c, m) => fuse(c, m.left, m.right))
+    val agg = pos.join(vdf, Seq("word"), "left")
+      .withColumn("toks", coalesce(col("vtoks"), fold))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("toks"))).cast("long").as("n_tokens"),

@@ -327,10 +327,37 @@ object Dedup {
     val reps = exact(df, textCol, idCol)
     val sets = reps.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
-    val sigs = minhashSignaturesAgg(sets, idCol, numHashes)
-    val buckets = bucketRows(sigs, idCol, bands, numHashes)
-    jaccardOnPairs(lshKeepers(buckets, idCol), sets, idCol, threshold)
+    // ONE aggregation computes BOTH per-doc artifacts the pipeline
+    // needs — the MinHash signature (banding input) and the hashed
+    // token set (exact-Jaccard verify input). The previous shape ran
+    // two independent groupBy(id) passes over the token long-form (the
+    // largest frame in the pipeline); sharing the exchange halves the
+    // token-frame shuffle volume at any scale.
+    val perDoc = sets
+      .select(col(idCol), col("tok"), xxhash64(col("tok")).as("tk"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashAgg
+          .minhashAgg(df.sparkSession, col("tok"), numHashes).as("sig"),
+        collect_set(col("tk")).as("toks"))
+    val buckets = bucketRows(perDoc.select(col(idCol), col("sig")),
+      idCol, bands, numHashes)
+    verifyPairs(lshKeepers(buckets, idCol), perDoc, idCol, threshold)
   }
+
+  /** Exact-Jaccard verification against a per-doc hashed-token-array
+    * frame (idCol, toks) — [[jaccardOnPairs]] with the groupBy already
+    * done, so callers that aggregate per doc anyway don't pay a second
+    * token-frame exchange. */
+  private def verifyPairs(pairs: DataFrame, perDoc: DataFrame,
+      idCol: String, threshold: Double): DataFrame =
+    pairs
+      .join(perDoc.select(col(idCol).as("d1"), col("toks").as("t1")), "d1")
+      .join(perDoc.select(col(idCol).as("d2"), col("toks").as("t2")), "d2")
+      .withColumn("c", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jaccard", col("c").cast("double")
+        / (size(col("t1")) + size(col("t2")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
 
   /** [[minhashSignatures]] on the engine-portable md5-affine family
     * ([[graft.functions.PortableHash]]): one md5 per token staged ONCE,
@@ -378,12 +405,26 @@ object Dedup {
     * band-bucket fold, both replayable in ANSI SQL. */
   def minhashLshDedupPortable(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    import graft.functions.PortableHash
     val reps = exact(df, textCol, idCol)
     val sets = reps.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
-    val sigs = minhashSignaturesPortable(sets, idCol, numHashes)
-    val buckets = bucketRowsPortable(sigs, idCol, bands, numHashes)
-    jaccardOnPairs(lshKeepers(buckets, idCol), sets, idCol, threshold)
+    // single shared groupBy(id) for signature + hashed token set — the
+    // minhashLshDedup rationale (one token-frame exchange, not two)
+    val w = (PortableHash.md5w(col("tok")) % lit(PortableHash.M)).as("w")
+    val mins = (0 until numHashes).map(i =>
+      min((lit(PortableHash.a(i)) * col("w") + lit(PortableHash.b(i)))
+        % lit(PortableHash.P)).as(s"h$i"))
+    val perDoc = sets
+      .select(col(idCol), w, xxhash64(col("tok")).as("tk"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail :+ collect_set(col("tk")).as("toks"): _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
+        col("toks"))
+    val buckets = bucketRowsPortable(
+      perDoc.select(col(idCol), col("sig")), idCol, bands, numHashes)
+    verifyPairs(lshKeepers(buckets, idCol), perDoc, idCol, threshold)
   }
 
   /** Portable SimHash: the 64-bit signature as two 32-bit planes voted

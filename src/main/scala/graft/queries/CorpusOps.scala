@@ -348,13 +348,17 @@ object CorpusOps {
     Entry("t_bpe_encode",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val merges = BpeTrain.fit(docs, "text", steps = 8, minCount = 2L)
-        // vocabulary-join tokenization: the merge-replay fold runs per
-        // DISTINCT word, never per occurrence (BpeTrain.encodeStats —
-        // the 100 TB shape and a 5x local win). No ORDER BY: the
-        // hash-compare sorts rows itself, and a range sort would
+        val (merges, vocab) =
+          BpeTrain.fitWithVocab(docs, "text", steps = 8, minCount = 2L)
+        // vocabulary-join tokenization: the fused vocabulary comes back
+        // from the fit's own single corpus pass and broadcasts as a
+        // literal frame, so encode pays ONE corpus-side exchange (the
+        // per-doc rollup) — no second distinct-word discovery, no
+        // in-plan merge-replay except as the unseen-word fallback
+        // (BpeTrain.encodeStatsWithVocab — the 100 TB shape). No ORDER
+        // BY: the hash-compare sorts rows itself, and a range sort would
         // evaluate the aggregation projection twice (the q41 note).
-        BpeTrain.encodeStats(docs, "text", "doc_id", merges)
+        BpeTrain.encodeStatsWithVocab(docs, "text", "doc_id", merges, vocab)
       },
       Some(bpeEncodeSql(steps = 8, minCount = 2L))),
 

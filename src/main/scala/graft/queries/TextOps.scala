@@ -476,26 +476,32 @@ object TextOps {
           .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("k"))
         sh.filter(col("source") =!= "src0").select("doc_id", "k")
           .createOrReplaceTempView("tdb_probe")
-        // The benchmark shingle set is read THREE times (bloom build,
-        // exact join, and its own distinct) — persist it once. It is
-        // eval-set-sized (fixed, small — the one side of this operator
-        // that is NOT corpus-scaled), so the cache is safe at 100 TB,
-        // and the source='src0' filter pushes down to the scan, so
-        // filling it explodes only benchmark docs. Saves one full
-        // shingle recomputation per consumer vs the old CTE form.
+        // The benchmark shingle set is read twice (bloom build + exact
+        // membership) — persist it once. It is eval-set-sized (fixed,
+        // small — the one side of this operator that is NOT
+        // corpus-scaled), so the cache is safe at 100 TB, and the
+        // source='src0' filter pushes down to the scan, so filling it
+        // explodes only benchmark docs. NOT deduplicated: the bloom
+        // sketch is multiplicity-blind, the membership test below is a
+        // SEMI join (each probe row kept at most once regardless of
+        // bench multiplicity), and count(DISTINCT k) dedups the evidence
+        // — so the old pre-distinct paid an exchange for nothing.
         val bench = sh.filter(col("source") === "src0")
-          .select("k").distinct().persist()
+          .select("k").persist()
         bench.createOrReplaceTempView("tdb_bench")
         // might_contain requires its sketch as a constant or scalar
         // subquery (it must be evaluable before the probe scan starts —
         // the same analysis rule Spark's InjectRuntimeFilter satisfies),
         // so the query goes through the SQL entry point, q31-style.
+        // Sketch sized to the eval slice (~100k distinct shingles at
+        // sf-bench scale): the sketch is bench-sized state, so its
+        // build cost should track the bench, not a worst-case constant.
         s.sql("""SELECT doc_id, count(DISTINCT k) AS shared_shingles
-                 FROM (SELECT doc_id, k FROM tdb_probe
-                       WHERE might_contain(
-                           (SELECT bloom_filter_agg(k, 200000L, 1600000L)
-                            FROM tdb_bench), k)) probe
-                 JOIN tdb_bench USING (k)
+                 FROM tdb_probe
+                 WHERE might_contain(
+                         (SELECT bloom_filter_agg(k, 100000L, 800000L)
+                          FROM tdb_bench), k)
+                   AND k IN (SELECT k FROM tdb_bench)
                  GROUP BY doc_id HAVING count(DISTINCT k) >= 3
                  ORDER BY doc_id""")
       },
