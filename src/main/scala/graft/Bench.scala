@@ -77,17 +77,28 @@ object Bench {
       // fails intermittently must not look healthy just because the min is
       // taken over successful attempts. Fully-failed queries land in
       // "errors"; mixed outcomes land in "flaky" with the same message.
-      (name, ok.minOption, attempts.flatMap(_._2).lastOption)
+      (name, ok.minOption, attempts.flatMap(_._2).lastOption,
+        ok.maxOption)
     }
-    val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some(v), _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, None, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = results.collect { case (k, None, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val flaky = results.collect { case (k, Some(_), Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val flaky = results.collect { case (k, Some(_), Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
+    // Attempt spread (worst successful attempt per query, vs "queries"'
+    // best): a contended host shows as max >> min across the board, so a
+    // slow recorded round is distinguishable from a plan regression
+    // without a re-run — the round-7 bench recorded 3x r6's total purely
+    // from host noise and the artifact itself couldn't show it.
+    val spread = results.collect { case (k, Some(mn), _, Some(mx))
+        if mx > mn * 1.5 && mx - mn > 0.25 =>
+      s"\"" + k + "\":" + (math.rint(mx * 1000) / 1000)
+    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    val worstTotal = results.flatMap(_._4).sum
     val nErr = results.count(r => r._2.isEmpty && r._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"worst_total":$worstTotal,"sf":"$sfDir"}""")
     // The per-query line above is ~4 KB and overflows the driver's 2000-char
     // tail window (BENCH parsed:null in rounds 1-3). This short final line is
     // guaranteed to land inside the window and carries the headline number.
