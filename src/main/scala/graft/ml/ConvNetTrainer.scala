@@ -242,6 +242,10 @@ object ConvNetTrainer {
       Option(row.getAs[Any]("vloss")).map(_.asInstanceOf[Double]))
   }
 
+  /** One GD step (shared with the wide-path twin [[WideNet]]). */
+  private[ml] def step(w: NetWeights, gr: NetGrads,
+      lr: Double): NetWeights = applyStep(w, gr, lr)
+
   private def applyStep(w: NetWeights, gr: NetGrads,
       lr: Double): NetWeights = {
     def s1(a: Seq[Double], ga: Seq[Double]) =
