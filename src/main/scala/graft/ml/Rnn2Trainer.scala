@@ -206,6 +206,9 @@ object Rnn2Trainer {
   def gradients(df: DataFrame, xs: Seq[Column], label: Column, w: W): G =
     gradientsVal(df, xs, label, lit(0L), w, 1, 0.0, lit(false))._1
 
+  /** One GD step (shared with the wide-path twin [[WideRnn2]]). */
+  private[ml] def step(w: W, gr: G, lr: Double): W = applyStep(w, gr, lr)
+
   private def applyStep(w: W, gr: G, lr: Double): W = {
     def s1(a: Seq[Double], g: Seq[Double]) =
       a.zip(g).map { case (x, gx) => x - lr * gx }
