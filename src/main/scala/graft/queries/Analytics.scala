@@ -615,8 +615,9 @@ object Analytics {
               FROM (SELECT *, row_number() OVER (
                       PARTITION BY user_id, event_type
                       -- microsecond truncation mirrors the engine's ts
-                      -- (nanos-as-long div 1000): two events inside the
-                      -- same microsecond must TIE in both engines so the
+                      -- (micros fixtures read as-is; nanos fixtures get
+                      -- div 1000): two events inside the same
+                      -- microsecond must TIE in both engines so the
                       -- event_id tie-break decides identically
                       ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC)
                       AS rn
