@@ -251,6 +251,58 @@ object SimilarityOps {
                              ORDER BY d2r DESC, vec_id ASC) AS rk
                     FROM d)
               SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2r
-              FROM r WHERE rk <= 3 ORDER BY label, rk"""))
+              FROM r WHERE rk <= 3 ORDER BY label, rk""")),
+
+    // X17 — exact-integer k-means over the embedding space
+    // (ops/KMeans): the clustering primitive behind SemDeDup-style
+    // semantic dedup (cluster first, then near-dup ONLY within a
+    // cluster — the blocking that keeps embedding dedup linear at
+    // corpus scale) and cluster-balanced sampling. Lloyd's with
+    // quantized-BIGINT vectors, (distance, centroid-id) tie-break, and
+    // floor(sum/count) updates — every step exact, so the full 3-pass
+    // ITERATIVE fit is hash-oracle-gated (the q45 unrolled-CTE
+    // pattern), not rows-only. Centroids are driver fit state (k x 64
+    // BIGINTs); assignment is a narrow codegen'd map against literal
+    // centroids — zero joins, zero shuffles; each update is one
+    // k*dims-cell aggregation.
+    Entry("x17_kmeans_clusters",
+      (s, dir) => {
+        val (_, assign) = graft.ops.KMeans.fit(
+          t(s, dir, "embeddings"), "embedding", "vec_id", k = 8,
+          iters = 3)
+        assign.orderBy("vec_id")
+      },
+      Some(graft.ops.KMeans.fitSql("embeddings", "embedding", "vec_id",
+        k = 8, iters = 3, dims = 64) + "\n        ORDER BY vec_id")),
+
+    // X18 — per-cluster diversity representatives: the 5 vectors
+    // CLOSEST to their k-means centroid per cluster — the "pick
+    // representative exemplars per semantic bucket" selection a
+    // curriculum/dedup pipeline runs after X17 (near-centroid docs
+    // represent the cluster; far ones are X13-style outliers). One
+    // window over the X17 assignment, (dist, vec_id) tie-break.
+    Entry("x18_cluster_diversity",
+      (s, dir) => {
+        val (_, assign) = graft.ops.KMeans.fit(
+          t(s, dir, "embeddings"), "embedding", "vec_id", k = 8,
+          iters = 3)
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        assign.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("cluster"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("dist"))
+          .orderBy("cluster", "rk")
+      },
+      Some("""WITH base AS (""" +
+        graft.ops.KMeans.fitSql("embeddings", "embedding", "vec_id",
+          k = 8, iters = 3, dims = 64) +
+        """),
+              rr AS (SELECT cluster, vec_id, dist,
+                            row_number() OVER (PARTITION BY cluster
+                              ORDER BY dist ASC, vec_id ASC) AS rk
+                     FROM base)
+              SELECT cluster, CAST(rk AS BIGINT) AS rk, vec_id, dist
+              FROM rr WHERE rk <= 5 ORDER BY cluster, rk"""))
   )
 }
