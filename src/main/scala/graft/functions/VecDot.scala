@@ -102,3 +102,80 @@ object VecDot {
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
   }
 }
+
+/** Native codegen'd EXACT squared-L2 distance over two `array<bigint>`
+  * columns — the [[VecDot]] pattern for the integer-quantized vector
+  * kernels (k-means assignment X17, within-cluster NN X19): one fused
+  * long-accumulating loop, no intermediate array, no per-element lambda
+  * dispatch. Sum order is left-to-right, identical to the
+  * `aggregate(zip_with(...))` form — and the arithmetic is exact
+  * integers, so results are bit-identical, just faster. */
+case class VecDist2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dist2 requires array<bigint> arguments, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDist2 = copy(left = newLeft, right = newRight)
+}
+
+object VecDist2 {
+  /** Register `vec_dist2` in the session's function registry
+    * (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier("vec_dist2")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[VecDist2].getName, "vec_dist2"),
+        { args =>
+          require(args.length == 2, "vec_dist2 takes exactly 2 arguments")
+          VecDist2(args.head, args(1))
+        })
+  }
+
+  /** Column-level entry point; registers on first use per session. */
+  def vecDist2(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("vec_dist2", a, b)
+  }
+}

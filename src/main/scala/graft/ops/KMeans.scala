@@ -46,16 +46,20 @@ object KMeans {
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
   /** Exact squared L2 distance between a quantized vector column and a
-    * literal centroid. */
-  private def dist2(v: Column, c: Seq[Long]): Column =
-    aggregate(zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    * literal centroid — the codegen'd fused-loop kernel
+    * ([[graft.functions.VecDist2]]); bit-identical to the
+    * `aggregate(zip_with(...))` form (exact integers), without the
+    * per-element lambda dispatch or the intermediate diff array. */
+  private def dist2(spark: org.apache.spark.sql.SparkSession,
+      v: Column, c: Seq[Long]): Column =
+    graft.functions.VecDist2.vecDist2(spark, v, typedLit(c))
 
   /** Assignment columns under `cents`: (cluster, dist) with the
     * (distance, centroid id) tie-break — array_position returns the
     * FIRST index of the min, i.e. the smallest centroid id. */
-  private def assignCols(cents: Seq[Seq[Long]]): (Column, Column) = {
-    val ds = array(cents.map(c => dist2(col("v"), c)): _*)
+  private def assignCols(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Long]]): (Column, Column) = {
+    val ds = array(cents.map(c => dist2(spark, col("v"), c)): _*)
     ((array_position(ds, array_min(ds)) - 1).cast("int"), array_min(ds))
   }
 
@@ -74,7 +78,7 @@ object KMeans {
         .select("v").collect().map(_.getSeq[Long](0).toIndexedSeq).toSeq
       var result: DataFrame = null
       for (it <- 1 to iters) {
-        val (cl, d) = assignCols(cents)
+        val (cl, d) = assignCols(df.sparkSession, cents)
         val assigned = q.withColumn("cluster", cl).withColumn("dist", d)
         if (it < iters) {
           // k*dims-cell aggregation -> driver; floor(sum/count) via

@@ -303,6 +303,67 @@ object SimilarityOps {
                               ORDER BY dist ASC, vec_id ASC) AS rk
                      FROM base)
               SELECT cluster, CAST(rk AS BIGINT) AS rk, vec_id, dist
-              FROM rr WHERE rk <= 5 ORDER BY cluster, rk"""))
+              FROM rr WHERE rk <= 5 ORDER BY cluster, rk""")),
+
+    // X19 — within-cluster nearest neighbor: each vector's closest
+    // same-cluster peer (exact integer distance, (dist, id) tie-break)
+    // — the SemDeDup SCORING step that X17's clustering exists to make
+    // tractable: candidate pairs are quadratic only inside a cluster
+    // (n/k per bucket), never across the corpus, which is the blocking
+    // that keeps semantic dedup linear at 100 TB (at real scale the
+    // within-cluster pair set itself swaps to an X2b/X2c-style
+    // candidate generation; the cluster-blocked exact form is the
+    // verifiable baseline, the x15 pattern). Self-join keyed on the
+    // cluster id — one exchange each side, AQE splits skewed clusters.
+    Entry("x19_cluster_nn",
+      (s, dir) => {
+        val q = t(s, dir, "embeddings").select(col("vec_id"),
+          graft.ops.KMeans.quantize(col("embedding"), 10000).as("v"))
+        val (_, assign) = graft.ops.KMeans.fit(
+          t(s, dir, "embeddings"), "embedding", "vec_id", k = 8,
+          iters = 3)
+        val withV = assign.join(q, "vec_id")
+        val l = withV.select(col("vec_id").as("d1"),
+          col("cluster"), col("v").as("v1"))
+        val r = withV.select(col("vec_id").as("d2"),
+          col("cluster"), col("v").as("v2"))
+        // each unordered pair's distance computed ONCE (the 64-dim
+        // higher-order fold is the dominant cost and is symmetric),
+        // then mirrored before the per-vector argmin window
+        val half = l.join(r, Seq("cluster"))
+          .filter(col("d1") < col("d2"))
+          .withColumn("pdist", graft.functions.VecDist2.vecDist2(
+            s, col("v1"), col("v2")))
+          .select(col("cluster"), col("d1"), col("d2"), col("pdist"))
+        val pairs = half.unionByName(half.select(col("cluster"),
+          col("d2").as("d1"), col("d1").as("d2"), col("pdist")))
+        val w = Window.partitionBy("d1")
+          .orderBy(col("pdist").asc, col("d2").asc)
+        pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("d1").as("vec_id"), col("cluster"),
+            col("d2").as("nn_id"), col("pdist").as("nn_dist"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH base AS (""" +
+        graft.ops.KMeans.fitSql("embeddings", "embedding", "vec_id",
+          k = 8, iters = 3, dims = 64) +
+        """),
+              q2 AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*10000) AS BIGINT))
+                       AS v FROM embeddings),
+              av AS (SELECT b.vec_id, b.cluster, q2.v
+                     FROM base b JOIN q2 USING (vec_id)),
+              pr AS (SELECT l.vec_id, l.cluster, r.vec_id AS nn_id,
+                            CAST(list_sum(list_transform(
+                              generate_series(1, 64),
+                              i -> (l.v[i]-r.v[i])*(l.v[i]-r.v[i])))
+                              AS BIGINT) AS nn_dist
+                     FROM av l JOIN av r ON l.cluster = r.cluster
+                       AND l.vec_id != r.vec_id),
+              nn AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY nn_dist, nn_id) AS rn FROM pr)
+              SELECT vec_id, cluster, nn_id, nn_dist
+              FROM nn WHERE rn = 1 ORDER BY vec_id"""))
   )
 }

@@ -65,4 +65,31 @@ class VecDotSpec extends AnyFunSuite {
     val r = df.select(VecDot.vecDot(spark, col("a"), col("b"))).head()
     assert(r.isNullAt(0))
   }
+
+  test("vec_dist2 equals the higher-order fold exactly and stays codegen'd") {
+    import spark.implicits._
+    import graft.functions.VecDist2
+    // range-rooted (not a local literal Seq) so the projection is a
+    // real codegen stage rather than a constant-folded LocalTableScan
+    val df = spark.range(100).select(
+      array(col("id"), col("id") * 3 - 7, -col("id")).as("a"),
+      array(col("id") % 11, lit(5L), col("id") * 2).as("b"))
+    val q = df.select(
+      VecDist2.vecDist2(spark, col("a"), col("b")).as("fused"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+        .as("hof"))
+    q.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(400))
+  }
+
+  test("vec_dist2 rejects non-long-array inputs at analysis") {
+    import spark.implicits._
+    graft.functions.VecDist2.register(spark)
+    val df = Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+    val e = intercept[Exception](
+      df.selectExpr("vec_dist2(a, b)").collect())
+    assert(e.getMessage.toLowerCase.contains("vec_dist2"))
+  }
 }
