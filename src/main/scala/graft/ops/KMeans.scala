@@ -69,8 +69,14 @@ object KMeans {
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int, scale: Int = 10000): (Seq[Seq[Long]], DataFrame) = {
     require(k >= 1 && iters >= 1, "k and iters must be positive")
-    val q = graft.sources.Tables.spread(
-        df.select(col(idCol), quantize(col(vecCol), scale).as("v")))
+    // NOT spread: the per-pass compute is k*dims multiply-adds per row
+    // (cheap), and the fit is a driver loop of small jobs — fanning a
+    // single-row-group fixture scan to defaultParallelism would
+    // multiply every pass's task count for no CPU win (measured: 1.6s
+    // -> 0.74s for the x17 entry at sf0.1 without it). At real scale
+    // the input arrives in thousands of splits and parallelism comes
+    // from the files themselves.
+    val q = df.select(col(idCol), quantize(col(vecCol), scale).as("v"))
       .persist()
     try {
       // init: k smallest ids, centroid id = rank in id order
