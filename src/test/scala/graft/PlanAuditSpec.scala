@@ -83,6 +83,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(1200))
   }
 
+  // Entries allowed an UNPARTITIONED window: each one's window input is
+  // bounded by construction — constant in corpus size, or growing only
+  // with a dimension the operator itself caps — so the single-task sort
+  // never sees data-scale rows. Anything else with a global window is a
+  // scale cliff (one task sorts the corpus) and fails this audit.
+  private val boundedGlobalWindows = Map(
+    "q52_skyline" -> "global sweep runs over per-bucket LOCAL-skyline survivors only",
+    "q16_indexer_events" -> "rank over DISTINCT category values (O(categories))",
+    "q16_indexer_mktseg" -> "rank over DISTINCT category values (O(categories))",
+    "q55_resample_ffill" -> "day-axis boundary carry (O(time-range / 1 day))")
+
+  test("unpartitioned windows appear only on bounded-by-construction frames") {
+    def unpartitioned(p: String): Boolean =
+      "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p)
+        .map(_.group(1)).exists { s =>
+          val first = s.split(",")(0)
+          first.contains(" ASC") || first.contains(" DESC")
+        }
+    val offenders = plans.collect {
+      case (n, p) if unpartitioned(p) && !boundedGlobalWindows.contains(n) => n
+    }
+    assert(offenders.isEmpty,
+      s"global single-partition window on a data-scale frame: $offenders")
+    // the whitelist must not go stale: every entry on it still plans
+    // the window it justifies
+    val stale = boundedGlobalWindows.keys.filterNot(n => unpartitioned(plans(n)))
+    assert(stale.isEmpty, s"whitelist entries without a global window: $stale")
+  }
+
   test("q55's grid fill window is partitioned by day") {
     // the forward-fill over the minute grid must NOT be a global
     // single-partition window: the fill windows (lm_day/sm_day) carry a
