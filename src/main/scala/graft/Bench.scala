@@ -98,7 +98,18 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val worstTotal = results.flatMap(_._4).sum
     val nErr = results.count(r => r._2.isEmpty && r._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"worst_total":$worstTotal,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"worst_total":$worstTotal,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r0N.json keeps only the tail of stdout, so the
+    // first half of the per-query map is lost from the recorded artifact
+    // every round. Persist the full line to a tracked file so per-query
+    // round-over-round deltas survive without a judge re-run. Full runs
+    // only — a SPARK_GRAFT_ONLY iteration must not clobber the artifact.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_latest.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     // The per-query line above is ~4 KB and overflows the driver's 2000-char
     // tail window (BENCH parsed:null in rounds 1-3). This short final line is
     // guaranteed to land inside the window and carries the headline number.

@@ -149,6 +149,44 @@ object ScaleSmoke {
         .groupBy("doc_id").agg(countDistinct("k").as("shared"))
         .write.format("noop").mode("overwrite").save()
     }
+    // ---- embedding-family classes: the SemDeDup path (x17/x19) ----
+    // Cluster COUNT scales with the corpus (fixed ~625 vectors/cluster,
+    // the fixture's ratio and the SemDeDup regime — k grows into the
+    // tens of thousands at billions of docs): the assignment stays a
+    // narrow k*dims codegen map and the within-cluster pair count stays
+    // ~clusterSize * n / 2 — LINEAR in n. Holding k fixed instead grows
+    // clusters with the corpus and re-creates the quadratic cliff the
+    // blocking exists to avoid; that regime is exactly what
+    // withinClusterNN's pair-budget warning flags.
+    // 6M facts (the 10x run) -> 50k vectors = 10x the sf0.1 fixture's
+    // 5k embeddings; the 30M run gives 250k = 50x
+    val nVecs = n / 120
+    val kClusters = math.max(8, (nVecs / 625).toInt)
+    time(s"generate ${nVecs / 1000}k x 64-dim embeddings") {
+      spark.range(nVecs).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          ((pmod(xxhash64(col("id"), j), lit(2000L)) - 1000L)
+            / lit(1000.0)).cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(s"$base/emb")
+    }
+    val emb = spark.read.parquet(s"$base/emb")
+    val fitRes = time(s"k-means init + 1 Lloyd update (k=$kClusters)") {
+      // fit() runs init + the update's assignment/aggregation EAGERLY
+      // (driver fit state); only the returned final-assignment frame is
+      // lazy — timed separately below
+      graft.ops.KMeans.fit(emb, "embedding", "vec_id", kClusters,
+        iters = 2)
+    }
+    time("final assignment pass (narrow literal-centroid map)") {
+      fitRes._2.write.format("noop").mode("overwrite").save()
+    }
+    time("within-cluster NN (SemDeDup scoring, cluster-blocked pairs)") {
+      val q = emb.select(col("vec_id"),
+        graft.ops.KMeans.quantize(col("embedding"), 10000).as("v"))
+      graft.ops.Similarity.withinClusterNN(fitRes._2, q, "vec_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.catalog.clearCache() // release fit()'s persisted quantized frame
     println("[smoke] done")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))

@@ -52,26 +52,36 @@ object Dedup {
     graft.sources.Tables.spread(df).select(col(idCol), col(blockCol),
         explode(array_distinct(split(col(textCol), " "))).as("tok"))
 
-  /** Distinct n-gram array for a text column. */
-  private def gramsOf(textCol: String, n: Int): Column = {
-    val toks = split(col(textCol), " ")
+  /** Distinct n-gram array over a MATERIALIZED token-array column.
+    * `toks` must be an attribute (see [[shingleSets]]), not an inline
+    * `split(...)`: an expression passed here lands inside the transform
+    * lambda, where `slice` re-evaluates it PER SHINGLE POSITION —
+    * O(tokens^2) re-tokenization per document (profiled on the bigram
+    * twin of this pattern: the explode stage alone carried ~2x the
+    * query's oracle time). */
+  private def gramsOf(toks: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
 
   /** N-gram (shingle) sets per doc in long form: (idCol, blockCol, tok)
-    * where tok is the space-joined n-gram of consecutive tokens. */
+    * where tok is the space-joined n-gram of consecutive tokens. The
+    * token array is materialized by its own projection first, so the
+    * per-shingle slice is an O(1) array access (see [[gramsOf]]). */
   def shingleSets(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, n: Int): DataFrame =
-    graft.sources.Tables.spread(df).select(col(idCol), col(blockCol),
-      explode(gramsOf(textCol, n)).as("tok"))
+    graft.sources.Tables.spread(df)
+      .select(col(idCol), col(blockCol),
+        split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col(blockCol),
+        explode(gramsOf(col("__toks"), n)).as("tok"))
 
   /** Unblocked variant: (idCol, tok) shingles. */
   def shingleTokens(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
     graft.sources.Tables.spread(df)
-      .select(col(idCol), explode(gramsOf(textCol, n)).as("tok"))
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), explode(gramsOf(col("__toks"), n)).as("tok"))
 
   /** All-pairs Jaccard similarity >= threshold within a blocking column.
     * `sets` is the long form from tokenSets/shingleSets. Output:
@@ -399,29 +409,50 @@ object Dedup {
       posexplode(bandBucketsPortable(col("sig"), bands, numHashes)))
     .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
 
-  /** [[minhashLshDedup]] on the portable family — identical pipeline
+  /** [[minhashLshDedup]] on the portable family — identical semantics
     * (exact pre-pass → signatures → per-bucket min → per-doc min keeper
-    * → exact-Jaccard verify), differing only in the hash family and
-    * band-bucket fold, both replayable in ANSI SQL. */
+    * → exact-Jaccard verify), differing in the hash family and band
+    * fold (both replayable in ANSI SQL) and in PLAN SHAPE: the per-doc
+    * signature and hashed token set are pure ARRAY EXPRESSIONS over the
+    * deduped text — `array_min(transform(...))` per seed instead of
+    * `min(...)` over an exploded token long-form — so the whole
+    * explode → groupBy(id) exchange of [[minhashLshDedup]] disappears.
+    * Same integers (min over the same per-token affine values, distinct
+    * token hashes in both forms), two fewer shuffles of the largest
+    * frame in the pipeline: profiling at sf0.1 showed Catalyst's column
+    * pruning additionally SPLITTING the shared groupBy(id) aggregate
+    * into a sig-only copy (banding branch) and a sig+toks copy (verify
+    * branch) — the token long-form crossed the wire twice. In the
+    * expression form every consumer is a differently-pruned projection
+    * over ONE reused digest-keyed exchange, and pruning works for us:
+    * the verify branches compute only xxhash64 per token, the banding
+    * branch only the md5-affine mins.
+    *
+    * The exact pre-pass stays [[exact]]'s repartition + window, NOT a
+    * digest-keyed `agg(min(id), first(text))`: any aggregate with a
+    * string buffer (first/min on text) falls off HashAggregate onto
+    * SortAggregate, and its pre-shuffle partial sorts the raw scan —
+    * measured as a 0.5 s single-task sort on the one-row-group fixture
+    * (and a full extra sort of the corpus at scale). The window form
+    * sorts AFTER the exchange, across the full shuffle parallelism. */
   def minhashLshDedupPortable(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     import graft.functions.PortableHash
-    val reps = exact(df, textCol, idCol)
-    val sets = reps.select(col(idCol),
-      explode(array_distinct(split(col(textCol), " "))).as("tok"))
-    // single shared groupBy(id) for signature + hashed token set — the
-    // minhashLshDedup rationale (one token-frame exchange, not two)
-    val w = (PortableHash.md5w(col("tok")) % lit(PortableHash.M)).as("w")
-    val mins = (0 until numHashes).map(i =>
-      min((lit(PortableHash.a(i)) * col("w") + lit(PortableHash.b(i)))
-        % lit(PortableHash.P)).as(s"h$i"))
-    val perDoc = sets
-      .select(col(idCol), w, xxhash64(col("tok")).as("tk"))
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail :+ collect_set(col("tk")).as("toks"): _*)
+    val reps = exact(df.select(col(idCol), col(textCol)), textCol, idCol)
+    // distinct tokens once, md5 words once — named intermediates so
+    // CollapseProject can't inline the md5 into each of the numHashes
+    // array_min consumers (it duplicates only cheap expressions)
+    val perDoc = reps
       .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
-        col("toks"))
+        array_distinct(split(col(textCol), " ")).as("__t"))
+      .withColumn("__w", transform(col("__t"),
+        t => PortableHash.md5w(t) % lit(PortableHash.M)))
+      .select(col(idCol),
+        array((0 until numHashes).map(i =>
+          array_min(transform(col("__w"), w =>
+            (lit(PortableHash.a(i)) * w + lit(PortableHash.b(i)))
+              % lit(PortableHash.P)))): _*).as("sig"),
+        transform(col("__t"), t => xxhash64(t)).as("toks"))
     val buckets = bucketRowsPortable(
       perDoc.select(col(idCol), col("sig")), idCol, bands, numHashes)
     verifyPairs(lshKeepers(buckets, idCol), perDoc, idCol, threshold)

@@ -90,6 +90,15 @@ object KMeans {
           // k*dims-cell aggregation -> driver; floor(sum/count) via
           // double (exact below 2^53, and identical to the oracle's
           // CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT))
+          // Exactness bounds: floor(sum/count) via double is exact while
+          // |sum| < 2^53; beyond that the division rounds, and beyond
+          // 2^63 the LongType sum itself wraps silently (non-ANSI
+          // Spark) where the DuckDB oracle promotes to HUGEINT before
+          // its DOUBLE cast — so at extreme cluster sizes the engines
+          // can diverge via overflow, not just rounding. With
+          // scale=10000 and unit-norm embeddings (|cell| <= 1e4) the
+          // 2^53 bound holds to ~9e11 rows per cluster, the 2^63 one to
+          // ~9e14 — document, don't pay a decimal sum on the hot path.
           val cells = assigned.select(col("cluster"), posexplode(col("v")))
             .groupBy("cluster", "pos")
             .agg(sum("col").as("s"), count(lit(1)).as("n"))
@@ -106,7 +115,13 @@ object KMeans {
         } else result = assigned
       }
       (cents, result.select(col(idCol), col("cluster"), col("dist")))
-    } finally { q.unpersist(); () }
+    } catch { case e: Throwable => q.unpersist(); throw e }
+    // On success q stays persisted: the returned assignment plan READS
+    // it, and every registry consumer (x17 orderBy, x18 window, x19
+    // self-join — which scans the assignment twice) would otherwise
+    // recompute quantize + assignment from the source scan per
+    // consumer. Lifecycle passes to the runner's clearCache() — the
+    // blockedIntersection / Q36 pattern.
   }
 
   /** DuckDB replay of [[fit]] + final assignment over `table`

@@ -232,4 +232,56 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("d1"), col("d2"), round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  /** Within-cluster nearest neighbor over a k-means assignment — the
+    * SemDeDup scoring step (X19, and the p5 semantic-dedup pipeline):
+    * each vector's closest same-cluster peer by exact integer squared
+    * L2, (dist, id) tie-break. `assign` is (idCol, cluster) from
+    * [[graft.ops.KMeans.fit]]; `quantized` is (idCol, v) with v the
+    * quantized BIGINT vector. Candidate pairs are quadratic only INSIDE
+    * a cluster (n/k per bucket), never across the corpus — the blocking
+    * that keeps semantic dedup linear at 100 TB. Each unordered pair's
+    * distance is computed once (the 64-dim fold dominates and is
+    * symmetric), then mirrored before the per-vector argmin window.
+    *
+    * Skew guard: k-means can collapse a skewed corpus into one hot
+    * cluster (the smallest-id init makes this plausible), turning the
+    * blocked-quadratic baseline quadratic in practice — AQE splits a
+    * skewed shuffle partition but cannot shrink the pair count itself.
+    * When any cluster's implied pair count exceeds `pairBudget` the op
+    * logs a warning naming the clusters and pointing at the ANN
+    * candidate path (sign-LSH / IVF, X2b/X2c) — the k-rows size check
+    * is one tiny aggregation over the (persisted) assignment. */
+  def withinClusterNN(assign: DataFrame, quantized: DataFrame,
+      idCol: String, pairBudget: Long = 100000000L): DataFrame = {
+    val spark = assign.sparkSession
+    val hot = assign.groupBy("cluster").count().collect()
+      .filter(r => { val n = r.getLong(1); n * (n - 1) / 2 > pairBudget })
+    if (hot.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"withinClusterNN: cluster(s) ${hot.map(_.get(0)).mkString(",")} " +
+          s"exceed the ${pairBudget}-pair budget " +
+          s"(sizes ${hot.map(_.getLong(1)).mkString(",")}); the exact " +
+          "within-cluster form is quadratic in the hot cluster — switch " +
+          "to an ANN candidate path (signBuckets / ivfTopK) for corpora " +
+          "this skewed")
+    val withV = assign.join(quantized, idCol)
+    val l = withV.select(col(idCol).as("d1"),
+      col("cluster"), col("v").as("v1"))
+    val r = withV.select(col(idCol).as("d2"),
+      col("cluster"), col("v").as("v2"))
+    val half = l.join(r, Seq("cluster"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("pdist", graft.functions.VecDist2.vecDist2(
+        spark, col("v1"), col("v2")))
+      .select(col("cluster"), col("d1"), col("d2"), col("pdist"))
+    val pairs = half.unionByName(half.select(col("cluster"),
+      col("d2").as("d1"), col("d1").as("d2"), col("pdist")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("d1")
+      .orderBy(col("pdist").asc, col("d2").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("d1").as(idCol), col("cluster"),
+        col("d2").as("nn_id"), col("pdist").as("nn_dist"))
+  }
 }

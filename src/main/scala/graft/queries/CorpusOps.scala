@@ -372,28 +372,41 @@ object CorpusOps {
     // tokens, the same family as TF-IDF.
     Entry("t_bigram_lm",
       (s, dir) => {
-        val pairs = BpeTrain.adjacentPairs(split(col("text"), " "))
-        // Collapse per-doc duplicate bigrams BEFORE anything shuffles:
-        // the (doc_id, bigram) -> multiplicity agg partial-aggregates
-        // map-side, so the token-sized explode never crosses the wire —
-        // only the per-doc distinct-bigram frame does (corpora repeat
-        // bigrams heavily; every downstream shuffle shrinks with it).
+        // The token array MUST be materialized by a projection before
+        // the explode: passing split(...) straight into adjacentPairs
+        // embeds it inside the transform lambda, where element_at
+        // re-evaluates the split PER BIGRAM POSITION — O(tokens^2) work
+        // per document (profiled: the explode stage carried ~2x the
+        // whole query's oracle time). With `toks` an attribute, each
+        // element_at is an O(1) array access.
+        val pairs = BpeTrain.adjacentPairs(col("toks"))
         // Shuffle keys are xxhash64 of the words, not the strings (the
         // t_boilerplate rationale: identity is all the join needs, and
-        // the oracle would catch a collision loudly).
-        val bg = Tables.spread(t(s, dir, "documents"))
-          .select(col("doc_id"), explode(pairs).as("p"))
-          .select(col("doc_id"),
-            xxhash64(col("p.l"), col("p.r")).as("k12"),
-            xxhash64(col("p.l")).as("k1"))
-          .groupBy("doc_id", "k12", "k1").agg(count(lit(1)).as("m"))
+        // the oracle would catch a collision loudly). The (doc_id,
+        // bigram) -> multiplicity agg sits ABOVE the k1 repartition:
+        // hashpartitioning(k1) satisfies its ClusteredDistribution
+        // (k1 is one of the grouping keys), so the agg plans as a
+        // single COMPLETE HashAggregate on the window's own exchange —
+        // no second ENSURE_REQUIREMENTS shuffle. The price is map-side
+        // combine before the exchange, which the fixture measures as
+        // near-worthless here (2.56e5 rows crossed the wire with the
+        // combine, 2.9e5 without — a 1.13x collapse; per-doc bigram
+        // repetition is low): one full exchange saved beats an 11%
+        // thinner one at every scale until corpora repeat bigrams
+        // per-doc >2x, where the agg-below-exchange form wins back.
         // The corpus-wide bigram count n12 and left-word count n1 are
-        // WINDOW sums over the per-doc frame (partitioned by k12 / k1),
-        // not separate vocabulary aggregations joined back in: the old
-        // persist + 2 aggs + 2 joins shape cost 4 extra jobs of
-        // scheduler floor; the window form is one linear pipeline —
-        // explode -> per-doc agg -> window(k12) -> window(k1) -> per-doc
-        // agg — every exchange keyed, nothing unpartitioned, no cache.
+        // WINDOW sums over the per-doc frame, not separate vocabulary
+        // aggregations joined back in: the old persist + 2 aggs + 2
+        // joins shape cost 4 extra jobs of scheduler floor. Both
+        // windows ride ONE k1-keyed exchange: k12 = hash(l, r)
+        // determines k1 = hash(l), so partitionBy(k1, k12) groups
+        // exactly like partitionBy(k12) (and is strictly MORE faithful
+        // to the string-keyed oracle under a k12 collision, since it
+        // also distinguishes the left word) while hashpartitioning(k1)
+        // satisfies its ClusteredDistribution — and the second window's
+        // (k1) sort is a prefix of the first's (k1, k12), so Spark
+        // inserts no exchange and no sort between them. One exchange +
+        // one sort where the two-repartition form paid two of each.
         // The explicit repartition(n, key) IS the window's exchange
         // (hashpartitioning(key, n) satisfies its required
         // distribution), pinned to the configured shuffle parallelism:
@@ -401,10 +414,15 @@ object CorpusOps {
         // and AQE's size-based coalescing was profiled collapsing it to
         // 1-2 tasks (0.35 s single-core sorts on an 8-core run).
         val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-        bg
-          .repartition(n, col("k12"))
-          .withColumn("n12", sum("m").over(Window.partitionBy("k12")))
+        Tables.spread(t(s, dir, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), explode(pairs).as("p"))
+          .select(col("doc_id"),
+            xxhash64(col("p.l"), col("p.r")).as("k12"),
+            xxhash64(col("p.l")).as("k1"))
           .repartition(n, col("k1"))
+          .groupBy("doc_id", "k12", "k1").agg(count(lit(1)).as("m"))
+          .withColumn("n12", sum("m").over(Window.partitionBy("k1", "k12")))
           .withColumn("n1", sum("m").over(Window.partitionBy("k1")))
           .withColumn("p",
             floor(lit(1000000.0) * col("n12") / col("n1")).cast("long"))
@@ -451,13 +469,17 @@ object CorpusOps {
     // documents scan as a 1-row agg — no persist, no plan fan-out.
     Entry("x16_collocations",
       (s, dir) => {
-        val pairs = BpeTrain.adjacentPairs(split(col("text"), " "))
+        // toks materialized before the explode — the t_bigram_lm
+        // rationale: split() inside the transform lambda re-executes
+        // per bigram position (O(tokens^2) per doc)
+        val pairs = BpeTrain.adjacentPairs(col("toks"))
         // spread: the split() is CPU-heavy and the fixture scan is one
         // row group — unspread this 1-row agg tokenizes on a single core
         val tot = Tables.spread(t(s, dir, "documents"))
           .agg(sum(greatest(size(split(col("text"), " ")) - 1, lit(0))
             .cast("long")).as("nn"))
         Tables.spread(t(s, dir, "documents"))
+          .select(split(col("text"), " ").as("toks"))
           .select(explode(pairs).as("p"))
           .select(col("p.l").as("l"), col("p.r").as("r"))
           .groupBy("l", "r").agg(count(lit(1)).as("n_xy"))

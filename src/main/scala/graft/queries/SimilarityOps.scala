@@ -314,7 +314,9 @@ object SimilarityOps {
     // within-cluster pair set itself swaps to an X2b/X2c-style
     // candidate generation; the cluster-blocked exact form is the
     // verifiable baseline, the x15 pattern). Self-join keyed on the
-    // cluster id — one exchange each side, AQE splits skewed clusters.
+    // cluster id — one exchange each side, AQE splits skewed shuffle
+    // partitions, and the op logs a warning when any single cluster
+    // blows its pair budget (Similarity.withinClusterNN's skew guard).
     Entry("x19_cluster_nn",
       (s, dir) => {
         val q = t(s, dir, "embeddings").select(col("vec_id"),
@@ -322,27 +324,7 @@ object SimilarityOps {
         val (_, assign) = graft.ops.KMeans.fit(
           t(s, dir, "embeddings"), "embedding", "vec_id", k = 8,
           iters = 3)
-        val withV = assign.join(q, "vec_id")
-        val l = withV.select(col("vec_id").as("d1"),
-          col("cluster"), col("v").as("v1"))
-        val r = withV.select(col("vec_id").as("d2"),
-          col("cluster"), col("v").as("v2"))
-        // each unordered pair's distance computed ONCE (the 64-dim
-        // higher-order fold is the dominant cost and is symmetric),
-        // then mirrored before the per-vector argmin window
-        val half = l.join(r, Seq("cluster"))
-          .filter(col("d1") < col("d2"))
-          .withColumn("pdist", graft.functions.VecDist2.vecDist2(
-            s, col("v1"), col("v2")))
-          .select(col("cluster"), col("d1"), col("d2"), col("pdist"))
-        val pairs = half.unionByName(half.select(col("cluster"),
-          col("d2").as("d1"), col("d1").as("d2"), col("pdist")))
-        val w = Window.partitionBy("d1")
-          .orderBy(col("pdist").asc, col("d2").asc)
-        pairs.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("d1").as("vec_id"), col("cluster"),
-            col("d2").as("nn_id"), col("pdist").as("nn_dist"))
+        graft.ops.Similarity.withinClusterNN(assign, q, "vec_id")
           .orderBy("vec_id")
       },
       Some("""WITH base AS (""" +
@@ -364,6 +346,57 @@ object SimilarityOps {
               nn AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                        ORDER BY nn_dist, nn_id) AS rn FROM pr)
               SELECT vec_id, cluster, nn_id, nn_dist
+              FROM nn WHERE rn = 1 ORDER BY vec_id""")),
+
+    // P5 — SemDeDup end-to-end: X17's k-means clustering -> X19's
+    // within-cluster NN -> a keep/drop decision per vector. A vector is
+    // dropped when its nearest same-cluster neighbor is within the
+    // distance threshold AND has a smaller id — the min-id keeper
+    // contract every dedup operator here shares (x1/x4), decided in ONE
+    // hop like the MinHash keeper assignment (full transitive pruning
+    // would iterate to a fixpoint, Q36's pointer-jumping). Emits the
+    // full audit frame (vec_id, cluster, nn_id, nn_dist, kept 1/0)
+    // rather than just survivors, so the drop decisions themselves are
+    // oracle-checked. Threshold 1.2e8 on the scale=10000 quantized
+    // squared L2 ~= the 10th percentile of fixture NN distances — close
+    // near-dups, not whole-cluster wipes. Every stage is the already
+    // hash-gated x17/x19 machinery; the oracle replays the composition
+    // with the same unrolled CTEs plus the decision CASE.
+    Entry("p5_semantic_dedup",
+      (s, dir) => {
+        val q = t(s, dir, "embeddings").select(col("vec_id"),
+          graft.ops.KMeans.quantize(col("embedding"), 10000).as("v"))
+        val (_, assign) = graft.ops.KMeans.fit(
+          t(s, dir, "embeddings"), "embedding", "vec_id", k = 8,
+          iters = 3)
+        graft.ops.Similarity.withinClusterNN(assign, q, "vec_id")
+          .withColumn("kept",
+            when(col("nn_dist") <= lit(120000000L) &&
+              col("nn_id") < col("vec_id"), lit(0L)).otherwise(lit(1L)))
+          .orderBy("vec_id")
+      },
+      Some("""WITH base AS (""" +
+        graft.ops.KMeans.fitSql("embeddings", "embedding", "vec_id",
+          k = 8, iters = 3, dims = 64) +
+        """),
+              q2 AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*10000) AS BIGINT))
+                       AS v FROM embeddings),
+              av AS (SELECT b.vec_id, b.cluster, q2.v
+                     FROM base b JOIN q2 USING (vec_id)),
+              pr AS (SELECT l.vec_id, l.cluster, r.vec_id AS nn_id,
+                            CAST(list_sum(list_transform(
+                              generate_series(1, 64),
+                              i -> (l.v[i]-r.v[i])*(l.v[i]-r.v[i])))
+                              AS BIGINT) AS nn_dist
+                     FROM av l JOIN av r ON l.cluster = r.cluster
+                       AND l.vec_id != r.vec_id),
+              nn AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY nn_dist, nn_id) AS rn FROM pr)
+              SELECT vec_id, cluster, nn_id, nn_dist,
+                     CASE WHEN nn_dist <= 120000000 AND nn_id < vec_id
+                          THEN CAST(0 AS BIGINT)
+                          ELSE CAST(1 AS BIGINT) END AS kept
               FROM nn WHERE rn = 1 ORDER BY vec_id"""))
   )
 }

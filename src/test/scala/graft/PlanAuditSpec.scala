@@ -94,13 +94,42 @@ class PlanAuditSpec extends AnyFunSuite {
     "q16_indexer_mktseg" -> "rank over DISTINCT category values (O(categories))",
     "q55_resample_ffill" -> "day-axis boundary carry (O(time-range / 1 day))")
 
+  // Paren-balanced extraction of every windowspecdefinition(...) arg
+  // list, split on TOP-LEVEL commas: a partition key that is itself a
+  // function call (e.g. date_trunc(day, ts#1)) must stay one element —
+  // the old single-regex form stopped at the first ')' and could
+  // misclassify such specs as new queries are added.
+  private def windowSpecs(p: String): Seq[Seq[String]] = {
+    val marker = "windowspecdefinition("
+    val out = scala.collection.mutable.Buffer[Seq[String]]()
+    var idx = p.indexOf(marker)
+    while (idx >= 0) {
+      var i = idx + marker.length
+      var depth = 1
+      val parts = scala.collection.mutable.Buffer[String]()
+      val sb = new StringBuilder
+      while (depth > 0 && i < p.length) {
+        p.charAt(i) match {
+          case '(' => depth += 1; sb.append('(')
+          case ')' => depth -= 1; if (depth > 0) sb.append(')')
+          case ',' if depth == 1 => parts += sb.toString; sb.clear()
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      parts += sb.toString
+      out += parts.map(_.trim).toSeq
+      idx = p.indexOf(marker, i)
+    }
+    out.toSeq
+  }
+
   test("unpartitioned windows appear only on bounded-by-construction frames") {
     def unpartitioned(p: String): Boolean =
-      "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p)
-        .map(_.group(1)).exists { s =>
-          val first = s.split(",")(0)
-          first.contains(" ASC") || first.contains(" DESC")
-        }
+      windowSpecs(p).exists { parts =>
+        val first = parts.headOption.getOrElse("")
+        first.contains(" ASC") || first.contains(" DESC")
+      }
     val offenders = plans.collect {
       case (n, p) if unpartitioned(p) && !boundedGlobalWindows.contains(n) => n
     }
@@ -118,21 +147,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // day partition key. The only unpartitioned window allowed is the
     // O(range/1day) boundary-carry over the day axis.
     val p = plans("q55_resample_ffill")
-    val specs = "windowspecdefinition\\(([^)]*)\\)".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val specs = windowSpecs(p)
     assert(specs.nonEmpty, p.take(800))
     // partition columns print before the sort orders; a spec whose first
     // element already carries a sort direction has NO partition key
-    def partitioned(s: String) = {
-      val first = s.split(",")(0)
+    def partitioned(parts: Seq[String]) = {
+      val first = parts.headOption.getOrElse("")
       !(first.contains(" ASC") || first.contains(" DESC"))
     }
     // the grid-fill specs order by the minute column m — each must be
     // partitioned (by day); only the day-axis carry may be unpartitioned
-    val fillSpecs = specs.filter(_.contains("m#"))
+    val fillSpecs = specs.filter(_.exists(_.contains("m#")))
     assert(fillSpecs.nonEmpty, s"no minute-ordered window:\n$specs")
     fillSpecs.foreach { s =>
-      assert(partitioned(s) && s.contains("day#"),
+      assert(partitioned(s) && s.exists(_.contains("day#")),
         s"grid fill running unpartitioned: $s")
     }
   }

@@ -30,9 +30,22 @@ class ScaleSpec extends AnyFunSuite {
   test("salted join key includes the salt in the join condition") {
     val li = Tables.load(spark, dir, "lineitem").select("l_orderkey")
     val o = Tables.load(spark, dir, "orders").select("o_orderkey")
-    val plan = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 4)
+    // minLeftBytes = 0 forces the salted form regardless of input size
+    val plan = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 4,
+        minLeftBytes = 0L)
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("__salt"), plan.take(800))
+  }
+
+  test("salted join size gate skips salting below the threshold") {
+    // the fixture left side is far below the default 1 GiB gate — the
+    // rewrite must plan the PLAIN equi-join (no salt column, no
+    // replicated right side), the AQE-style skip
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey")
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey")
+    val plan = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__salt"), plan.take(800))
   }
 
   test("saltedSumCount equals plain groupBy aggregation") {
