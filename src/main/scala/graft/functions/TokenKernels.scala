@@ -1,0 +1,287 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused per-document token kernels.
+  *
+  * The higher-order-function forms these replace (`transform`,
+  * `array_min`, `array_distinct` compositions) are CORRECT but
+  * interpreted: Spark evaluates the lambda per element through boxed
+  * `InternalRow` plumbing, and a 32-hash MinHash signature costs
+  * 32 lambda dispatches per token per doc. Profiled on the sf0.1
+  * documents fixture, the signature + token-set stages of
+  * `x4_minhash_lsh` burned ~9 s of summed task CPU on ~270k tokens —
+  * ~100x the arithmetic's real cost. Each kernel here is ONE loop in
+  * plain JVM code (the [[VecDot]] rationale applied to the token
+  * pipelines), with eval and codegen sharing the same static kernel so
+  * the two paths cannot drift.
+  *
+  * Bit-equivalence with the HOF forms is pinned by TokenKernelsSpec:
+  *  - [[MinHashSig]] == `array(array_min(transform(w_i)) ...)` over
+  *    `transform(array_distinct(toks), md5w % M)` — distinct is dropped
+  *    because min() is idempotent under duplicates;
+  *  - [[TokenXx64Set]] == `transform(array_distinct(toks), xxhash64)`
+  *    (first-occurrence order; a null token hashes to the seed, which
+  *    is what `xxhash64(null)` returns);
+  *  - [[BigramHashPairs]] == `explode(adjacentPairs(toks))` followed by
+  *    `xxhash64(l, r)` / `xxhash64(l)` (the multi-arg xxhash64 chains
+  *    the per-value hash through the seed, nulls skipped).
+  */
+object TokenKernels {
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** First 4 md5 bytes as an unsigned 32-bit value — bit-identical to
+    * [[PortableHash.md5wBytes]] but on a thread-cached digest (the
+    * per-call `MessageDigest.getInstance` provider lookup is measurable
+    * at hundreds of thousands of tokens). */
+  private def md5w(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  // per-n affine coefficient arrays, computed once (PortableHash.a/b
+  // re-run the SplitMix scramble per call)
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coeffs(n: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(n,
+      m => (Array.tabulate(m)(PortableHash.a), Array.tabulate(m)(PortableHash.b)))
+
+  /** MinHash signature kernel: n affine mins over the md5 words of the
+    * non-null tokens. No tokens -> array of n nulls (what
+    * `array_min(transform([], ...))` yields per position). */
+  def minhashSig(arr: ArrayData, n: Int): ArrayData = {
+    val (as, bs) = coeffs(n)
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    var j = 0
+    val ne = arr.numElements()
+    while (j < ne) {
+      if (!arr.isNullAt(j)) {
+        any = true
+        val w = md5w(arr.getUTF8String(j).getBytes) % PortableHash.M
+        var i = 0
+        while (i < n) {
+          val h = (as(i) * w + bs(i)) % PortableHash.P
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) new GenericArrayData(Array.fill[Any](n)(null))
+    else new GenericArrayData(mins)
+  }
+
+  /** MinHash band buckets straight from the token array: the
+    * [[minhashSig]] mins folded per band with the portable polynomial
+    * (acc * 1000003 + h) mod 1e9+7 — one kernel instead of signature
+    * materialization + interpreted `aggregate(slice(sig, ...))` per
+    * band. No tokens -> all bands null (what the HOF fold yields when
+    * every signature position is null). */
+  def minhashBandBuckets(arr: ArrayData, numHashes: Int,
+      bands: Int): ArrayData = {
+    val sig = minhashSig(arr, numHashes)
+    if (sig.isNullAt(0)) return new GenericArrayData(Array.fill[Any](bands)(null))
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var i = 0
+      while (i < r) {
+        acc = (acc * 1000003L + sig.getLong(b * r + i)) % 1000000007L
+        i += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct tokens in first-occurrence order, xxhash64(seed 42) each.
+    * A null token dedups like any value and hashes to the seed itself —
+    * matching `transform(array_distinct(t), xxhash64)` exactly. */
+  def tokenXx64Set(arr: ArrayData): ArrayData = {
+    val ne = arr.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String](Math.max(ne * 2, 8))
+    var sawNull = false
+    var nullPos = -1
+    val order = new java.util.ArrayList[UTF8String](ne)
+    var j = 0
+    while (j < ne) {
+      if (arr.isNullAt(j)) {
+        if (!sawNull) { sawNull = true; nullPos = order.size(); order.add(null) }
+      } else {
+        val s = arr.getUTF8String(j)
+        if (seen.add(s)) order.add(s)
+      }
+      j += 1
+    }
+    val out = new Array[Long](order.size())
+    var i = 0
+    while (i < out.length) {
+      val s = order.get(i)
+      out(i) = if (s == null) 42L
+        else XxHash64Function.hash(s, StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** (k12, k1) hash pairs of adjacent tokens: k1 = xxhash64(l),
+    * k12 = xxhash64(l, r). Fewer than 2 tokens -> empty array (the
+    * adjacentPairs guard). Null tokens skip their hash step, exactly
+    * like the null-skipping fold inside multi-arg xxhash64. */
+  def bigramHashPairs(arr: ArrayData): ArrayData = {
+    val ne = arr.numElements()
+    if (ne < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](ne - 1)
+    var i = 0
+    while (i < ne - 1) {
+      val lNull = arr.isNullAt(i)
+      val rNull = arr.isNullAt(i + 1)
+      val k1 = if (lNull) 42L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      val k12 = if (rNull) k1
+        else XxHash64Function.hash(arr.getUTF8String(i + 1), StringType, k1)
+      out(i) = new GenericInternalRow(Array[Any](k12, k1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+private[functions] trait TokenArrayExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+}
+
+/** `minhash_sig(tokens, n)` — the full n-hash portable MinHash
+  * signature in one fused loop (ref pipeline X4, SURVEY §2.9). */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends TokenArrayExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.minhashSig(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.minhashSig($c, $numHashes);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `minhash_band_buckets(tokens, n, bands)` — the per-band LSH bucket
+  * values in one fused loop (signature mins + polynomial band fold). */
+case class MinHashBandBuckets(child: Expression, numHashes: Int,
+    bands: Int) extends TokenArrayExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.minhashBandBuckets(v.asInstanceOf[ArrayData], numHashes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.minhashBandBuckets($c, $numHashes, $bands);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandBuckets =
+    copy(child = newChild)
+}
+
+/** `token_xx64_set(tokens)` — distinct tokens (first-occurrence order)
+  * hashed to xxhash64 longs in one pass. */
+case class TokenXx64Set(child: Expression) extends TokenArrayExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.tokenXx64Set(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.tokenXx64Set($c);")
+  override protected def withNewChildInternal(newChild: Expression): TokenXx64Set =
+    copy(child = newChild)
+}
+
+/** `bigram_hash_pairs(tokens)` — adjacent-pair (k12, k1) xxhash64 keys
+  * as one fused loop (t_bigram_lm / LM-scoring family). */
+case class BigramHashPairs(child: Expression) extends TokenArrayExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("k12", LongType, nullable = false),
+      StructField("k1", LongType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.bigramHashPairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.bigramHashPairs($c);")
+  override protected def withNewChildInternal(newChild: Expression): BigramHashPairs =
+    copy(child = newChild)
+}
+
+object TokenKernelFns {
+  private def reg(spark: SparkSession, name: String, arity: Int,
+      build: Seq[Expression] => Expression): Unit = {
+    val id = FunctionIdentifier(name)
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id, new ExpressionInfo(getClass.getName, name),
+        { args =>
+          require(args.length == arity, s"$name takes $arity arguments")
+          build(args)
+        })
+  }
+
+  /** Column entry points; register on first use per session (the
+    * [[VecDot.vecDot]] pattern). */
+  def minhashSig(spark: SparkSession, toks: Column, n: Int): Column = {
+    reg(spark, "minhash_sig", 2, args => MinHashSig(args.head,
+      args(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig numHashes must be an int literal, got $other")
+      }))
+    org.apache.spark.sql.functions.call_function("minhash_sig", toks,
+      org.apache.spark.sql.functions.lit(n))
+  }
+
+  def minhashBandBuckets(spark: SparkSession, toks: Column, n: Int,
+      bands: Int): Column = {
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"minhash_band_buckets $what must be an int literal, got $other")
+    }
+    reg(spark, "minhash_band_buckets", 3, args => MinHashBandBuckets(
+      args.head, intLit(args(1), "numHashes"), intLit(args(2), "bands")))
+    org.apache.spark.sql.functions.call_function("minhash_band_buckets",
+      toks, org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(bands))
+  }
+
+  def tokenXx64Set(spark: SparkSession, toks: Column): Column = {
+    reg(spark, "token_xx64_set", 1, args => TokenXx64Set(args.head))
+    org.apache.spark.sql.functions.call_function("token_xx64_set", toks)
+  }
+
+  def bigramHashPairs(spark: SparkSession, toks: Column): Column = {
+    reg(spark, "bigram_hash_pairs", 1, args => BigramHashPairs(args.head))
+    org.apache.spark.sql.functions.call_function("bigram_hash_pairs", toks)
+  }
+}

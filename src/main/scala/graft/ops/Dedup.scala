@@ -30,19 +30,21 @@ object Dedup {
     * per content digest, as a min() window over ONE digest-keyed
     * exchange — the aggregate + semi-join form paid a second scan of
     * the input and shuffled both join sides for the same survivor set.
-    * Pinned parallelism: the frame is CPU-heavy per row (full text
-    * rides the shuffle) and byte-small frames otherwise coalesce to
-    * 1-2 window tasks under AQE (the t_bigram_lm rationale). */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    * The exchange is REPARTITION_BY_COL (no pinned N), so AQE sizes the
+    * window stage to the shuffled bytes: the post-exchange work is one
+    * digest sort + min window (cheap per row — the CPU-heavy per-doc
+    * hashing of the x4 consumers moved into fused kernels that cost
+    * milliseconds across the fixture corpus), so coalescing small
+    * shuffles to few tasks removes whole 32-task stage floors, while at
+    * cluster scale the advisory partition size keeps real parallelism. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.withColumn("__digest", sha2(col(textCol), 256))
-      .repartition(n, col("__digest"))
+      .repartition(col("__digest"))
       .withColumn("__keep",
         min(col(idCol)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("__digest")))
       .filter(col(idCol) === col("__keep"))
       .drop("__digest", "__keep")
-  }
 
   /** Distinct whitespace-token set per doc, exploded to long form:
     * (idCol, blockCol, tok). The long form is what both the Jaccard
@@ -319,11 +321,17 @@ object Dedup {
     * form paid a second shuffle of the band frame for the same number),
     * then a per-doc min. Output LINEAR in docs: (d1 = keeper, d2 = doc),
     * keeper < doc. */
-  private def lshKeepers(buckets: DataFrame, idCol: String): DataFrame = {
-    val n = buckets.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+  private[graft] def lshKeepers(buckets: DataFrame, idCol: String): DataFrame = {
+    // No explicit repartition pin: the window's required distribution
+    // inserts the (band, bucket) exchange itself, and leaving it
+    // ENSURE_REQUIREMENTS lets AQE coalesce — the band frame is thin
+    // (docs x bands rows of three longs) and its sort keys are longs,
+    // so the coalesce-to-few-tasks failure mode the pinned queries
+    // guard against (CPU-heavy string window sorts serializing) does
+    // not apply; at cluster scale the advisory size keeps real
+    // parallelism. Profiled at sf0.1 the pinned form paid two full
+    // 32-task stage floors on a 1.2 MiB frame.
     buckets
-      .repartition(n, col("band"), col("bucket"))
       .withColumn("bmin",
         min(col(idCol)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bucket")))
@@ -403,7 +411,7 @@ object Dedup {
         (acc, x) => (acc * 1000003L + x) % 1000000007L))
   }
 
-  private def bucketRowsPortable(sigs: DataFrame, idCol: String,
+  private[graft] def bucketRowsPortable(sigs: DataFrame, idCol: String,
       bands: Int, numHashes: Int): DataFrame = sigs
     .select(col(idCol),
       posexplode(bandBucketsPortable(col("sig"), bands, numHashes)))
@@ -437,24 +445,39 @@ object Dedup {
     * sorts AFTER the exchange, across the full shuffle parallelism. */
   def minhashLshDedupPortable(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    import graft.functions.PortableHash
+    // Signature and token set via the FUSED kernels ([[graft.functions
+    // .MinHashSig]] / [[graft.functions.TokenXx64Set]]): one JVM loop
+    // per doc instead of numHashes interpreted transform() lambdas per
+    // token — profiled at sf0.1 the HOF form burned ~9 s of summed task
+    // CPU across the two per-doc stages for ~0.1 s of real arithmetic.
+    // TokenKernelsSpec pins both kernels bit-identical to the HOF
+    // columns (distinct is dropped before minhash_sig because min() is
+    // idempotent under duplicate tokens; token_xx64_set dedups
+    // internally in first-occurrence order).
+    val spark = df.sparkSession
+    // Both consumers below are differently-pruned projections over the
+    // ONE digest-keyed exchange from [[exact]] — computing a kernel per
+    // branch is deliberate: each fused kernel costs ~milliseconds of
+    // CPU across the whole fixture corpus (microbenched: 62 ms bands +
+    // 28 ms toks single-threaded over 5000 docs), while making the
+    // branches share a materialized kernel frame either breaks exchange
+    // reuse (per-branch column pruning canonicalizes to two DIFFERENT
+    // exchanges, re-running the map side twice — measured +0.4 s) or
+    // costs a persist the runner must manage.
     val reps = exact(df.select(col(idCol), col(textCol)), textCol, idCol)
-    // distinct tokens once, md5 words once — named intermediates so
-    // CollapseProject can't inline the md5 into each of the numHashes
-    // array_min consumers (it duplicates only cheap expressions)
-    val perDoc = reps
-      .select(col(idCol),
-        array_distinct(split(col(textCol), " ")).as("__t"))
-      .withColumn("__w", transform(col("__t"),
-        t => PortableHash.md5w(t) % lit(PortableHash.M)))
-      .select(col(idCol),
-        array((0 until numHashes).map(i =>
-          array_min(transform(col("__w"), w =>
-            (lit(PortableHash.a(i)) * w + lit(PortableHash.b(i)))
-              % lit(PortableHash.P)))): _*).as("sig"),
-        transform(col("__t"), t => xxhash64(t)).as("toks"))
-    val buckets = bucketRowsPortable(
-      perDoc.select(col(idCol), col("sig")), idCol, bands, numHashes)
+    val toksArr = reps
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+    val perDoc = toksArr.select(col(idCol),
+      graft.functions.TokenKernelFns
+        .tokenXx64Set(spark, col("__t")).as("toks"))
+    // banding branch: token array -> band bucket values in ONE kernel
+    // (signature mins + polynomial band fold fused; the separate
+    // sig-array + aggregate(slice(...)) form re-paid an interpreted
+    // fold per band per doc)
+    val buckets = toksArr
+      .select(col(idCol), posexplode(graft.functions.TokenKernelFns
+        .minhashBandBuckets(spark, col("__t"), numHashes, bands)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
     verifyPairs(lshKeepers(buckets, idCol), perDoc, idCol, threshold)
   }
 

@@ -368,67 +368,65 @@ object CorpusOps {
     // read like the corpus" LM-quality filter, kept in exact integers
     // (floor of an exact-integer-ratio double is identical on any IEEE
     // engine, unlike summed ln() probabilities which drift sub-ulp per
-    // libm). Four keyed shuffles fused into ONE job — linear in
-    // tokens, the same family as TF-IDF.
+    // libm). FIT-then-BROADCAST-SCORE shape: the LM is a MODEL —
+    // vocabulary²-bounded, tiny next to the corpus — so it is fit with
+    // one map-side-combined aggregation and ships to the scorers as a
+    // broadcast, exactly like q16's index map and t_bpe_encode's merge
+    // table (the broadcast-small-model pattern). Scoring is then a
+    // NARROW map + broadcast join + per-doc rollup: the corpus-sized
+    // bigram frame never crosses the wire and is never sorted (the
+    // previous single-exchange window form shuffled and sorted all
+    // 2.6e5 per-doc bigram rows at sf0.1 to compute 931 model rows).
+    // At open-vocabulary scale where the model outgrows broadcast, the
+    // fallback is the co-partitioned (k1-keyed) join of the window
+    // form — the model agg itself stays scale-safe either way.
     Entry("t_bigram_lm",
       (s, dir) => {
-        // The token array MUST be materialized by a projection before
-        // the explode: passing split(...) straight into adjacentPairs
-        // embeds it inside the transform lambda, where element_at
-        // re-evaluates the split PER BIGRAM POSITION — O(tokens^2) work
-        // per document (profiled: the explode stage carried ~2x the
-        // whole query's oracle time). With `toks` an attribute, each
-        // element_at is an O(1) array access.
-        val pairs = BpeTrain.adjacentPairs(col("toks"))
-        // Shuffle keys are xxhash64 of the words, not the strings (the
-        // t_boilerplate rationale: identity is all the join needs, and
-        // the oracle would catch a collision loudly). The (doc_id,
-        // bigram) -> multiplicity agg sits ABOVE the k1 repartition:
-        // hashpartitioning(k1) satisfies its ClusteredDistribution
-        // (k1 is one of the grouping keys), so the agg plans as a
-        // single COMPLETE HashAggregate on the window's own exchange —
-        // no second ENSURE_REQUIREMENTS shuffle. The price is map-side
-        // combine before the exchange, which the fixture measures as
-        // near-worthless here (2.56e5 rows crossed the wire with the
-        // combine, 2.9e5 without — a 1.13x collapse; per-doc bigram
-        // repetition is low): one full exchange saved beats an 11%
-        // thinner one at every scale until corpora repeat bigrams
-        // per-doc >2x, where the agg-below-exchange form wins back.
-        // The corpus-wide bigram count n12 and left-word count n1 are
-        // WINDOW sums over the per-doc frame, not separate vocabulary
-        // aggregations joined back in: the old persist + 2 aggs + 2
-        // joins shape cost 4 extra jobs of scheduler floor. Both
-        // windows ride ONE k1-keyed exchange: k12 = hash(l, r)
-        // determines k1 = hash(l), so partitionBy(k1, k12) groups
-        // exactly like partitionBy(k12) (and is strictly MORE faithful
-        // to the string-keyed oracle under a k12 collision, since it
-        // also distinguishes the left word) while hashpartitioning(k1)
-        // satisfies its ClusteredDistribution — and the second window's
-        // (k1) sort is a prefix of the first's (k1, k12), so Spark
-        // inserts no exchange and no sort between them. One exchange +
-        // one sort where the two-repartition form paid two of each.
-        // The explicit repartition(n, key) IS the window's exchange
-        // (hashpartitioning(key, n) satisfies its required
-        // distribution), pinned to the configured shuffle parallelism:
-        // the frame is small in BYTES but the window sort is CPU-heavy,
-        // and AQE's size-based coalescing was profiled collapsing it to
-        // 1-2 tasks (0.35 s single-core sorts on an 8-core run).
-        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-        Tables.spread(t(s, dir, "documents"))
+        // Bigram keys via the FUSED kernel ([[graft.functions
+        // .BigramHashPairs]]): one JVM loop per doc emitting the
+        // (k12, k1) xxhash64 pairs directly — TokenKernelsSpec pins it
+        // bit-identical to the adjacentPairs + xxhash64 column form it
+        // replaces, whose interpreted per-position lambdas dominated
+        // the explode stage's CPU. Keys are xxhash64 of the words, not
+        // the strings (the t_boilerplate rationale: identity is all the
+        // model join needs, and the oracle would catch a collision
+        // loudly). The kernel is cheap enough that the fit and score
+        // branches each re-run it rather than sharing a materialized
+        // frame (the minhashLshDedupPortable rationale: a shared frame
+        // breaks exchange pruning or costs a persist).
+        // No spread(): with the fused kernel the per-row map is cheap,
+        // so the round-robin exchange bought 32-task stage floors (and
+        // a forced pass of ALL corpus bytes through the wire), not
+        // parallelism the work needs. The two branches therefore scan
+        // the source twice — at scale two parquet scans of pruned
+        // columns beat one full-corpus shuffle, and real inputs arrive
+        // in enough splits to parallelize the map anyway.
+        val bg = t(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), explode(pairs).as("p"))
-          .select(col("doc_id"),
-            xxhash64(col("p.l"), col("p.r")).as("k12"),
-            xxhash64(col("p.l")).as("k1"))
-          .repartition(n, col("k1"))
-          .groupBy("doc_id", "k12", "k1").agg(count(lit(1)).as("m"))
-          .withColumn("n12", sum("m").over(Window.partitionBy("k1", "k12")))
-          .withColumn("n1", sum("m").over(Window.partitionBy("k1")))
-          .withColumn("p",
-            floor(lit(1000000.0) * col("n12") / col("n1")).cast("long"))
+          .select(col("doc_id"), explode(graft.functions.TokenKernelFns
+            .bigramHashPairs(s, col("toks"))).as("p"))
+          .select(col("doc_id"), col("p.k12").as("k12"),
+            col("p.k1").as("k1"))
+        // model fit as TWO INDEPENDENT map-side-combined aggregations —
+        // n12 per bigram and n1 per left word — rather than n12 + a
+        // window-sum for n1: the window form chained a second exchange
+        // behind the first (serial AQE stages), while two independent
+        // aggs over the same narrow frame materialize CONCURRENTLY and
+        // each puts only ~vocab-sized partials on the wire
+        val model12 = bg.groupBy("k1", "k12").agg(count(lit(1)).as("n12"))
+        val model1 = bg.groupBy("k1").agg(count(lit(1)).as("n1"))
+        // score: every corpus bigram matches the model it was fit from,
+        // so the inner broadcast joins are exactly per-occurrence
+        // lookup; p = floor(1e6·n12/n1) is evaluated per occurrence
+        // (identical integers to precomputing it model-side); the
+        // per-doc rollup partial-aggregates map-side (≤ docs rows per
+        // partition cross the wire)
+        bg.join(broadcast(model12), Seq("k12", "k1"))
+          .join(broadcast(model1), Seq("k1"))
           .groupBy("doc_id")
-          .agg(sum("m").as("n_bigrams"),
-            sum(col("m") * col("p")).as("lm_score"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(floor(lit(1000000.0) * col("n12") / col("n1"))
+              .cast("long")).as("lm_score"))
       },
       Some("""WITH t AS (
                 SELECT doc_id, string_split(text, ' ') AS toks

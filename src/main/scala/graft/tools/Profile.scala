@@ -18,9 +18,16 @@ object Profile {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = GraftSession.configure(SparkSession.builder()
+    // PROFILE_CONF="k=v;k=v": extra session confs for A/B experiments
+    // (codegen toggles, AQE coalescing variants) without code edits
+    val extra = sys.env.get("PROFILE_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2)).collect {
+        case Array(k, v) => (k.trim, v.trim)
+      }
+    val b0 = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -46,9 +53,14 @@ object Profile {
         val si = e.stageInfo
         val jid = stageToJob.synchronized { stageToJob.getOrElse(si.stageId, -1) }
         val dur = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
+        // run = sum of task wall, cpu = sum of task CPU: dur >> run/cores
+        // means scheduling floor; run >> cpu means IO/lock wait, not math
+        val m = si.taskMetrics
+        val lbl = f"run=${m.executorRunTime / 1e3}%.2fs cpu=${m.executorCpuTime / 1e9}%.2fs deser=${m.executorDeserializeTime / 1e3}%.2fs  " +
+          si.name.takeWhile(_ != '\n').take(40)
         jobs.synchronized {
           jobs.get(jid).foreach(_.stages +=
-            ((si.stageId, si.name.takeWhile(_ != '\n').take(60), dur, si.numTasks)))
+            ((si.stageId, lbl, dur, si.numTasks)))
         }
       }
     }

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.functions.{PortableHash, TokenKernelFns}
+import graft.ops.BpeTrain
+
+/** Pins the fused token kernels to the higher-order-function forms
+  * they replace — same integers on realistic and edge inputs, so the
+  * x4_minhash_lsh / t_bigram_lm rewires cannot drift from the oracle
+  * contract the HOF forms were verified against. */
+class TokenKernelsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixtureTexts = {
+    import spark.implicits._
+    Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the the the repeated tokens the",
+      "single",
+      "",            // split("") = [""] — one empty-string token
+      "a b",
+      "x " + ("y " * 60).trim // longer doc
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  test("minhash_sig equals the array_min(transform(md5w)) HOF form") {
+    val n = 32
+    val df = fixtureTexts
+      .select(col("id"), split(col("text"), " ").as("t"))
+      .withColumn("w", transform(array_distinct(col("t")),
+        t => PortableHash.md5w(t) % lit(PortableHash.M)))
+    val hof = df.select(col("id"),
+      array((0 until n).map(i =>
+        array_min(transform(col("w"), w =>
+          (lit(PortableHash.a(i)) * w + lit(PortableHash.b(i)))
+            % lit(PortableHash.P)))): _*).as("sig"))
+    val fused = df.select(col("id"),
+      TokenKernelFns.minhashSig(spark, col("t"), n).as("sig"))
+    val h = hof.orderBy("id").collect().map(_.getSeq[Any](1))
+    val f = fused.orderBy("id").collect().map(_.getSeq[Any](1))
+    assert(h.length == f.length)
+    h.zip(f).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("minhash_sig over the real documents fixture matches") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val n = 16
+    val both = docs.select(col("doc_id"),
+      TokenKernelFns.minhashSig(spark, col("t"), n).as("fused"),
+      array((0 until n).map(i =>
+        array_min(transform(
+          transform(array_distinct(col("t")),
+            t => PortableHash.md5w(t) % lit(PortableHash.M)),
+          w => (lit(PortableHash.a(i)) * w + lit(PortableHash.b(i)))
+            % lit(PortableHash.P)))): _*).as("hof"))
+    val bad = both.filter(not(col("fused") <=> col("hof"))).count()
+    assert(bad == 0)
+  }
+
+  test("minhash_band_buckets equals aggregate(slice(sig)) band folds") {
+    val n = 32; val bands = 8; val r = n / bands
+    val df = fixtureTexts
+      .select(col("id"), split(col("text"), " ").as("t"))
+    val sig = TokenKernelFns.minhashSig(spark, col("t"), n)
+    val hofBands = transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(sig, b * lit(r) + lit(1), lit(r)), lit(0L),
+        (acc, x) => (acc * 1000003L + x) % 1000000007L))
+    val both = df.select(
+      TokenKernelFns.minhashBandBuckets(spark, col("t"), n, bands)
+        .as("fused"),
+      hofBands.as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+    }
+  }
+
+  test("token_xx64_set equals transform(array_distinct, xxhash64)") {
+    val df = fixtureTexts.select(col("id"), split(col("text"), " ").as("t"))
+    val both = df.select(
+      TokenKernelFns.tokenXx64Set(spark, col("t")).as("fused"),
+      transform(array_distinct(col("t")), t => xxhash64(t)).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("token_xx64_set handles null tokens like the HOF form") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq[String]("a", null, "a", "b", null)))
+      .toDF("t")
+    val both = df.select(
+      TokenKernelFns.tokenXx64Set(spark, col("t")).as("fused"),
+      transform(array_distinct(col("t")), t => xxhash64(t)).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("bigram_hash_pairs equals adjacentPairs + xxhash64 columns") {
+    val df = fixtureTexts.select(col("id"), split(col("text"), " ").as("t"))
+    val hof = df
+      .select(col("id"), explode(BpeTrain.adjacentPairs(col("t"))).as("p"))
+      .select(col("id"),
+        xxhash64(col("p.l"), col("p.r")).as("k12"),
+        xxhash64(col("p.l")).as("k1"))
+      .orderBy("id", "k12", "k1").collect().toSeq
+    val fused = df
+      .select(col("id"),
+        explode(TokenKernelFns.bigramHashPairs(spark, col("t"))).as("p"))
+      .select(col("id"), col("p.k12"), col("p.k1"))
+      .orderBy("id", "k12", "k1").collect().toSeq
+    assert(hof == fused)
+  }
+
+  test("bigram_hash_pairs yields no rows below 2 tokens") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq[String]("only")), Tuple1(Seq.empty[String]))
+      .toDF("t")
+    val n = df.select(explode(
+      TokenKernelFns.bigramHashPairs(spark, col("t")))).count()
+    assert(n == 0)
+  }
+
+  test("kernels survive codegen and interpreted paths identically") {
+    // wholeStage off forces the interpreted eval() path; results must
+    // match the codegen run bit-for-bit (shared static kernel)
+    val df = fixtureTexts.select(col("id"), split(col("text"), " ").as("t"))
+    def run(): Seq[Row] = df.select(col("id"),
+        TokenKernelFns.minhashSig(spark, col("t"), 8).as("s"),
+        TokenKernelFns.tokenXx64Set(spark, col("t")).as("x"))
+      .orderBy("id").collect().toSeq
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == on)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}
