@@ -49,15 +49,21 @@ object KMeans {
     * literal centroid — the codegen'd fused-loop kernel
     * ([[graft.functions.VecDist2]]); bit-identical to the
     * `aggregate(zip_with(...))` form (exact integers), without the
-    * per-element lambda dispatch or the intermediate diff array. */
+    * per-element lambda dispatch or the intermediate diff array.
+    * Retained (with [[composedAssignCols]]) as the equivalence pin for
+    * the fused assignment kernel. */
   private def dist2(spark: org.apache.spark.sql.SparkSession,
       v: Column, c: Seq[Long]): Column =
     graft.functions.VecDist2.vecDist2(spark, v, typedLit(c))
 
-  /** Assignment columns under `cents`: (cluster, dist) with the
-    * (distance, centroid id) tie-break — array_position returns the
-    * FIRST index of the min, i.e. the smallest centroid id. */
-  private def assignCols(spark: org.apache.spark.sql.SparkSession,
+  /** The COMPOSED assignment form — k vec_dist2 columns + array_min +
+    * array_position — kept as the spec oracle for the fused kernel
+    * ([[graft.functions.KMeansAssignExpr]]); KMeansSpec pins the two
+    * bit-identical. Not used on the hot path: the k-wide tree is
+    * evaluated up to 3x per row and falls off codegen at reference-
+    * scale k (ScaleSmoke measured ~300 µs/row at k=80 vs ~1 µs fused). */
+  private[graft] def composedAssignCols(
+      spark: org.apache.spark.sql.SparkSession,
       cents: Seq[Seq[Long]]): (Column, Column) = {
     val ds = array(cents.map(c => dist2(spark, col("v"), c)): _*)
     ((array_position(ds, array_min(ds)) - 1).cast("int"), array_min(ds))
@@ -84,8 +90,15 @@ object KMeans {
         .select("v").collect().map(_.getSeq[Long](0).toIndexedSeq).toSeq
       var result: DataFrame = null
       for (it <- 1 to iters) {
-        val (cl, d) = assignCols(df.sparkSession, cents)
-        val assigned = q.withColumn("cluster", cl).withColumn("dist", d)
+        // fused argmin kernel, materialized as ONE struct column first
+        // so cluster and dist project from the same evaluation (two
+        // getField copies of the expression would re-run the k×dims
+        // loop per field on the interpreted path)
+        val assigned = q
+          .withColumn("__a", graft.functions.KMeansAssignExpr
+            .assign(df.sparkSession, col("v"), cents))
+          .select(col(idCol), col("v"),
+            col("__a.cluster").as("cluster"), col("__a.dist").as("dist"))
         if (it < iters) {
           // k*dims-cell aggregation -> driver; floor(sum/count) via
           // double (exact below 2^53, and identical to the oracle's

@@ -76,4 +76,51 @@ class KMeansSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(q.head == viaDouble, s"quantize used float math: $q")
   }
+
+  test("fused kmeans_assign matches the composed vec_dist2 argmin form") {
+    // real fixture embeddings at several k, plus edge vectors: the
+    // kernel must reproduce the composed form's integers, FIRST-index
+    // tie-break, and null propagation exactly
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), KMeans.quantize(col("embedding"), 10000)
+        .as("v"))
+    for (k <- Seq(1, 3, 8)) {
+      val cents = emb.orderBy("vec_id").limit(k)
+        .select("v").collect().map(_.getSeq[Long](0).toIndexedSeq).toSeq
+      val (cl, d) = KMeans.composedAssignCols(spark, cents)
+      val both = emb
+        .withColumn("__a", graft.functions.KMeansAssignExpr
+          .assign(spark, col("v"), cents))
+        .select(col("vec_id"),
+          col("__a.cluster").as("fc"), col("__a.dist").as("fd"),
+          cl.as("cc"), d.as("cd"))
+      val bad = both.filter(
+        not(col("fc") <=> col("cc")) || not(col("fd") <=> col("cd")))
+        .count()
+      assert(bad == 0, s"kernel/composed mismatch at k=$k")
+    }
+  }
+
+  test("kmeans_assign tie-break keeps the smallest centroid id") {
+    import spark.implicits._
+    // two identical centroids: composed array_position picks the FIRST
+    val df = Seq((1L, Seq(5L, 5L))).toDF("id", "v")
+    val cents = Seq(Seq(0L, 0L), Seq(0L, 0L), Seq(5L, 5L), Seq(5L, 5L))
+    val r = df.select(graft.functions.KMeansAssignExpr
+      .assign(spark, col("v"), cents).as("a"))
+      .select("a.cluster", "a.dist").head()
+    assert(r.getInt(0) == 2 && r.getLong(1) == 0L)
+  }
+
+  test("kmeans_assign nulls on length mismatch like the composed form") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(5L, 5L, 5L))).toDF("id", "v") // 3 dims vs 2
+    val cents = Seq(Seq(0L, 0L))
+    val (cl, d) = KMeans.composedAssignCols(spark, cents)
+    val r = df.select(
+      graft.functions.KMeansAssignExpr.assign(spark, col("v"), cents)
+        .as("a"), cl.as("cc"), d.as("cd")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
 }
