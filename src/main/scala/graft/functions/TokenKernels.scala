@@ -147,6 +147,95 @@ object TokenKernels {
     new GenericArrayData(out)
   }
 
+  /** Portable per-doc SimHash signature straight from the token array:
+    * one fused loop replacing the whole tokenize -> explode ->
+    * md5-hex -> conv(substring) -> exchange -> [[SimHashAgg]] pipeline
+    * (profiled: the signature stage alone carried ~33 s of summed task
+    * CPU at sf0.1, dominated by hex-string materialization + parsing).
+    * Semantics are bit-identical to
+    * `simhashPortable(tokenSets(...))` (SimHashAggSpec pins it):
+    * tokens dedup first (`array_distinct`), each distinct token votes
+    * the packed word `hi << 32 | lo` where lo/hi are md5 bytes [0,4)
+    * and [4,8) big-endian (== `conv(substring(hex,1,8),16,10)` /
+    * `conv(substring(hex,9,8),16,10)`), vote is +1 per set bit / -1
+    * per clear bit, result bit j is 1 iff votes(j) > 0. A null token
+    * dedups to one vote of raw-bits 0 (null md5 -> null packed -> the
+    * agg's null-long raw-bits path). Empty array -> signature 0 (the
+    * exploded form DROPS empty docs before the agg instead — callers
+    * on `split()` output never see one: split yields >= 1 element). */
+  def simhashMd5Sig(arr: ArrayData): Long = {
+    val ne = arr.numElements()
+    val seen = new java.util.HashSet[UTF8String](Math.max(ne * 2, 8))
+    var sawNull = false
+    val votes = new Array[Long](64)
+    val md = md5Local.get()
+    var j = 0
+    while (j < ne) {
+      if (arr.isNullAt(j)) {
+        if (!sawNull) {
+          sawNull = true
+          var b = 0
+          while (b < 64) { votes(b) -= 1L; b += 1 }
+        }
+      } else {
+        val s = arr.getUTF8String(j)
+        if (seen.add(s)) {
+          md.reset()
+          val d = md.digest(s.getBytes)
+          val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val hi = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          val h = (hi << 32) | lo
+          var b = 0
+          while (b < 64) {
+            votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+            b += 1
+          }
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0L) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** All ordered index pairs (arr(i), arr(j)), i < j, of a long array —
+    * one flat loop replacing the interpreted nested-lambda form
+    * `flatten(transform(vs, (x, i) -> transform(slice(vs, i + 2, ...),
+    * y -> struct(x, y))))` (HOFs never enter whole-stage codegen, and
+    * the nested tree both boxes per element and serializes large into
+    * every task — q51's wedge stage carried ~4.8 s of summed task
+    * DESERIALIZATION from it). Output order matches the flattened
+    * nested form: row-major by i then j. Null elements are kept as
+    * null struct FIELDS, exactly where the lambda's struct(x, y) put
+    * them. */
+  def orderedPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      vals(i) = if (arr.isNullAt(i)) null else arr.getLong(i)
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](vals(i), vals(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** (k12, k1) hash pairs of adjacent tokens: k1 = xxhash64(l),
     * k12 = xxhash64(l, r). Fewer than 2 tokens -> empty array (the
     * adjacentPairs guard). Null tokens skip their hash step, exactly
@@ -219,6 +308,40 @@ case class TokenXx64Set(child: Expression) extends TokenArrayExpression {
     copy(child = newChild)
 }
 
+/** `ordered_pairs(arr)` — all (arr(i), arr(j)) i < j pairs of a bigint
+  * array as one fused loop (the kNN-graph wedge builder, q51). */
+case class OrderedPairs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ordered_pairs requires array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("u", LongType), StructField("w", LongType))),
+    containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.orderedPairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.orderedPairs($c);")
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairs =
+    copy(child = newChild)
+}
+
+/** `simhash_md5_sig(tokens)` — the portable md5-plane SimHash
+  * signature as ONE row-local fused loop: no explode, no exchange, no
+  * hex parsing (see [[TokenKernels.simhashMd5Sig]]). */
+case class SimHashMd5Sig(child: Expression) extends TokenArrayExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.simhashMd5Sig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.simhashMd5Sig($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Sig =
+    copy(child = newChild)
+}
+
 /** `bigram_hash_pairs(tokens)` — adjacent-pair (k12, k1) xxhash64 keys
   * as one fused loop (t_bigram_lm / LM-scoring family). */
 case class BigramHashPairs(child: Expression) extends TokenArrayExpression {
@@ -283,5 +406,15 @@ object TokenKernelFns {
   def bigramHashPairs(spark: SparkSession, toks: Column): Column = {
     reg(spark, "bigram_hash_pairs", 1, args => BigramHashPairs(args.head))
     org.apache.spark.sql.functions.call_function("bigram_hash_pairs", toks)
+  }
+
+  def simhashMd5Sig(spark: SparkSession, toks: Column): Column = {
+    reg(spark, "simhash_md5_sig", 1, args => SimHashMd5Sig(args.head))
+    org.apache.spark.sql.functions.call_function("simhash_md5_sig", toks)
+  }
+
+  def orderedPairs(spark: SparkSession, arr: Column): Column = {
+    reg(spark, "ordered_pairs", 1, args => OrderedPairs(args.head))
+    org.apache.spark.sql.functions.call_function("ordered_pairs", arr)
   }
 }

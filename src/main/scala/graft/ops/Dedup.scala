@@ -505,6 +505,21 @@ object Dedup {
         .simhashAgg(spark, col("w")).as("simhash"))
   }
 
+  /** [[simhashPortable]] fused row-local: the whole signature — token
+    * dedup, two md5 words per token, 64-bit voting — computed per doc
+    * in one kernel loop ([[graft.functions.SimHashMd5Sig]]), straight
+    * from the text column. Bit-identical output (SimHashAggSpec pins
+    * it against the exploded+aggregated form on the fixture corpus),
+    * but ZERO exchanges: the exploded form shuffles every (doc, token)
+    * row into the aggregate, this one never leaves the scan task —
+    * at 100 TB that is the difference between a corpus-sized token
+    * shuffle and none. Output: (idCol, simhash). */
+  def simhashPortableFused(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    graft.sources.Tables.spread(docs).select(col(idCol),
+      graft.functions.TokenKernelFns.simhashMd5Sig(docs.sparkSession,
+        split(col(textCol), " ")).as("simhash"))
+
   /** Resolve keeper ASSIGNMENT CHAINS to final cluster roots by pointer
     * jumping: `assign` is (d1 = keeper, d2 = doc) from
     * [[minhashLshDedup]]; when c's keeper b is itself assigned to a,

@@ -284,4 +284,103 @@ object Similarity {
       .select(col("d1").as(idCol), col("cluster"),
         col("d2").as("nn_id"), col("pdist").as("nn_dist"))
   }
+
+  /** Greedy Maximal-Marginal-Relevance selection (Carbonell & Goldstein
+    * 1998): pick `k` vectors maximizing `2*rel(v) - max_{s in S}
+    * dot(v, s)` — relevance to the probe traded against redundancy with
+    * what is already selected. The diverse-retrieval primitive behind
+    * "give me k RAG passages that are on-topic but not five copies of
+    * the same paragraph", and the curation-side complement to X18's
+    * closest-to-centroid exemplars (X18 picks representative, MMR picks
+    * representative AND mutually distant).
+    *
+    * Exactness contract (the X17 pattern): vectors quantize to
+    * `floor(x * scale)` BIGINTs, every dot product is an exact-integer
+    * sum (|cell| <= scale, so a 64-dim dot is < 2^53 and bit-identical
+    * on any engine), ties break on (score desc, id asc) — the full
+    * greedy ITERATION is hash-oracle-replayable as unrolled CTEs
+    * ([[mmrSql]]).
+    *
+    * Execution shape: the quantized+relevance frame is computed once
+    * and persisted; each of the k rounds is ONE narrow map (dot
+    * against <= k literal selected vectors, a k x dims driver fit
+    * state) + TakeOrdered(1) — no shuffle anywhere, no pair
+    * materialization. At 100 TB: k linear scans of the cached
+    * projection, the same contract as k-means assignment.
+    * Output: (rk, idCol, mmr_score), rk = 1..k in selection order. */
+  def mmrSelect(df: DataFrame, vecCol: String, idCol: String,
+      probeId: Long, k: Int, scale: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol), KMeans.quantize(col(vecCol), scale).as("v"))
+    def dotLit(c: Seq[Long]): Column =
+      aggregate(zip_with(col("v"), typedLit(c), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    val probe = q.filter(col(idCol) === probeId).select("v")
+      .head().getSeq[Long](0).toIndexedSeq
+    // relevance never changes across rounds — compute once, persist
+    val rel = q.withColumn("rel", dotLit(probe)).persist()
+    try {
+      val picks = scala.collection.mutable.Buffer[(Long, Long, IndexedSeq[Long])]()
+      for (_ <- 1 to k) {
+        val maxsim =
+          if (picks.isEmpty) lit(0L)
+          else picks.map(p => dotLit(p._3)).reduce((a, b) => greatest(a, b))
+        val cand =
+          if (picks.isEmpty) rel
+          else rel.filter(!col(idCol).isin(picks.map(_._1).toSeq: _*))
+        val top = cand
+          .select(col(idCol), col("v"),
+            (col("rel") * 2 - maxsim).as("score"))
+          .orderBy(col("score").desc, col(idCol))
+          .limit(1).head()
+        picks += ((top.getLong(0), top.getLong(2),
+          top.getSeq[Long](1).toIndexedSeq))
+      }
+      picks.toSeq.zipWithIndex
+        .map { case ((id, sc, _), i) => ((i + 1).toLong, id, sc) }
+        .toDF("rk", idCol, "mmr_score")
+    } finally rel.unpersist()
+  }
+
+  /** DuckDB replay of [[mmrSelect]]: quantize, probe relevance, then k
+    * unrolled select-round CTEs (round i scores candidates against the
+    * i-1 already-selected rows via cross joins — the q45/x17 unrolled-
+    * iteration pattern). Output: (rk, idCol, mmr_score). */
+  def mmrSql(table: String, vecCol: String, idCol: String, probeId: Long,
+      k: Int, dims: Int, scale: Int = 10000): String = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, $dims), " +
+        s"i -> $a[i]*$b[i])) AS BIGINT)"
+    val rounds = (1 to k).map { i =>
+      if (i == 1)
+        s"""s1 AS (SELECT $idCol, v, 2*rel AS score FROM rel
+              ORDER BY score DESC, $idCol LIMIT 1)"""
+      else {
+        val prev = (1 until i).map(j => s"s$j")
+        val joins = prev.map(p => s"CROSS JOIN $p a_$p").mkString(" ")
+        val dots = prev.map(p => dot("r.v", s"a_$p.v"))
+        val maxsim =
+          if (dots.size == 1) dots.head else s"greatest(${dots.mkString(", ")})"
+        val notIn = prev.map(p => s"SELECT $idCol FROM $p")
+          .mkString(" UNION ALL ")
+        s"""c$i AS (SELECT r.$idCol, r.v, 2*r.rel - $maxsim AS score
+              FROM rel r $joins
+              WHERE r.$idCol NOT IN ($notIn)),
+            s$i AS (SELECT $idCol, v, score FROM c$i
+              ORDER BY score DESC, $idCol LIMIT 1)"""
+      }
+    }
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rk, $idCol, score AS mmr_score FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT $idCol, list_transform($vecCol,
+              x -> CAST(floor(CAST(x AS DOUBLE)*$scale) AS BIGINT)) AS v
+            FROM $table),
+        p AS (SELECT v FROM q WHERE $idCol = $probeId),
+        rel AS (SELECT q.$idCol, q.v, ${dot("q.v", "p.v")} AS rel
+                FROM q CROSS JOIN p),
+        ${rounds.mkString(",\n        ")}
+        $out ORDER BY rk"""
+  }
 }

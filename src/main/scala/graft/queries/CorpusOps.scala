@@ -633,6 +633,70 @@ object CorpusOps {
                        THEN 1 ELSE 0 END AS keep
               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents)
-              GROUP BY doc_id ORDER BY doc_id"""))
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // X20 — per-domain document cap: keep at most 15 docs per `source`,
+    // priority = md5(text) asc (deterministic "random", rerun- and
+    // append-stable — the same portable-hash selection rationale as
+    // x6_sample), doc_id tie-break. The standard CommonCrawl-pipeline
+    // guard against one domain flooding the corpus. ONE source-keyed
+    // exchange + window; at 100 TB the cap is a per-key top-k the
+    // window rank computes without materializing the overflow.
+    Entry("x20_domain_cap",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), md5(col("text")).as("pri"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))))
+        .filter(col("rk") <= 15)
+        .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk")),
+      Some("""SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY md5(text), doc_id) AS rk
+                FROM documents)
+              WHERE rk <= 15 ORDER BY source, rk""")),
+
+    // X21 — incremental-batch exact dedup: the newest quarter of ids
+    // (doc_id >= max*3/4, the threshold being one-scalar driver fit
+    // state) is "the incoming batch", everything below it the standing
+    // corpus; each batch doc is classified dup_corpus (digest already
+    // in the corpus), dup_batch (a smaller-id batch doc shares the
+    // digest), or new — the append-only ingest decision every recurring
+    // crawl run makes. Corpus membership AND the within-batch min-id
+    // keeper ride ONE digest-keyed window exchange (the t_decontaminate
+    // pattern: never corpus-join + batch-window as two shuffles).
+    Entry("x21_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val thr = docs.agg(max("doc_id")).head().getLong(0) * 3 / 4
+        val w = Window.partitionBy("d")
+        docs.select(col("doc_id"), sha2(col("text"), 256).as("d"),
+            (col("doc_id") >= thr).cast("long").as("isb"))
+          .withColumn("in_corpus", max(lit(1L) - col("isb")).over(w))
+          .withColumn("min_batch",
+            min(when(col("isb") === 1L, col("doc_id"))).over(w))
+          .filter(col("isb") === 1L)
+          .select(col("doc_id"),
+            when(col("in_corpus") === 1L, lit("dup_corpus"))
+              .when(col("doc_id") > col("min_batch"), lit("dup_batch"))
+              .otherwise(lit("new")).as("status"))
+      },
+      Some("""WITH thr AS (SELECT max(doc_id)*3 // 4 AS t FROM documents),
+              tagged AS (
+                SELECT doc_id, sha256(text) AS d,
+                       CASE WHEN doc_id >= (SELECT t FROM thr)
+                            THEN 1 ELSE 0 END AS isb
+                FROM documents),
+              win AS (
+                SELECT doc_id, isb,
+                       max(1 - isb) OVER (PARTITION BY d) AS in_corpus,
+                       min(CASE WHEN isb = 1 THEN doc_id END)
+                         OVER (PARTITION BY d) AS min_batch
+                FROM tagged)
+              SELECT doc_id,
+                     CASE WHEN in_corpus = 1 THEN 'dup_corpus'
+                          WHEN doc_id > min_batch THEN 'dup_batch'
+                          ELSE 'new' END AS status
+              FROM win WHERE isb = 1 ORDER BY doc_id"""))
   )
 }

@@ -166,11 +166,11 @@ object GraphLayout {
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("v"))
           .groupBy("c").agg(sort_array(collect_set(col("v"))).as("vs"))
-        val half = lists.select(explode(expr(
-            """flatten(transform(vs, (x, i) ->
-              |  transform(slice(vs, i + 2, size(vs)),
-              |            y -> struct(x AS u, y AS w))))""".stripMargin))
-            .as("p"))
+        // fused ordered-pair kernel: one flat loop per customer row
+        // instead of the interpreted nested-lambda transform/slice form
+        // (same pairs, same order; TokenKernelsSpec pins equivalence)
+        val half = lists.select(explode(graft.functions.TokenKernelFns
+            .orderedPairs(s, col("vs"))).as("p"))
           .groupBy(col("p.u").as("u"), col("p.w").as("w"))
           .agg(count(lit(1)).as("cw"))
         // co-occurrence is symmetric: mirror the u<w counts to get every

@@ -397,6 +397,20 @@ object SimilarityOps {
                      CASE WHEN nn_dist <= 120000000 AND nn_id < vec_id
                           THEN CAST(0 AS BIGINT)
                           ELSE CAST(1 AS BIGINT) END AS kept
-              FROM nn WHERE rn = 1 ORDER BY vec_id"""))
+              FROM nn WHERE rn = 1 ORDER BY vec_id""")),
+
+    // X22 — greedy MMR diverse selection (Similarity.mmrSelect): 5
+    // vectors maximizing 2*rel - max-dot-to-selected vs the vec_id=0
+    // probe — the diverse-retrieval / curation primitive (on-topic but
+    // mutually distant), exact-integer quantized so the full greedy
+    // iteration is hash-oracle-gated via unrolled CTEs (the q45/x17
+    // pattern). Each round is one narrow map over the persisted
+    // relevance frame + TakeOrdered(1); selected vectors are k x dims
+    // driver fit state shipped back as literals — zero shuffles.
+    Entry("x22_mmr_select",
+      (s, dir) => graft.ops.Similarity.mmrSelect(
+        t(s, dir, "embeddings"), "embedding", "vec_id", 0L, 5),
+      Some(graft.ops.Similarity.mmrSql(
+        "embeddings", "embedding", "vec_id", 0L, k = 5, dims = 64)))
   )
 }

@@ -281,9 +281,10 @@ object TextOps {
     // ~630k rows at sf0.1 — a free full sort otherwise.
     Entry("x4_simhash",
       (s, dir) => {
-        val sets = Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id",
-          "source")
-        val sigs = Dedup.simhashPortable(sets, "doc_id")
+        // fused row-local signatures (zero exchanges; bit-identical to
+        // the exploded simhashPortable form, SimHashAggSpec)
+        val sigs = Dedup.simhashPortableFused(
+          t(s, dir, "documents"), "text", "doc_id")
         Dedup.simhashNearDupPairs(sigs, "doc_id", 6)
       },
       Some(simhashSql)),

@@ -68,6 +68,30 @@ class SimHashAggSpec extends AnyFunSuite {
     assert(rawBits == declarative)
   }
 
+  test("fused row-local kernel equals the exploded portable form") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val sets = Dedup.tokenSets(docs, "text", "doc_id", "source")
+    val exploded = Dedup.simhashPortable(sets, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = Dedup.simhashPortableFused(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == exploded)
+  }
+
+  test("fused kernel: null token votes raw-bits zero; duplicates dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (a, a, null) must equal (a, null): duplicate tokens vote once,
+    // the null votes all-minus-one (raw-bits 0) exactly once
+    val toks = Seq((1L, Seq(Some("a"), Some("a"), None)),
+      (2L, Seq(Some("a"), None))).toDF("doc_id", "toks")
+    val sig = toks.select(col("doc_id"),
+      graft.functions.TokenKernelFns.simhashMd5Sig(spark, col("toks"))
+        .as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+  }
+
   test("simhash_agg is SQL-callable after registration") {
     graft.functions.SimHashAgg.register(spark)
     import spark.implicits._

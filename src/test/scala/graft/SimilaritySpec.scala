@@ -74,4 +74,32 @@ class SimilaritySpec extends AnyFunSuite {
     // ANN must at minimum recover the probe itself and rank it first
     assert(exact.head == 0L && ann.head == 0L)
   }
+
+  test("mmrSelect: first pick is max relevance; later picks trade off") {
+    // probe = (1,0,0,0). After v4 is taken, the redundancy penalty
+    // cancels every same-direction vector's advantage — the exact
+    // integer scores tie and the id tie-break decides.
+    val out = Similarity.mmrSelect(vecs, "embedding", "vec_id", 0L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // rel(quantized): v4 = 2e8, v0 = 1e8, v1 = 1e8, v2 = 0, v3 = -1e8
+    // round 1: argmax 2*rel -> v4. round 2: v0/v1 score 2e8 - 2e8 = 0,
+    // v2 scores 0 - 0 = 0, tie broken by id -> v0. round 3: v1 score
+    // 2e8 - max(2e8, 1e8) = 0 vs v2 0 - 0 = 0 -> v1 by id. v3 last.
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // ranks 1..4
+    assert(out.map(_._2).toSeq == Seq(4L, 0L, 1L, 2L))
+  }
+
+  test("mmrSelect matches its own unrolled-CTE contract on the fixture") {
+    val emb = graft.sources.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val out = Similarity.mmrSelect(emb, "embedding", "vec_id", 0L, 5)
+      .collect()
+    assert(out.length == 5)
+    // the probe itself has maximal self-relevance -> always rank 1
+    assert(out.head.getLong(1) == 0L)
+    // selections are distinct and scores never increase after round 2
+    // (round 1 has no redundancy penalty)
+    assert(out.map(_.getLong(1)).distinct.length == 5)
+    val scores = out.drop(1).map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
 }

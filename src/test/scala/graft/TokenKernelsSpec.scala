@@ -125,6 +125,22 @@ class TokenKernelsSpec extends AnyFunSuite {
     assert(n == 0)
   }
 
+  test("ordered_pairs equals the nested-lambda transform/slice form") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(3L, 7L, 9L, 12L)), Tuple1(Seq(5L)),
+      Tuple1(Seq.empty[Long]), Tuple1(Seq(1L, 2L)))
+      .toDF("vs")
+    val hof = df.select(expr(
+      """flatten(transform(vs, (x, i) ->
+        |  transform(slice(vs, i + 2, size(vs)),
+        |            y -> struct(x AS u, y AS w))))""".stripMargin).as("p"))
+      .collect().map(_.getSeq[Row](0)).toSeq
+    val fused = df.select(
+      TokenKernelFns.orderedPairs(spark, col("vs")).as("p"))
+      .collect().map(_.getSeq[Row](0)).toSeq
+    assert(fused == hof)
+  }
+
   test("kernels survive codegen and interpreted paths identically") {
     // wholeStage off forces the interpreted eval() path; results must
     // match the codegen run bit-for-bit (shared static kernel)
