@@ -531,6 +531,25 @@ object Dedup {
     * Output: (doc, root) for every doc that ends up re-rooted.
     */
   def resolveClusters(assign: DataFrame): DataFrame = {
+    // AQE OFF for the duration of the loop (restored after): every
+    // iteration joins two CACHED, stats-known frames, and AQE's
+    // per-stage materialization turns each tiny join into 3 extra
+    // driver round-trips — profiled at sf0.1: 34 jobs / 4.3-8.6 s with
+    // AQE vs 11 jobs / 3.0-3.4 s without, identical plans otherwise.
+    // Runtime re-planning buys nothing here: the join sides' sizes are
+    // exact (in-memory cache stats), so the static planner already
+    // makes the broadcast decision AQE would make. Contrast q45
+    // (PageRank), where the rank frame is NOT cached and AQE's runtime
+    // broadcast is a measured win — the toggle is per-operator, scoped
+    // to execution inside this method, never a session default.
+    val spark = assign.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try resolveClustersLoop(assign)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def resolveClustersLoop(assign: DataFrame): DataFrame = {
     var cached = assign.select(col("d2").as("doc"), col("d1").as("root"))
       .persist()
     var m = cached
