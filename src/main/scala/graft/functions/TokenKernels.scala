@@ -202,6 +202,75 @@ object TokenKernels {
     out
   }
 
+  private[graft] val stopwordArr: Array[String] = Array("the", "a",
+    "an", "of", "to", "in", "and", "is", "it", "that")
+
+  private def isStopword(s: String, a: Int, b: Int): Boolean = {
+    val len = b - a
+    if (len < 1 || len > 4) return false
+    var k = 0
+    while (k < stopwordArr.length) {
+      val w = stopwordArr(k)
+      if (w.length == len) {
+        var j = 0
+        var ok = true
+        while (ok && j < len) {
+          if (s.charAt(a + j) != w.charAt(j)) ok = false
+          j += 1
+        }
+        if (ok) return true
+      }
+      k += 1
+    }
+    false
+  }
+
+  /** Quality-signal counts in ONE pass over the text:
+    * (n_tok, n_stop, n_sym, n_char, n_distinct), replacing four
+    * separate column scans — `size(split(t, " "))`,
+    * `size(filter(split(...), isInCollection))` (interpreted lambda
+    * per token), `size(regexp_extract_all(t, "[^A-Za-z0-9 ]"))`
+    * (materializes an array of every symbol match just to count it),
+    * and `size(array_distinct(split(...)))`. Semantics pinned to the
+    * built-in forms (TextStatsSpec):
+    *  - tokens are single-space splits, so n_tok = spaces + 1
+    *    (split keeps empty segments, including trailing);
+    *  - n_stop counts exact matches against [[stopwordArr]];
+    *  - n_sym counts CODE POINTS outside [A-Za-z0-9 ] (Java regex
+    *    iterates code points, as does DuckDB's regexp_extract_all);
+    *  - n_char is the code-point count (= Spark `length`);
+    *  - n_distinct counts distinct token strings (array_distinct
+    *    equality). */
+  def textQualityCounts(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val n = str.length
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    var nChar = 0L
+    var nSym = 0L
+    var spaces = 0L
+    var nStop = 0L
+    var tokStart = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      nChar += 1
+      if (cp == ' ') {
+        spaces += 1
+        if (isStopword(str, tokStart, i)) nStop += 1
+        seen.add(str.substring(tokStart, i))
+        tokStart = i + Character.charCount(cp)
+      } else if (!((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+          || (cp >= '0' && cp <= '9'))) {
+        nSym += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (isStopword(str, tokStart, n)) nStop += 1
+    seen.add(str.substring(tokStart, n))
+    new GenericInternalRow(Array[Any](spaces + 1L, nStop, nSym, nChar,
+      seen.size.toLong))
+  }
+
   /** All ordered index pairs (arr(i), arr(j)), i < j, of a long array —
     * one flat loop replacing the interpreted nested-lambda form
     * `flatten(transform(vs, (x, i) -> transform(slice(vs, i + 2, ...),
@@ -305,6 +374,29 @@ case class TokenXx64Set(child: Expression) extends TokenArrayExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TokenKernels.tokenXx64Set($c);")
   override protected def withNewChildInternal(newChild: Expression): TokenXx64Set =
+    copy(child = newChild)
+}
+
+/** `text_quality_counts(text)` — the five quality-signal counts in one
+  * fused pass (see [[TokenKernels.textQualityCounts]]). */
+case class TextQualityCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text_quality_counts requires string, got ${other.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_sym", LongType, nullable = false),
+    StructField("n_char", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.textQualityCounts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.textQualityCounts($c);")
+  override protected def withNewChildInternal(newChild: Expression): TextQualityCounts =
     copy(child = newChild)
 }
 
@@ -416,5 +508,10 @@ object TokenKernelFns {
   def orderedPairs(spark: SparkSession, arr: Column): Column = {
     reg(spark, "ordered_pairs", 1, args => OrderedPairs(args.head))
     org.apache.spark.sql.functions.call_function("ordered_pairs", arr)
+  }
+
+  def textQualityCounts(spark: SparkSession, text: Column): Column = {
+    reg(spark, "text_quality_counts", 1, args => TextQualityCounts(args.head))
+    org.apache.spark.sql.functions.call_function("text_quality_counts", text)
   }
 }

@@ -61,7 +61,6 @@ object CorpusClean {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val toks = split(col(textCol), " ")
     // ONE pass computes BOTH audit counts: rows are flagged (not
     // filtered) through the quality gate, cached post-redaction, and
     // n0/n1 come from a single aggregate over the cached frame — the
@@ -70,12 +69,18 @@ object CorpusClean {
     // reads filter the flag on the CACHED frame (a codegen'd predicate
     // over in-memory columns). Redacting the few rejected rows too is
     // the price; rejected fractions are small by construction.
+    // The repetition term reads the fused kernel's n_distinct/n_tok
+    // instead of a second split + array_distinct pass; integer inputs
+    // identical to size(array_distinct(toks))/size(toks), so the
+    // double division and the gate decision are bit-identical.
+    val qc = graft.functions.TokenKernelFns
+      .textQualityCounts(spark, col(textCol))
     val flagged = TextStats.qualityColumns(docs, textCol)
       .withColumn("__q",
         (col("n_tok") >= config.minTokens &&
           col("symbol_ratio") <= config.maxSymbolRatio &&
           col("stopword_ratio") <= config.maxStopwordRatio &&
-          (size(array_distinct(toks)) / size(toks))
+          (qc.getField("n_distinct") / qc.getField("n_tok"))
             >= config.minDistinctRatio).cast("long"))
       .drop("n_tok", "mean_tok_len", "stopword_ratio", "symbol_ratio")
     val staged =

@@ -49,17 +49,32 @@ object TextStats {
   /** Quality-scoring signals: doc length, mean token length, stopword
     * ratio, non-alphanumeric ratio — the standard cheap filters run
     * before expensive dedup in a data pipeline. Appends columns to df.
+    *
+    * The counts come from ONE fused pass over the text
+    * ([[graft.functions.TextQualityCounts]]) instead of four separate
+    * scans (split + interpreted stopword lambda + a regexp_extract_all
+    * that materialized every symbol match as an array element); the
+    * ratio arithmetic is the same expressions over the same integers,
+    * so outputs are bit-identical (TextStatsSpec pins the old forms).
+    * CollapseProject folds the field reads back onto the kernel call;
+    * whole-stage codegen's subexpression elimination then evaluates it
+    * once per row for all four consumers.
     */
   def qualityColumns(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("n_tok", tokenCount(t))
+    val qc = graft.functions.TokenKernelFns
+      .textQualityCounts(df.sparkSession, col(textCol))
+    df.withColumn("__qc", qc)
+      .withColumn("n_tok", col("__qc.n_tok"))
       .withColumn("mean_tok_len",
-        round(length(t).cast("double") / greatest(tokenCount(t), lit(1L)), 4))
+        round(col("__qc.n_char").cast("double")
+          / greatest(col("__qc.n_tok"), lit(1L)), 4))
       .withColumn("stopword_ratio",
-        round(stopwordCount(t).cast("double") / greatest(tokenCount(t), lit(1L)), 4))
+        round(col("__qc.n_stop").cast("double")
+          / greatest(col("__qc.n_tok"), lit(1L)), 4))
       .withColumn("symbol_ratio",
-        round(size(regexp_extract_all(t, lit("[^A-Za-z0-9 ]"), lit(0)))
-          .cast("double") / greatest(length(t).cast("long"), lit(1L)), 4))
+        round(col("__qc.n_sym").cast("double")
+          / greatest(col("__qc.n_char"), lit(1L)), 4))
+      .drop("__qc")
   }
 
   /** Rolling polynomial fingerprint over the token stream:

@@ -40,6 +40,41 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("symbol_ratio") == 0.0)
   }
 
+  test("fused quality kernel equals the built-in column forms") {
+    // the pre-kernel expression forms qualityColumns replaced — every
+    // count and ratio must stay bit-identical, including the empty
+    // string, doubled spaces (empty tokens), trailing space,
+    // non-ASCII symbols, and tab/newline (all inside [^A-Za-z0-9 ])
+    val texts = Seq("the cat sat", "", " ", "a  b", "trailing ",
+      "the the THE the", "ünïcödé tëxt!", "tab\tand\nnewline",
+      "a of to in and is it that an the", "1 22 333 ,,,")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val t = col("text")
+    val toks = split(t, " ")
+    val legacy = df.select(col("id"),
+        size(toks).cast("long").as("n_tok"),
+        round(length(t).cast("double")
+          / greatest(size(toks).cast("long"), lit(1L)), 4).as("mean_tok_len"),
+        round(size(filter(toks, x => x.isInCollection(Seq("the", "a",
+          "an", "of", "to", "in", "and", "is", "it", "that"))))
+          .cast("long").cast("double")
+          / greatest(size(toks).cast("long"), lit(1L)), 4).as("stopword_ratio"),
+        round(size(regexp_extract_all(t, lit("[^A-Za-z0-9 ]"), lit(0)))
+          .cast("double") / greatest(length(t).cast("long"), lit(1L)), 4)
+          .as("symbol_ratio"),
+        (size(array_distinct(toks)) / size(toks)).as("distinct_ratio"))
+      .orderBy("id").collect().toSeq
+    val qc = graft.functions.TokenKernelFns.textQualityCounts(spark, t)
+    val fused = TextStats.qualityColumns(df, "text")
+      .withColumn("distinct_ratio",
+        qc.getField("n_distinct") / qc.getField("n_tok"))
+      .select("id", "n_tok", "mean_tok_len", "stopword_ratio",
+        "symbol_ratio", "distinct_ratio")
+      .orderBy("id").collect().toSeq
+    assert(fused == legacy)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val a = one("a b c").select(TextStats.fingerprint(col("text"))).head().getLong(0)
     val b = one("c b a").select(TextStats.fingerprint(col("text"))).head().getLong(0)
