@@ -120,6 +120,10 @@ object ScaleSmoke {
           numHashes = 16, bands = 4, threshold = 0.5)
         .write.format("noop").mode("overwrite").save()
     }
+    time("simhash signatures (fused row-local kernel, zero exchanges)") {
+      graft.ops.Dedup.simhashPortableFused(docs, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
     // The arithmetic-progression token generator above produces HEAVY-
     // HITTER shingles (many docs share the same 3-gram) — the
     // boilerplate profile of real scraped corpora. The raw shingle join

@@ -411,6 +411,41 @@ object SimilarityOps {
       (s, dir) => graft.ops.Similarity.mmrSelect(
         t(s, dir, "embeddings"), "embedding", "vec_id", 0L, 5),
       Some(graft.ops.Similarity.mmrSql(
-        "embeddings", "embedding", "vec_id", 0L, k = 5, dims = 64)))
+        "embeddings", "embedding", "vec_id", 0L, k = 5, dims = 64))),
+
+    // X23 — cluster-balanced sampling: 3 docs per X17 k-means cluster,
+    // priority md5(vec_id) (deterministic "random", rerun/append-stable
+    // — the x6/x20 portable-hash selection), vec_id tie-break. The
+    // semantic-mixture rebalancer: where X18 picks the REPRESENTATIVE
+    // exemplars (closest to centroid) this draws an UNBIASED fixed-size
+    // sample per semantic bucket — the "equal tokens per topic"
+    // curation move. One window over the assignment frame; the
+    // clustering fit is the already-hash-gated x17 machinery, replayed
+    // by the oracle via the same unrolled CTEs.
+    Entry("x23_cluster_sample",
+      (s, dir) => {
+        val (_, assign) = graft.ops.KMeans.fit(
+          t(s, dir, "embeddings"), "embedding", "vec_id", k = 8,
+          iters = 3)
+        assign
+          .withColumn("pri", md5(col("vec_id").cast("string")))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+              .orderBy(col("pri"), col("vec_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("cluster"), col("rk").cast("long").as("rk"),
+            col("vec_id"))
+      },
+      Some("""WITH base AS (""" +
+        graft.ops.KMeans.fitSql("embeddings", "embedding", "vec_id",
+          k = 8, iters = 3, dims = 64) +
+        """),
+              rr AS (SELECT cluster, vec_id,
+                            row_number() OVER (PARTITION BY cluster
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                       vec_id) AS rk
+                     FROM base)
+              SELECT cluster, CAST(rk AS BIGINT) AS rk, vec_id
+              FROM rr WHERE rk <= 3 ORDER BY cluster, rk"""))
   )
 }
