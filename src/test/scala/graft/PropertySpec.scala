@@ -132,4 +132,68 @@ class PropertySpec extends AnyFunSuite {
       out == want
     })
   }
+
+  test("fused simhash kernel equals the exploded portable form on random docs") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(wordsGen.map(_.mkString(" ")))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") }
+        .toDF("doc_id", "text", "source")
+      val exploded = Dedup.simhashPortable(
+          Dedup.tokenSets(df, "text", "doc_id", "source"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fused = Dedup.simhashPortableFused(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      fused == exploded
+    })
+  }
+
+  test("ordered_pairs equals the nested-lambda HOF on random long arrays") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(-5L, 5L))) { vs =>
+      val df = Seq(Tuple1(vs)).toDF("vs")
+      val hof = df.select(expr(
+        """flatten(transform(vs, (x, i) ->
+          |  transform(slice(vs, i + 2, size(vs)),
+          |            y -> struct(x AS u, y AS w))))""".stripMargin))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      val fused = df.select(
+          graft.functions.TokenKernelFns.orderedPairs(spark, col("vs")))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      fused == hof
+    })
+  }
+
+  test("quality-count kernel equals the built-in forms on random text") {
+    import spark.implicits._
+    // char palette stresses every branch: alnum, space runs, symbols,
+    // tab/newline, non-ASCII, stopwords
+    val charGen = Gen.frequency(
+      (6, Gen.alphaNumChar), (3, Gen.const(' ')), (1, Gen.const('\t')),
+      (1, Gen.const('\n')), (1, Gen.const(',')), (1, Gen.const('é')),
+      (1, Gen.const('の')))
+    val textGen = Gen.frequency(
+      (4, Gen.listOf(charGen).map(_.mkString)),
+      (1, Gen.const("the a an of to in and is it that")),
+      (1, Gen.const("")))
+    check(Prop.forAll(textGen) { txt =>
+      val df = Seq((1L, txt)).toDF("id", "text")
+      val t = col("text")
+      val toks = split(t, " ")
+      val legacy = df.select(
+          size(toks).cast("long"),
+          size(filter(toks, x => x.isInCollection(Seq("the", "a", "an",
+            "of", "to", "in", "and", "is", "it", "that")))).cast("long"),
+          size(regexp_extract_all(t, lit("[^A-Za-z0-9 ]"), lit(0)))
+            .cast("long"),
+          length(t).cast("long"),
+          size(array_distinct(toks)).cast("long"))
+        .head().toSeq
+      val qc = graft.functions.TokenKernelFns.textQualityCounts(spark, t)
+      val fused = df.select(qc.getField("n_tok"), qc.getField("n_stop"),
+          qc.getField("n_sym"), qc.getField("n_char"),
+          qc.getField("n_distinct"))
+        .head().toSeq
+      fused == legacy
+    })
+  }
 }
