@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // naive bit_count(a^b) <= k joins plan as BroadcastNestedLoopJoin;
     // this rule rewrites them to the exact pigeonhole banded equi-join
     ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
+    // the idiomatic aggregate(zip_with(a, b, *), 0d, +) dot product
+    // fuses into the codegen'd vec_dot kernel (bit-identical, incl.
+    // null-element / length-mismatch edges)
+    ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -21,12 +21,21 @@ import org.apache.spark.sql.types._
   * beats the built-ins.
   *
   * Sum order is left-to-right, matching the higher-order-function form
-  * bit-for-bit, so oracle hashes are unchanged.
+  * bit-for-bit, so oracle hashes are unchanged. Edge semantics match
+  * the fold form too: a null element or a length mismatch yields NULL
+  * (zip_with pads the shorter array with nulls and the aggregate
+  * lambda propagates them), never a silent partial sum — the VecDist2
+  * contract, and what makes [[graft.plans.VecDotRewrite]]'s automatic
+  * HOF-to-kernel rewrite exact on every input.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL can arise from a null element / length mismatch even when both
+  // input columns are non-nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -46,11 +55,13 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -67,12 +78,20 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double)$a.$lGet($i) * (double)$b.$rGet($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $s += (double)$a.$lGet($i) * (double)$b.$rGet($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.VecDot
+
+/** Optimizer rule fusing the idiomatic higher-order dot product into
+  * the codegen'd [[VecDot]] kernel.
+  *
+  * A user writing the obvious Spark-first dot product —
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v) }}}
+  *
+  * pays for it three ways: zip_with materializes the products as an
+  * intermediate array per row, every element goes through an
+  * interpreted lambda dispatch (HOFs never enter whole-stage codegen),
+  * and the fold adds a second pass. This rule rewrites the exact
+  * pattern into one fused loop over both ArrayData buffers — the
+  * vector-similarity hot kernel (SURVEY §2.9 X2) — so the HOF form and
+  * the `vec_dot` function are the same plan, and naive user code gets
+  * the kernel for free.
+  *
+  * Exactness: VecDot sums left-to-right in double with null-element /
+  * length-mismatch propagating NULL — bit-identical to the fold form
+  * on EVERY input (VecDotRewriteSpec pins results and null edges).
+  *
+  * Scope guards (all must hold, else the expression is left alone):
+  *  - the zip_with lambda is exactly `x * y` over its two arguments in
+  *    order, with no other references;
+  *  - the fold zero is the double literal 0.0 (a decimal or float zero
+  *    changes intermediate types);
+  *  - the merge lambda is exactly `acc + v` in order;
+  *  - the finish lambda is the identity;
+  *  - both array children are float/double arrays, possibly under a
+  *    widening `cast(array<float> as array<double>)`, which the
+  *    rewrite strips: float -> double is exact, and VecDot widens
+  *    per element itself.
+  */
+object VecDotRewrite extends Rule[LogicalPlan] {
+
+  private def isIdentity(l: Expression): Boolean = l match {
+    case LambdaFunction(v: NamedLambdaVariable,
+        Seq(a: NamedLambdaVariable), _) => v.exprId == a.exprId
+    case _ => false
+  }
+
+  /** The expression itself when it is a float/double array; the child
+    * of a pure widening array cast (stripped); None otherwise. */
+  private def vecChild(e: Expression): Option[Expression] = e match {
+    case c: Cast =>
+      (c.child.dataType, c.dataType) match {
+        case (ArrayType(FloatType | DoubleType, _),
+              ArrayType(DoubleType, _)) => Some(c.child)
+        case _ => None
+      }
+    case _ => e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => Some(e)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case agg @ ArrayAggregate(
+          ZipWith(l, r, LambdaFunction(
+            Multiply(xv: NamedLambdaVariable, yv: NamedLambdaVariable, _),
+            Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(
+            Add(accv: NamedLambdaVariable, inv: NamedLambdaVariable, _),
+            Seq(aacc: NamedLambdaVariable, ain: NamedLambdaVariable), _),
+          finish)
+        if xv.exprId == ax.exprId && yv.exprId == ay.exprId &&
+          accv.exprId == aacc.exprId && inv.exprId == ain.exprId &&
+          isIdentity(finish) =>
+        (vecChild(l), vecChild(r)) match {
+          case (Some(a), Some(b)) => VecDot(a, b)
+          case _ => agg
+        }
+    }
+}

@@ -697,6 +697,38 @@ object CorpusOps {
                      CASE WHEN in_corpus = 1 THEN 'dup_corpus'
                           WHEN doc_id > min_batch THEN 'dup_batch'
                           ELSE 'new' END AS status
-              FROM win WHERE isb = 1 ORDER BY doc_id"""))
+              FROM win WHERE isb = 1 ORDER BY doc_id""")),
+
+    // X24 — normalization-insensitive exact dedup: the C4/Pile-style
+    // "near-exact" pass that exact byte dedup (x1) misses — lowercase,
+    // strip non-alphanumerics, collapse whitespace runs, trim, THEN
+    // digest; docs differing only in case/punctuation/spacing collapse
+    // onto one normalized key, min doc_id keeps. Emits every doc's
+    // (doc_id, keeper, is_dup) so the assignment itself is hash-gated.
+    // Same single digest-keyed exchange as x1; the normalization is a
+    // row-local regex chain identical in both engines (POSIX classes,
+    // global replace).
+    Entry("x24_norm_dedup",
+      (s, dir) => {
+        val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " "))
+        val w = Window.partitionBy("nk")
+        t(s, dir, "documents")
+          .select(col("doc_id"), md5(norm).as("nk"))
+          .withColumn("keeper", min("doc_id").over(w))
+          .select(col("doc_id"), col("keeper"),
+            (col("doc_id") =!= col("keeper")).cast("long").as("is_dup"))
+      },
+      Some("""WITH nk AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(
+                         lower(text), '[^a-z0-9 ]', '', 'g'),
+                         ' +', ' ', 'g'))) AS k
+                FROM documents)
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY k) AS keeper,
+                     CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY k)
+                          THEN 1 ELSE 0 END AS is_dup
+              FROM nk ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** [[graft.plans.VecDotRewrite]]: the idiomatic
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v)`
+  * dot product must fuse into the codegen'd vec_dot kernel — and ONLY
+  * that exact pattern. */
+class VecDotRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def toD(c: Column) = c.cast("array<double>")
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(toD(a), toD(b), (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x)
+
+  test("the HOF dot product rewrites to vec_dot over a real scan") {
+    val emb = graft.sources.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.select(hofDot(col("embedding"), col("embedding")).as("d"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("vecdot"), plan.take(600))
+    assert(!plan.contains("aggregate(zip_with"), plan.take(600))
+  }
+
+  test("rewritten plan and commuted (unrewritten) fold agree bit-for-bit") {
+    val emb = graft.sources.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    // y * x commutes bit-exactly in IEEE but misses the rewrite guard
+    val unrewritten = aggregate(zip_with(toD(col("embedding")),
+      toD(col("embedding")), (x, y) => y * x), lit(0.0), (acc, x) => acc + x)
+    val rows = emb.select(hofDot(col("embedding"), col("embedding")).as("a"),
+      unrewritten.as("b")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("null element and length mismatch yield NULL through the rewrite") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(2.0), Some(3.0))),
+      (2L, Seq[Option[Double]](Some(1.0)), Seq[Option[Double]](Some(2.0), Some(3.0))),
+      (3L, Seq[Option[Double]](Some(2.0), Some(4.0)), Seq[Option[Double]](Some(3.0), Some(5.0))))
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"), hofDot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1)) // null element
+    assert(out(1).isNullAt(1)) // length mismatch
+    assert(out(2).getDouble(1) == 26.0)
+  }
+
+  test("near-miss patterns are left alone") {
+    val emb = graft.sources.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val wrongZero = aggregate(zip_with(toD(col("embedding")),
+      toD(col("embedding")), (x, y) => x * y), lit(1.0), (acc, x) => acc + x)
+    val wrongLambda = aggregate(zip_with(toD(col("embedding")),
+      toD(col("embedding")), (x, y) => x + y), lit(0.0), (acc, x) => acc + x)
+    for (c <- Seq(wrongZero, wrongLambda)) {
+      val plan = emb.select(c.as("d")).queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("vecdot"), plan.take(600))
+    }
+  }
+
+  test("Similarity.dot (the library's generic HOF helper) gets the kernel") {
+    val emb = graft.sources.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val plan = emb.select(Similarity.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("vecdot"), plan.take(600))
+  }
+}

@@ -14,9 +14,16 @@ class VecDotSpec extends AnyFunSuite {
       (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
       (Array(0.1f, -0.2f, 0.3f), Array(-1.5f, 2.5f, 0.125f))
     ).toDF("a", "b")
+    // COMMUTED multiply (y * x): bit-identical values (IEEE multiply
+    // commutes), but outside VecDotRewrite's exact-pattern guard — so
+    // this compares the kernel against a REAL fold evaluation rather
+    // than against its own rewrite
+    def toD(c: org.apache.spark.sql.Column) = c.cast("array<double>")
+    val hof = aggregate(zip_with(toD(col("a")), toD(col("b")),
+      (x, y) => y * x), lit(0.0), (acc, x) => acc + x)
     val rows = df.select(
       VecDot.vecDot(spark, col("a"), col("b")).as("fused"),
-      Similarity.dot(col("a"), col("b")).as("hof")).collect()
+      hof.as("hof")).collect()
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
