@@ -624,6 +624,69 @@ object Analytics {
                     FROM events)
               WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // Q62 — MERGE/upsert apply (Delta-style WHEN MATCHED semantics):
+    // a deterministic change batch (D/U/I ops derived from the key) is
+    // merged into a base table — matched-U updates, matched-D deletes,
+    // unmatched-I inserts, matched-I and unmatched-U/D are no-ops.
+    // Completes the incremental-ingest family (q49 keep-latest
+    // compaction, x21 batch-dedup decisions) with the lakehouse
+    // CDC-apply step itself; the emitted `action` column makes every
+    // merge decision hash-gated, not just the surviving rows. ONE
+    // key-keyed full-outer join — the same single shuffle a Delta
+    // MERGE's join phase costs; at 100 TB the base side would be
+    // bucketed on the key (ops.Bucketing) to make reruns exchange-free.
+    Entry("q62_merge_upsert",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val base = orders
+          .filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit(1L).as("in_base"))
+        val changes = orders
+          .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .select(col("o_orderkey"),
+            when(pmod(col("o_orderkey"), lit(15)) === 0, "D")
+              .when(pmod(col("o_orderkey"), lit(15)) === 5, "U")
+              .otherwise("I").as("op"),
+            (col("o_totalprice") + 1000.0).as("new_price"))
+        val j = base.join(changes, Seq("o_orderkey"), "full_outer")
+        val inBase = coalesce(col("in_base"), lit(0L)) === 1L
+        val op = coalesce(col("op"), lit(""))
+        j.filter((inBase && op =!= "D") || (!inBase && op === "I"))
+          .select(col("o_orderkey"),
+            round(when(!inBase || op === "U", col("new_price"))
+              .otherwise(col("o_totalprice")), 4).as("price"),
+            when(!inBase, "inserted").when(op === "U", "updated")
+              .otherwise("kept").as("action"))
+      },
+      Some("""WITH base AS (
+                SELECT o_orderkey, o_totalprice
+                FROM orders WHERE o_orderkey % 10 <> 0),
+              chg AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 15 = 0 THEN 'D'
+                            WHEN o_orderkey % 15 = 5 THEN 'U'
+                            ELSE 'I' END AS op,
+                       o_totalprice + 1000.0 AS new_price
+                FROM orders WHERE o_orderkey % 5 = 0),
+              j AS (
+                SELECT coalesce(b.o_orderkey, c.o_orderkey) AS k,
+                       b.o_orderkey IS NOT NULL AS in_base,
+                       coalesce(c.op, '') AS op,
+                       b.o_totalprice, c.new_price
+                FROM base b FULL OUTER JOIN chg c
+                  ON b.o_orderkey = c.o_orderkey)
+              SELECT k AS o_orderkey,
+                     round(CASE WHEN NOT in_base OR op = 'U'
+                                THEN new_price
+                                ELSE o_totalprice END, 4) AS price,
+                     CASE WHEN NOT in_base THEN 'inserted'
+                          WHEN op = 'U' THEN 'updated'
+                          ELSE 'kept' END AS action
+              FROM j
+              WHERE (in_base AND op <> 'D') OR (NOT in_base AND op = 'I')
+              ORDER BY o_orderkey""")),
+
     // A-gini — per-source language-purity (Gini impurity of the lang
     // distribution, the mixture-skew diagnostic a corpus balancing job
     // watches). Kept EXACT: gini = 1 - sum(c_i^2)/n^2 is rational, so
