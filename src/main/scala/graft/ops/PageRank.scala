@@ -40,6 +40,15 @@ import org.apache.spark.sql.functions._
   * operator contracts to — a 100 TB deployment at tens of iterations
   * would checkpoint the rank frame every few steps to truncate
   * lineage).
+  *
+  * Measured non-win (round 9, don't re-try at fixture scale):
+  * persisting + eagerly counting each iteration's rank frame to
+  * truncate lineage was SLOWER at sf0.1 (3.7-4.9 s vs 3.0-3.7 s warm)
+  * — the per-iteration materialization barrier and cache write cost
+  * more than the recompute they avoid when the rank frame is tiny and
+  * edges are already cached. The lazy form's O(iters²) recompute only
+  * wins out at much deeper iteration counts, which is exactly the
+  * checkpoint-every-few-steps regime documented above.
   */
 object PageRank {
 
