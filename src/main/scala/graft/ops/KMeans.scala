@@ -75,6 +75,23 @@ object KMeans {
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int, scale: Int = 10000): (Seq[Seq[Long]], DataFrame) = {
     require(k >= 1 && iters >= 1, "k and iters must be positive")
+    // AQE OFF for the fit's own driver-loop actions (init collect +
+    // per-iteration cell-agg collects over the small cached quantized
+    // frame), restored before returning — the resolveClusters
+    // rationale: per-stage AQE materialization adds driver round-trips
+    // per tiny job and re-plans nothing the cache stats don't already
+    // decide. Spark reads the conf at ACTION time, so the returned
+    // lazy assignment frame — executed later by consumers — still
+    // plans under the session's AQE setting.
+    val spark = df.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try fitLoop(df, vecCol, idCol, k, iters, scale)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def fitLoop(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, scale: Int): (Seq[Seq[Long]], DataFrame) = {
     // NOT spread: the per-pass compute is k*dims multiply-adds per row
     // (cheap), and the fit is a driver loop of small jobs — fanning a
     // single-row-group fixture scan to defaultParallelism would
