@@ -687,6 +687,66 @@ object Analytics {
               WHERE (in_base AND op <> 'D') OR (NOT in_base AND op = 'I')
               ORDER BY o_orderkey""")),
 
+    // Q63 — funnel analysis (ordered event-sequence matching): per
+    // user, the earliest view -> first click strictly after it ->
+    // first purchase strictly after that, plus the furthest stage
+    // reached — the product-analytics sequence-pattern class none of
+    // the window entries cover (q24's lag/lead is adjacent-row, this
+    // is cross-row ordered matching). All three stage times are
+    // conditional mins over ONE user-keyed exchange: the three window
+    // projections share the same partitioning (no orderBy, so no sort
+    // either), and Spark plans them on a single shuffle; timestamps
+    // compare as epoch micros (the q49 tie-safe contract). Exact
+    // integers end to end -> strict hash gate.
+    Entry("q63_funnel",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("tus"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" &&
+              col("tus") > col("t1"), col("tus"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" &&
+              col("tus") > col("t2"), col("tus"))).over(w))
+          .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+          .distinct()
+          .select(col("user_id"),
+            (when(col("t3").isNotNull, 3L)
+              .when(col("t2").isNotNull, 2L)
+              .when(col("t1").isNotNull, 1L)
+              .otherwise(0L)).as("stage"),
+            col("t1"), col("t2"), col("t3"))
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, event_type,
+                       epoch_ns(ts) // 1000 AS tus
+                FROM events),
+              s1 AS (
+                SELECT *, min(CASE WHEN event_type = 'view' THEN tus END)
+                            OVER (PARTITION BY user_id) AS t1
+                FROM ev),
+              s2 AS (
+                SELECT *, min(CASE WHEN event_type = 'click' AND tus > t1
+                                   THEN tus END)
+                            OVER (PARTITION BY user_id) AS t2
+                FROM s1),
+              s3 AS (
+                SELECT *, min(CASE WHEN event_type = 'purchase' AND tus > t2
+                                   THEN tus END)
+                            OVER (PARTITION BY user_id) AS t3
+                FROM s2)
+              SELECT DISTINCT user_id,
+                     CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                               WHEN t2 IS NOT NULL THEN 2
+                               WHEN t1 IS NOT NULL THEN 1
+                               ELSE 0 END AS BIGINT) AS stage,
+                     t1, t2, t3
+              FROM s3 ORDER BY user_id""")),
+
     // A-gini — per-source language-purity (Gini impurity of the lang
     // distribution, the mixture-skew diagnostic a corpus balancing job
     // watches). Kept EXACT: gini = 1 - sum(c_i^2)/n^2 is rational, so
