@@ -747,6 +747,47 @@ object Analytics {
                      t1, t2, t3
               FROM s3 ORDER BY user_id""")),
 
+    // Q64 — cohort retention: users grouped by their signup epoch-week
+    // (integer week index, NOT date_trunc('week') — epoch integer
+    // division is engine-identical by construction, calendar-week
+    // anchoring is a cross-engine convention risk), counted as active
+    // per week-offset since signup — the second product-analytics
+    // class beside q63's funnel. The signup time rides the same
+    // user-keyed window exchange pattern as q63; the retention agg is
+    // one (cohort, offset)-keyed exchange with a distinct-count.
+    Entry("q64_cohort_retention",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        val wk = 604800000000L // micros per week
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("su",
+            min(when(col("event_type") === "signup", col("tus"))).over(w))
+          .filter(col("su").isNotNull && col("tus") >= col("su"))
+          .select(
+            expr(s"su DIV $wk").as("cohort_week"),
+            expr(s"(tus - su) DIV $wk").as("week_offset"),
+            col("user_id"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, event_type,
+                       epoch_ns(ts) // 1000 AS tus
+                FROM events),
+              su AS (
+                SELECT *, min(CASE WHEN event_type = 'signup'
+                                   THEN tus END)
+                            OVER (PARTITION BY user_id) AS su
+                FROM ev)
+              SELECT su // 604800000000 AS cohort_week,
+                     (tus - su) // 604800000000 AS week_offset,
+                     count(DISTINCT user_id) AS n_users
+              FROM su
+              WHERE su IS NOT NULL AND tus >= su
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // A-gini — per-source language-purity (Gini impurity of the lang
     // distribution, the mixture-skew diagnostic a corpus balancing job
     // watches). Kept EXACT: gini = 1 - sum(c_i^2)/n^2 is rational, so
