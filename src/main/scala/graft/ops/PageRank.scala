@@ -26,77 +26,138 @@ import org.apache.spark.sql.functions._
   * the fixed iteration count (not convergence) is part of the contract.
   *
   * Scale shape: per iteration ONE shuffle — the equi-join (edges x
-  * ranks) is a broadcast of the node-sized rank frame under AQE, and
-  * the dst-keyed contribution aggregation doubles as the
+  * ranks) broadcasts the node-sized rank frame (explicit hint, not
+  * AQE), and the dst-keyed contribution aggregation doubles as the
   * next-rank materialization because every node contributes a zero row
   * to itself (union before the agg) instead of being joined back in
   * afterwards. That union replaces the old per-iteration
   * left-join-to-nodes stage: same semantics (a node with no in-edges
   * sums only its zero row -> s = 0 -> rank = base), one fewer exchange
-  * + one fewer AQE stage materialization per step. Edges (with
-  * out-degree precomputed) and the node set are persisted once and
-  * reused every iteration; rank frames stay lazy, so `iters` is
-  * bounded by plan depth (fine for the fixed small counts this
-  * operator contracts to — a 100 TB deployment at tens of iterations
-  * would checkpoint the rank frame every few steps to truncate
-  * lineage).
+  * per step. The raw edge frame and the node set (with out-degree
+  * attached) are persisted once and reused every iteration. Out-degree
+  * lives on the NODE frame, not the edge frame: floor(rank/deg) is
+  * computed once per node inside the broadcast projection instead of
+  * once per edge in the probe (at 100 TB, a per-node division replaces
+  * a per-edge one), the rank recurrence carries deg through the
+  * aggregation for free (each node's single zero row contributes it
+  * via max(deg) — contribution rows carry null), and the edge cache
+  * fill drops the old per-src window, i.e. one full edge-sized
+  * exchange.
+  *
+  * AQE is scoped OFF for the fit (same pattern as
+  * [[Dedup.resolveClusters]] and the k-means loop): with the rank side
+  * explicitly broadcast, runtime re-planning has nothing left to
+  * decide, and AQE's per-stage materialization turned the 3-iteration
+  * chain into 22 driver round-trip jobs (profiled r10 at sf0.1:
+  * 3.45 s / 22 jobs with AQE vs ~1.1 s / 5 jobs without — identical
+  * physical joins). Because the conf is read at ACTION time, not plan
+  * time, the final rank frame is persisted and counted INSIDE the
+  * scope — the caller's later action just reads the node-sized cache.
   *
   * Measured non-win (round 9, don't re-try at fixture scale):
-  * persisting + eagerly counting each iteration's rank frame to
+  * persisting + eagerly counting EACH iteration's rank frame to
   * truncate lineage was SLOWER at sf0.1 (3.7-4.9 s vs 3.0-3.7 s warm)
-  * — the per-iteration materialization barrier and cache write cost
-  * more than the recompute they avoid when the rank frame is tiny and
-  * edges are already cached. The lazy form's O(iters²) recompute only
-  * wins out at much deeper iteration counts, which is exactly the
-  * checkpoint-every-few-steps regime documented above.
+  * — a per-iteration materialization barrier costs more than the
+  * recompute it avoids when the rank frame is tiny and edges are
+  * already cached. The single final materialization here is different:
+  * it exists to move execution inside the AQE-off scope, and the
+  * iteration chain itself stays lazy/pipelined. A 100 TB deployment at
+  * tens of iterations would checkpoint the rank frame every few steps
+  * to truncate lineage instead.
   */
 object PageRank {
 
   /** Run `iters` exact-integer PageRank steps over `edges` (src, dst).
-    * Returns (id, pr) for every node, unsorted. */
+    * Returns (id, pr) for every node, unsorted, PERSISTED (node-sized;
+    * released by the caller / session cache clear). Not thread-safe
+    * with concurrent queries on the same session: the AQE toggle is
+    * session-global for the duration of the fit. */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 0 && scale > 0, "bad pagerank params")
-    val base = 15L * scale / 100L
-    // Persist the RAW edge frame first: both `nodes` and `edgesDeg`
-    // consume it, and the caller's edge expression is typically the
-    // expensive part (q45's is an orders x lineitem join + distinct —
-    // profiled at ~0.45 s per evaluation; the unpersisted form paid it
-    // twice). Out-degree rides in as a window count over the same
-    // src-keyed shuffle the cache fill already does — no separate
-    // aggregate + join-back.
-    // ONE cached frame, not three: edgesDeg (edges + out-degree via a
-    // src-keyed window over the same shuffle) is the only frame the
-    // iterations consume, and `nodes` derives from it cache-locally —
-    // persisting the raw edge frame separately paid an extra
-    // materialization pass over the expensive caller edge expression
-    // (q45's orders x lineitem distinct) for nothing.
-    val edgesDeg = edges.select(col("src"), col("dst"))
-      .withColumn("deg",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("src"))).persist()
-    val nodes = edgesDeg.select(col("src").as("id"))
-      .union(edgesDeg.select(col("dst").as("id")))
-      .distinct()
-      .persist()
-    // No explicit repartition here: the rank frame is node-sized, so AQE
-    // broadcasts it into the cached edge frame every iteration — edges
-    // never re-shuffle as-is. (Measured: forcing hash(src) partitioning
-    // on the cache added a full edge shuffle for nothing, 3.8s -> 4.6s.)
-    // The per-iteration cost that remains — the dst-keyed contribution
-    // aggregation — is inherent to the Pregel-as-joins form.
+    val spark = edges.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try runLoop(edges, iters, scale)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 
-    var r = nodes.select(col("id"), lit(scale).as("pr"))
-    for (_ <- 1 to iters) {
-      r = edgesDeg
-        .join(r, edgesDeg("src") === r("id"))
-        .select(col("dst").as("id"),
-          floor(col("pr") / col("deg")).cast("long").as("c"))
-        .union(nodes.select(col("id"), lit(0L).as("c")))
-        .groupBy("id").agg(sum("c").as("s"))
-        .select(col("id"),
-          (lit(base) + floor(lit(85L) * col("s")
-            / lit(100.0)).cast("long")).as("pr"))
-    }
-    r
+  private def runLoop(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val base = 15L * scale / 100L
+    // The caller's edge expression is typically the expensive part
+    // (q45's is an orders x lineitem join + distinct, ~0.45 s per
+    // evaluation), so the RAW edge frame is cached and materialized
+    // eagerly before anything else derives from it — the iteration
+    // chain's nested broadcast builds would otherwise race concurrent
+    // first-scans of the cache and pay the edge expression more than
+    // once. No out-degree window here (that was a second full
+    // edge-sized exchange in the old fill): degree is a node-sized
+    // aggregate over the cache, attached to the node frame below.
+    val raw = edges.select(col("src"), col("dst")).persist()
+    // Node frame = distinct ids WITH out-degree, in ONE aggregation:
+    // each edge votes 1 under its src and 0 under its dst, so sum(e)
+    // is the out-degree and the group-by keys are exactly the node set
+    // (deg null for pure sinks, matching the old left join). The single
+    // materializing action below fills BOTH caches (nodesD's plan scans
+    // raw) and returns the node and edge counts as aggregates — no
+    // separate raw.count() action, no broadcast-degree join whose build
+    // could race the raw cache's first fill.
+    val nodesD = raw.select(col("src").as("id"), lit(1L).as("e"))
+      .union(raw.select(col("dst").as("id"), lit(0L).as("e")))
+      .groupBy("id").agg(sum("e").as("eSum"))
+      .select(col("id"), when(col("eSum") > 0, col("eSum")).as("deg"))
+      .persist()
+    val stats = nodesD.agg(count(lit(1)), sum(coalesce(col("deg"), lit(0L))))
+      .head()
+    val nEdges = stats.getLong(1)
+    // With AQE scoped off, nothing coalesces the iteration stages, so
+    // do AQE's job from an EXACT statistic (the cached edge count):
+    // ~250k edge rows per task, bounded by the session setting so a
+    // cluster run with thousands of partitions configured still fans
+    // out. At sf0.1 (588k edges) this turns 64-task iteration stages
+    // into 3-task ones — the per-stage scheduling + deserialization
+    // floor was most of the measured iteration cost, not the math.
+    val sessPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(1, math.min(sessPart.toLong,
+      nEdges / 250000L + 1L).toInt)
+    val partWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", p)
+    try {
+      // coalesce: narrow merge of the 32-partition caches down to the
+      // chosen parallelism — no exchange, just fewer tasks per scan.
+      val edgesC = raw.coalesce(p)
+      val nodesC = nodesD.coalesce(p)
+      var r = nodesC.select(col("id"), lit(scale).as("pr"), col("deg"))
+      for (_ <- 1 to iters) {
+        // broadcast: the rank frame is node-sized, so the cached edge
+        // frame never re-shuffles; each step's only exchange is the
+        // dst-keyed contribution agg. The broadcast side pre-divides
+        // rank by out-degree (per NODE, not per edge; null deg = pure
+        // sink, never matches a src so its null c never surfaces), and
+        // deg rides the aggregation via each node's single zero row
+        // (max over one non-null + n nulls). Broadcast builds nest one
+        // per iteration and each executes once.
+        r = edgesC
+          .join(broadcast(r.select(col("id"),
+              floor(col("pr") / col("deg")).cast("long").as("c"))),
+            edgesC("src") === col("id"))
+          .select(col("dst").as("id"), col("c"),
+            lit(null).cast("long").as("deg"))
+          .union(nodesC.select(col("id"), lit(0L).as("c"), col("deg")))
+          .groupBy("id").agg(sum("c").as("s"), max("deg").as("deg"))
+          .select(col("id"),
+            (lit(base) + floor(lit(85L) * col("s")
+              / lit(100.0)).cast("long")).as("pr"),
+            col("deg"))
+      }
+      // Materialize INSIDE the AQE-off / scoped-partitions window (conf
+      // is read at action time); the input caches are released once the
+      // node-sized result is safely cached.
+      val out = r.select(col("id"), col("pr")).persist()
+      out.count()
+      raw.unpersist()
+      nodesD.unpersist()
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", partWas)
   }
 }
