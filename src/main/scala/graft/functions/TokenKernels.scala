@@ -147,6 +147,48 @@ object TokenKernels {
     new GenericArrayData(out)
   }
 
+  private val spaceSep = UTF8String.fromString(" ")
+
+  /** Distinct n-gram xxhash64 set straight from the token array — ONE
+    * fused loop replacing the interpreted shingle chain
+    * `transform(array_distinct(transform(sequence(0, greatest(size-n,
+    * 0)), i -> concat_ws(" ", slice(toks, i+1, n)))), xxhash64)`:
+    * grams start at every index 0..max(ne-n, 0) (so a doc shorter than
+    * n tokens yields ONE gram of all its tokens, and an empty array
+    * yields one empty-string gram — matching `sequence(0, 0)` +
+    * `slice`), `concat_ws` null-skipping included, distinct in
+    * first-occurrence order, each gram hashed with xxhash64(seed 42)
+    * over its UTF-8 bytes exactly as the builtin does. The HOF form
+    * materialized every gram STRING through boxed lambda plumbing plus
+    * an O(g^2)-ish array_distinct before hashing; this builds each gram
+    * once and hashes it in place. */
+  def ngramXx64Set(arr: ArrayData, n: Int): ArrayData = {
+    val ne = arr.numElements()
+    val upper = math.max(ne - n, 0)
+    val seen = new java.util.LinkedHashSet[UTF8String](
+      Math.max((upper + 1) * 2, 8))
+    var i = 0
+    while (i <= upper) {
+      val m = math.min(i + n, ne) - i
+      val parts = new Array[UTF8String](m)
+      var j = 0
+      while (j < m) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(spaceSep, parts: _*))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = XxHash64Function.hash(it.next(), StringType, 42L)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Portable per-doc SimHash signature straight from the token array:
     * one fused loop replacing the whole tokenize -> explode ->
     * md5-hex -> conv(substring) -> exchange -> [[SimHashAgg]] pipeline
@@ -364,6 +406,21 @@ case class MinHashBandBuckets(child: Expression, numHashes: Int,
     copy(child = newChild)
 }
 
+/** `ngram_xx64_set(tokens, n)` — distinct n-gram shingles
+  * (first-occurrence order) hashed to xxhash64 longs in one fused pass
+  * (see [[TokenKernels.ngramXx64Set]]). */
+case class NgramXx64Set(child: Expression, n: Int)
+    extends TokenArrayExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.ngramXx64Set(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.ngramXx64Set($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): NgramXx64Set =
+    copy(child = newChild)
+}
+
 /** `token_xx64_set(tokens)` — distinct tokens (first-occurrence order)
   * hashed to xxhash64 longs in one pass. */
 case class TokenXx64Set(child: Expression) extends TokenArrayExpression {
@@ -493,6 +550,17 @@ object TokenKernelFns {
   def tokenXx64Set(spark: SparkSession, toks: Column): Column = {
     reg(spark, "token_xx64_set", 1, args => TokenXx64Set(args.head))
     org.apache.spark.sql.functions.call_function("token_xx64_set", toks)
+  }
+
+  def ngramXx64Set(spark: SparkSession, toks: Column, n: Int): Column = {
+    reg(spark, "ngram_xx64_set", 2, args => NgramXx64Set(args.head,
+      args(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"ngram_xx64_set n must be an int literal, got $other")
+      }))
+    org.apache.spark.sql.functions.call_function("ngram_xx64_set", toks,
+      org.apache.spark.sql.functions.lit(n))
   }
 
   def bigramHashPairs(spark: SparkSession, toks: Column): Column = {

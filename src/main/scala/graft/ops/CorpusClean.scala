@@ -118,13 +118,14 @@ object CorpusClean {
         // loudly. shingleTokens is per-doc distinct, so the count per
         // (doc, k) IS the shared-shingle count and sum(1 - bench) per k
         // IS the training df.
-        val trainShingles = Dedup.shingleTokens(redacted, textCol, idCol, 3)
-          .select(col(idCol), xxhash64(col("tok")).as("k"))
+        // fused shingle-hash kernel: distinct 3-gram xxhash64 keys
+        // straight from the text (the t_decontaminate rationale)
+        val trainShingles = Dedup.shingleHashTokens(redacted, textCol, idCol, 3)
         val idType = trainShingles.schema(idCol).dataType
         val tagged = trainShingles.withColumn("bench", lit(0L))
-          .unionByName(Dedup.shingleTokens(benchNorm, textCol, idCol, 3)
+          .unionByName(Dedup.shingleHashTokens(benchNorm, textCol, idCol, 3)
             .select(lit(null).cast(idType).as(idCol),
-              xxhash64(col("tok")).as("k"), lit(1L).as("bench")))
+              col("k"), lit(1L).as("bench")))
         val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
         val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
         val flagged = tagged.repartition(n, col("k"))

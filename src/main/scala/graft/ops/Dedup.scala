@@ -85,6 +85,43 @@ object Dedup {
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), explode(gramsOf(col("__toks"), n)).as("tok"))
 
+  /** HASHED shingle long form, fused: (idCol, k) where k enumerates the
+    * doc's distinct n-gram xxhash64 keys straight from the text — the
+    * same join/window identity semantics as
+    * `shingleTokens(...).select(xxhash64(tok))` (TokenKernelsSpec pins
+    * the kernel bit-identical to that chain) with ZERO gram-string
+    * materialization: the interpreted transform + concat_ws +
+    * array_distinct shingle chain was the dominant CPU of every
+    * decontamination-family stage at sf0.1. */
+  def shingleHashTokens(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    graft.sources.Tables.spread(df)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        explode(graft.functions.TokenKernelFns.ngramXx64Set(
+          df.sparkSession, col("__toks"), n)).as("k"))
+
+  /** Blocked [[shingleHashTokens]]: (idCol, blockCol, k). */
+  def shingleHashSets(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int): DataFrame =
+    graft.sources.Tables.spread(df)
+      .select(col(idCol), col(blockCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col(blockCol),
+        explode(graft.functions.TokenKernelFns.ngramXx64Set(
+          df.sparkSession, col("__toks"), n)).as("k"))
+
+  /** Blocked HASHED token set (1-gram twin of [[shingleHashSets]]):
+    * (idCol, blockCol, k) with k the distinct-token xxhash64 keys —
+    * identical identity semantics to
+    * `tokenSets(...).select(xxhash64(tok))` via the fused
+    * [[graft.functions.TokenKernels.tokenXx64Set]] kernel. */
+  def tokenHashSets(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String): DataFrame =
+    graft.sources.Tables.spread(df)
+      .select(col(idCol), col(blockCol),
+        explode(graft.functions.TokenKernelFns.tokenXx64Set(
+          df.sparkSession, split(col(textCol), " "))).as("k"))
+
   /** All-pairs Jaccard similarity >= threshold within a blocking column.
     * `sets` is the long form from tokenSets/shingleSets. Output:
     * (d1, d2, jaccard) with d1 < d2. The intersection is computed by a
@@ -107,14 +144,22 @@ object Dedup {
     * bytes, the hash is 8. [[jaccardPairs]] and [[containmentPairs]]
     * are each one score projection + threshold over this frame. */
   private def blockedIntersection(sets: DataFrame, idCol: String,
-      blockCol: String): DataFrame = {
-    // persist the HASHED long form: three consumers (both join sides +
+      blockCol: String): DataFrame =
+    blockedIntersectionHashed(sets.select(col(idCol),
+      col(blockCol).as("blk"), xxhash64(col("tok")).as("tokh")), idCol)
+
+  /** [[blockedIntersection]] over a PRE-HASHED long form (idCol, blk,
+    * tokh) — the entry point for the fused-kernel producers
+    * ([[tokenHashSets]], [[shingleHashSets]]), which never materialize
+    * token/gram strings at all. */
+  private def blockedIntersectionHashed(sets: DataFrame,
+      idCol: String): DataFrame = {
+    // persist the hashed long form: three consumers (both join sides +
     // the size agg) would otherwise each re-run the scan + tokenize +
     // explode lineage; the cached frame is (id, block, int64) — a
     // fraction of the string form's bytes (released by the runner's
     // clearCache, the Q36 pattern)
-    val hashed = sets.select(col(idCol), col(blockCol).as("blk"),
-      xxhash64(col("tok")).as("tokh")).persist()
+    val hashed = sets.persist()
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = hashed.select(col(idCol).as("d1"), col("blk"), col("tokh"))
     val b = hashed.select(col(idCol).as("d2"), col("blk").as("blk2"),
@@ -129,7 +174,19 @@ object Dedup {
 
   def jaccardPairs(sets: DataFrame, idCol: String, blockCol: String,
       threshold: Double): DataFrame =
-    blockedIntersection(sets, idCol, blockCol)
+    jaccardScore(blockedIntersection(sets, idCol, blockCol), threshold)
+
+  /** [[jaccardPairs]] over a fused-kernel HASHED long form (idCol,
+    * blockCol, k) from [[tokenHashSets]] / [[shingleHashSets]] —
+    * identical output (the kernels are spec-pinned bit-identical to
+    * the string chain + xxhash64), none of the string materialization. */
+  def jaccardPairsHashed(hashedSets: DataFrame, idCol: String,
+      blockCol: String, threshold: Double): DataFrame =
+    jaccardScore(blockedIntersectionHashed(hashedSets.select(col(idCol),
+      col(blockCol).as("blk"), col("k").as("tokh")), idCol), threshold)
+
+  private def jaccardScore(inter: DataFrame, threshold: Double): DataFrame =
+    inter
       .withColumn("jaccard",
         col("c").cast("double") / (col("n1") + col("n2") - col("c")))
       .filter(col("jaccard") >= threshold)
@@ -146,7 +203,19 @@ object Dedup {
     * d1 < d2. */
   def containmentPairs(sets: DataFrame, idCol: String, blockCol: String,
       threshold: Double): DataFrame =
-    blockedIntersection(sets, idCol, blockCol)
+    containmentScore(blockedIntersection(sets, idCol, blockCol), threshold)
+
+  /** [[containmentPairs]] over the fused-kernel HASHED long form (the
+    * [[jaccardPairsHashed]] rationale). */
+  def containmentPairsHashed(hashedSets: DataFrame, idCol: String,
+      blockCol: String, threshold: Double): DataFrame =
+    containmentScore(blockedIntersectionHashed(hashedSets.select(
+      col(idCol), col(blockCol).as("blk"), col("k").as("tokh")), idCol),
+      threshold)
+
+  private def containmentScore(inter: DataFrame,
+      threshold: Double): DataFrame =
+    inter
       .filter(col("c") * 10000L >= least(col("n1"), col("n2"))
         * lit(math.round(threshold * 10000))) // round, not truncate: 0.35
         // binary-represents as 0.34999..., and .toLong would silently

@@ -221,9 +221,9 @@ object CorpusOps {
         // + join-back shape paid a cache fill and a second shuffle for
         // the same number (the t_bigram_lm window rationale).
         val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-        Dedup.shingleSets(
-            t(s, dir, "documents"), "text", "doc_id", "source", 3)
-          .select(col("doc_id"), xxhash64(col("tok")).as("k"))
+        // fused shingle-hash kernel (the t_decontaminate rationale)
+        Dedup.shingleHashTokens(
+            t(s, dir, "documents"), "text", "doc_id", 3)
           .repartition(n, col("k"))
           .withColumn("df", count(lit(1)).over(Window.partitionBy("k")))
           .groupBy("doc_id")

@@ -133,8 +133,8 @@ object TextOps {
     // X4 — near-dup: exact Jaccard on distinct token sets, blocked by
     // `source`, threshold 0.6. (MinHash+LSH below is the at-scale path.)
     Entry("x4_jaccard_neardup",
-      (s, dir) => Dedup.jaccardPairs(
-        Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id", "source"),
+      (s, dir) => Dedup.jaccardPairsHashed(
+        Dedup.tokenHashSets(t(s, dir, "documents"), "text", "doc_id", "source"),
         "doc_id", "source", 0.6),
       Some("""WITH toks AS (
                 SELECT DISTINCT doc_id, source,
@@ -157,8 +157,8 @@ object TextOps {
 
     // X4b — n-gram (3-shingle) Jaccard variant of X4.
     Entry("x4_ngram_jaccard",
-      (s, dir) => Dedup.jaccardPairs(
-        Dedup.shingleSets(t(s, dir, "documents"), "text", "doc_id", "source", 3),
+      (s, dir) => Dedup.jaccardPairsHashed(
+        Dedup.shingleHashSets(t(s, dir, "documents"), "text", "doc_id", "source", 3),
         "doc_id", "source", 0.35),
       Some("""WITH grams AS (
                 SELECT DISTINCT doc_id, source,
@@ -188,8 +188,8 @@ object TextOps {
     // misses it; sub-document duplication dominates scraped corpora).
     // Score is floor(1e4·c/min): exact integer ratio, strict hash gate.
     Entry("x14_containment",
-      (s, dir) => Dedup.containmentPairs(
-        Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id", "source"),
+      (s, dir) => Dedup.containmentPairsHashed(
+        Dedup.tokenHashSets(t(s, dir, "documents"), "text", "doc_id", "source"),
         "doc_id", "source", 0.9),
       Some("""WITH toks AS (
                 SELECT DISTINCT doc_id, source,
@@ -226,9 +226,8 @@ object TextOps {
         // paid a cache fill and a second shuffle for the same number
         // (the t_bigram_lm window rationale)
         val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-        Dedup.shingleTokens(
+        Dedup.shingleHashTokens(
             t(s, dir, "documents"), "text", "doc_id", 3)
-          .select(col("doc_id"), xxhash64(col("tok")).as("k"))
           .repartition(n, col("k"))
           .withColumn("first_doc",
             min("doc_id").over(Window.partitionBy("k")))
@@ -425,12 +424,10 @@ object TextOps {
         // the window's exchange, pinned so AQE's size-based coalescing
         // can't serialize the CPU-heavy window sort.
         val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-        Dedup.shingleSets(docs, "text", "doc_id", "source", 3)
-          // long keys, not strings: the window only needs shingle
-          // IDENTITY, and the k-keyed sort is ~3x cheaper than a
-          // string sort (the t_boilerplate rationale; a collision
-          // would fail the oracle loudly)
-          .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("k"))
+        // fused kernel: distinct 3-gram xxhash64 keys straight from the
+        // text (the window only needs shingle IDENTITY, and a collision
+        // would fail the oracle loudly) — no gram strings materialized
+        Dedup.shingleHashSets(docs, "text", "doc_id", "source", 3)
           .repartition(n, col("k"))
           .withColumn("in_bench",
             max(when(col("source") === "src0", 1L).otherwise(0L))
@@ -472,9 +469,8 @@ object TextOps {
     Entry("t_decontam_bloom",
       (s, dir) => {
         graft.functions.BloomFn.register(s)
-        val sh = Dedup.shingleSets(t(s, dir, "documents"), "text",
-            "doc_id", "source", 3)
-          .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("k"))
+        val sh = Dedup.shingleHashSets(t(s, dir, "documents"), "text",
+          "doc_id", "source", 3)
         sh.filter(col("source") =!= "src0").select("doc_id", "k")
           .createOrReplaceTempView("tdb_probe")
         // The benchmark shingle set is read twice (bloom build + exact
@@ -544,9 +540,8 @@ object TextOps {
         // (the t_decontaminate / t_bigram_lm window rationale).
         val n = s.conf.get("spark.sql.shuffle.partitions").toInt
         val w = Window.partitionBy("k")
-        Dedup.shingleSets(docs, "text", "doc_id", "source", 3)
-          // long shingle keys pre-shuffle (t_boilerplate rationale)
-          .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("k"))
+        // fused shingle-hash kernel (t_decontaminate rationale)
+        Dedup.shingleHashSets(docs, "text", "doc_id", "source", 3)
           .repartition(n, col("k"))
           .withColumn("in_bench",
             max(when(col("source") === "src0", 1L).otherwise(0L)).over(w))
@@ -665,8 +660,8 @@ object TextOps {
     // [[graft.ops.Dedup.resolveClusters]].
     Entry("q36_dedup_clusters",
       (s, dir) => {
-        val pairs = Dedup.jaccardPairs(
-          Dedup.tokenSets(t(s, dir, "documents"), "text", "doc_id", "source"),
+        val pairs = Dedup.jaccardPairsHashed(
+          Dedup.tokenHashSets(t(s, dir, "documents"), "text", "doc_id", "source"),
           "doc_id", "source", 0.6)
         val assign = pairs.groupBy(col("d2"))
           .agg(min("d1").as("d1")).select("d1", "d2")

@@ -100,6 +100,55 @@ class TokenKernelsSpec extends AnyFunSuite {
     }
   }
 
+  /** The exact HOF chain [[graft.ops.Dedup.shingleTokens]] +
+    * xxhash64 computes: grams at indices 0..max(size-n, 0), concat_ws
+    * null-skipping, array_distinct, then the hash. */
+  private def hofNgramHashes(toks: org.apache.spark.sql.Column, n: Int) =
+    transform(
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      g => xxhash64(g))
+
+  test("ngram_xx64_set equals the gramsOf + xxhash64 HOF chain") {
+    val df = fixtureTexts.select(col("id"), split(col("text"), " ").as("t"))
+    for (n <- Seq(2, 3, 5)) {
+      val both = df.select(
+        TokenKernelFns.ngramXx64Set(spark, col("t"), n).as("fused"),
+        hofNgramHashes(col("t"), n).as("hof"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n")
+      }
+    }
+  }
+
+  test("ngram_xx64_set over the real documents fixture matches") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(split(col("text"), " ").as("t"))
+    val bad = docs.select(
+        TokenKernelFns.ngramXx64Set(spark, col("t"), 3).as("fused"),
+        hofNgramHashes(col("t"), 3).as("hof"))
+      .filter(not(col("fused") <=> col("hof"))).count()
+    assert(bad == 0)
+  }
+
+  test("ngram_xx64_set handles nulls, empties and short docs like the HOF") {
+    import spark.implicits._
+    val df = Seq(
+      Seq[String]("a", null, "b", "a", null, "b", "c"),
+      Seq[String](),
+      Seq[String]("one"),
+      Seq[String]("x", "y") // shorter than n=3
+    ).map(Tuple1(_)).toDF("t")
+    val both = df.select(
+      TokenKernelFns.ngramXx64Set(spark, col("t"), 3).as("fused"),
+      hofNgramHashes(col("t"), 3).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("bigram_hash_pairs equals adjacentPairs + xxhash64 columns") {
     val df = fixtureTexts.select(col("id"), split(col("text"), " ").as("t"))
     val hof = df
