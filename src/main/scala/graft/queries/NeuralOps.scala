@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.ml.{Conv2Trainer, ConvNetTrainer, ConvTrainer, GdTrainer, Lstm2Trainer, LstmTrainer, NeuralForward, Rnn2Trainer, RnnTrainer, SignGd, TrainerCommon}
+import graft.ml.{Conv2Trainer, ConvNetTrainer, ConvTrainer, GdTrainer, Lstm2Trainer, LstmTrainer, NeuralForward, Rnn2Trainer, RnnTrainer, SignGd, TrainerCommon, WideLstm2, WideNet, WideRnn2}
 
 /** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
   * semantics; reference `models/cnn_model.py:21-32` stack shape and
@@ -416,10 +416,15 @@ object NeuralOps {
         val w0 = w0i.copy(b1 = w0i.b1.map(_.abs + 0.1),
           b2 = w0i.b2.map(_.abs + 0.1))
         val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
-        // T=6 of the 8 features, 2 ES epochs (3 aggregation passes):
-        // per-pass cost here is driver-side plan/codegen depth, not
-        // data — the q56 rationale, doubled by the second layer
-        val es = Rnn2Trainer.fitEs(facts, xs.take(6), y, w0, maxEpochs = 2,
+        // T=6 of the 8 features, 2 ES epochs. Fit runs on the
+        // treeAggregate twin (WideRnn2 — the reference-width execution
+        // path): WideRnn2Spec pins it gradient-for-gradient to
+        // Rnn2Trainer's staged plan, so the trajectory is unchanged
+        // while the per-epoch staged plan/codegen cost (the old
+        // bench-dominating term) disappears. predictStaged below stays
+        // on the staged plan — one scoring pass, and it keeps the
+        // staged forward DAG exercised end-to-end in this entry.
+        val es = WideRnn2.fitEs(facts, xs.take(6), y, w0, maxEpochs = 2,
           lr = 0.25, rowKey = rk, dropout = 0.3,
           isVal = TrainerCommon.valSplitPortable(
             Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
@@ -479,15 +484,17 @@ object NeuralOps {
         val w0 = Lstm2Trainer.init(u1 = 2, u2 = 2, d = 3, classes = 2,
           seed = 47L)
         val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
-        // T=3, 2 plain-fit epochs (2 aggregation passes; the ES
-        // harness — which costs a trailing validation pass — is
-        // demonstrated on q40/q42/q58/q59; this entry's job is the
-        // stacked gated BPTT): the stacked DAG is ~15 staged frontiers
-        // per step forward+backward and per-pass cost is driver-side
-        // plan/codegen depth, not data (measured 29s at T=4/3 ES
-        // epochs vs ~8s here at sf0.1 — same semantics,
-        // Lstm2TrainerSpec pins the math at T=5)
-        val (w, losses) = Lstm2Trainer.fit(facts, xs.take(3), y, w0,
+        // T=3, 2 plain-fit epochs (the ES harness — which costs a
+        // trailing validation pass — is demonstrated on
+        // q40/q42/q58/q59; this entry's job is the stacked gated
+        // BPTT). Fit runs on the treeAggregate twin (WideLstm2, the
+        // q59 rationale): WideLstm2Spec pins it gradient-for-gradient
+        // to Lstm2Trainer's staged plan (~15 staged frontiers per step
+        // whose plan/codegen depth dominated bench wall — measured 29s
+        // at T=4/3 ES epochs vs ~8s at T=3 for the staged form at
+        // sf0.1), so the trajectory is unchanged at a fraction of the
+        // cost; predictStaged keeps the staged forward DAG exercised.
+        val (w, losses) = WideLstm2.fit(facts, xs.take(3), y, w0,
           epochs = 2, lr = 0.5, rowKey = rk, dropout = 0.3)
         val (lab, fs) = labeled(facts, xs, y)
         (losses, accOf(Lstm2Trainer.predictStaged(
@@ -598,10 +605,14 @@ object NeuralOps {
           val w0 = ConvNetTrainer.init(T = 22, filters = Seq(2, 2, 2),
             kernel = 3, dense = 4, classes = 2, seed = 41L)
           // 2 epochs: the ES harness + loss-descent gate need two
-          // points, and per-epoch cost here is plan/codegen depth of
-          // the 3-block staged DAG, not data (the q56 rationale) —
-          // epoch 3 added ~2.3s of bench wall for no extra coverage
-          val es = ConvNetTrainer.fitEs(facts, xs, y, w0, maxEpochs = 2,
+          // points. Fit runs on the treeAggregate twin (WideNet, the
+          // reference-width execution path): WideNetSpec pins it
+          // gradient-for-gradient to ConvNetTrainer's staged plan, so
+          // the trajectory is unchanged while the 3-block staged DAG's
+          // per-epoch plan/codegen cost (the old bench-dominating
+          // term — epoch 3 alone added ~2.3s of wall) disappears;
+          // predictStaged below keeps the staged forward DAG exercised.
+          val es = WideNet.fitEs(facts, xs, y, w0, maxEpochs = 2,
             lr = 0.5, rowKey = rk, dropout = 0.5,
             isVal = TrainerCommon.valSplitPortable(
             Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
