@@ -13,9 +13,39 @@ import org.apache.spark.sql.SparkSession
   * not the JVM.
   */
 object Bench {
+
+  /** Entries whose measured time is write+commit+read-back of a SINK,
+    * while their DuckDB oracle only re-reads pre-existing parquet — an
+    * apples-to-oranges ratio by construction. Tagged in the artifact so
+    * a ratio report can separate the sink class instead of reading a
+    * 45x "regression" into a 2-row result that pays a full partitioned
+    * write.
+    */
+  private val SinkClass = Set("s1_csv_roundtrip", "s2_jsonl_roundtrip",
+    "s3_orc_roundtrip", "w1_partitioned_sink", "q62_merge_upsert")
+
+  /** One-line run-environment snapshot: loadavg + available memory.
+    * A driver-vs-builder total discrepancy (round 9: 151.7s recorded
+    * vs 89.5s same-code) must be diagnosable from the artifact alone. */
+  private def envSnap(): String = {
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val availMb =
+      try {
+        val line = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("/proc/meminfo"))
+          .stream.filter(_.startsWith("MemAvailable")).findFirst()
+        if (line.isPresent)
+          line.get.replaceAll("[^0-9]", "").toLong / 1024
+        else -1L
+      } catch { case _: Throwable => -1L }
+    f"""{"load":$load%.2f,"mem_avail_mb":$availMb}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val envStart = envSnap()
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -98,7 +128,11 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val worstTotal = results.flatMap(_._4).sum
     val nErr = results.count(r => r._2.isEmpty && r._3.isDefined)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"worst_total":$worstTotal,"sf":"$sfDir"}"""
+    val sinkTagged = results.collect {
+      case (k, Some(_), _, _) if SinkClass(k) => s"\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val envEnd = envSnap()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"worst_total":$worstTotal,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r0N.json keeps only the tail of stdout, so the
     // first half of the per-query map is lost from the recorded artifact
