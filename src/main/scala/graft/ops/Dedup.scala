@@ -585,9 +585,16 @@ object Dedup {
     * shuffle and none. Output: (idCol, simhash). */
   def simhashPortableFused(docs: DataFrame, textCol: String,
       idCol: String): DataFrame =
-    graft.sources.Tables.spread(docs).select(col(idCol),
-      graft.functions.TokenKernelFns.simhashMd5Sig(docs.sparkSession,
-        split(col(textCol), " ")).as("simhash"))
+    // null-text filter: the exploded form DROPS null-text docs (a null
+    // token array explodes to zero rows, so no agg group forms), while
+    // the kernel would emit a (id, NULL) row for them — filtering keeps
+    // the advertised bit-identical row-set equivalence on corpora WITH
+    // null text, not just the fixture
+    graft.sources.Tables.spread(docs)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.TokenKernelFns.simhashMd5Sig(docs.sparkSession,
+          split(col(textCol), " ")).as("simhash"))
 
   /** Resolve keeper ASSIGNMENT CHAINS to final cluster roots by pointer
     * jumping: `assign` is (d1 = keeper, d2 = doc) from
@@ -598,6 +605,14 @@ object Dedup {
     * graph library. Each iteration's result is persisted and the
     * previous one released, so lineage stays one join deep.
     * Output: (doc, root) for every doc that ends up re-rooted.
+    *
+    * NOT thread-safe with concurrent queries on the same session: the
+    * AQE toggle below is session-global for the duration of the loop
+    * (a concurrent query would silently plan without AQE, and
+    * concurrent entries could race the save/restore). Run on a
+    * dedicated session (`spark.newSession()`) if concurrent use is
+    * needed — the same contract as [[KMeans.fit]] and
+    * [[PageRank.run]].
     */
   def resolveClusters(assign: DataFrame): DataFrame = {
     // AQE OFF for the duration of the loop (restored after): every

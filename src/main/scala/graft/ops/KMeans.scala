@@ -71,7 +71,13 @@ object KMeans {
 
   /** Run `iters` assignment passes (iters - 1 centroid updates) and
     * return (final centroids, final assignment frame
-    * (idCol, cluster, dist)). */
+    * (idCol, cluster, dist)).
+    *
+    * NOT thread-safe with concurrent queries on the same session: the
+    * AQE toggle below is session-global for the duration of the fit
+    * (the [[graft.ops.Dedup.resolveClusters]] /
+    * [[graft.ops.PageRank.run]] contract) — use `spark.newSession()`
+    * for concurrent workloads. */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int, scale: Int = 10000): (Seq[Seq[Long]], DataFrame) = {
     require(k >= 1 && iters >= 1, "k and iters must be positive")

@@ -316,11 +316,16 @@ object Similarity {
     def dotLit(c: Seq[Long]): Column =
       aggregate(zip_with(col("v"), typedLit(c), (x, y) => x * y),
         lit(0L), (acc, x) => acc + x)
-    val probe = q.filter(col(idCol) === probeId).select("v")
-      .head().getSeq[Long](0).toIndexedSeq
+    val probeRows = q.filter(col(idCol) === probeId).select("v").take(1)
+    require(probeRows.nonEmpty,
+      s"mmrSelect: probe id $probeId not found in $idCol")
+    val probe = probeRows.head.getSeq[Long](0).toIndexedSeq
     // relevance never changes across rounds — compute once, persist
     val rel = q.withColumn("rel", dotLit(probe)).persist()
     try {
+      val nCand = rel.count()
+      require(k <= nCand,
+        s"mmrSelect: k=$k exceeds the $nCand available candidates")
       val picks = scala.collection.mutable.Buffer[(Long, Long, IndexedSeq[Long])]()
       for (_ <- 1 to k) {
         val maxsim =

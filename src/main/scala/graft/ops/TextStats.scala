@@ -63,18 +63,19 @@ object TextStats {
   def qualityColumns(df: DataFrame, textCol: String): DataFrame = {
     val qc = graft.functions.TokenKernelFns
       .textQualityCounts(df.sparkSession, col(textCol))
-    df.withColumn("__qc", qc)
-      .withColumn("n_tok", col("__qc.n_tok"))
-      .withColumn("mean_tok_len",
-        round(col("__qc.n_char").cast("double")
-          / greatest(col("__qc.n_tok"), lit(1L)), 4))
-      .withColumn("stopword_ratio",
-        round(col("__qc.n_stop").cast("double")
-          / greatest(col("__qc.n_tok"), lit(1L)), 4))
-      .withColumn("symbol_ratio",
-        round(col("__qc.n_sym").cast("double")
-          / greatest(col("__qc.n_char"), lit(1L)), 4))
-      .drop("__qc")
+    // select-based projection, no staging column: the old
+    // withColumn("__qc", ...) + drop would silently OVERWRITE and then
+    // remove a caller's own __qc column. Direct field reads off the
+    // kernel struct fold identically under CollapseProject +
+    // subexpression elimination (one kernel eval per row).
+    df.select(col("*"),
+      qc.getField("n_tok").as("n_tok"),
+      round(qc.getField("n_char").cast("double")
+        / greatest(qc.getField("n_tok"), lit(1L)), 4).as("mean_tok_len"),
+      round(qc.getField("n_stop").cast("double")
+        / greatest(qc.getField("n_tok"), lit(1L)), 4).as("stopword_ratio"),
+      round(qc.getField("n_sym").cast("double")
+        / greatest(qc.getField("n_char"), lit(1L)), 4).as("symbol_ratio"))
   }
 
   /** Rolling polynomial fingerprint over the token stream:

@@ -68,12 +68,17 @@ object VecDotRewrite extends Rule[LogicalPlan] {
           ZipWith(l, r, LambdaFunction(
             Multiply(xv: NamedLambdaVariable, yv: NamedLambdaVariable, _),
             Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _)),
-          Literal(0.0, DoubleType),
+          // raw-bits zero test, not `Literal(0.0, ...)`: Scala numeric
+          // == matches -0.0 too, and a -0.0 seed is NOT equivalent (an
+          // empty array folds to the seed itself; VecDot seeds +0.0) —
+          // the rule's bit-identical contract demands exactly +0.0
+          Literal(seed: Double, DoubleType),
           LambdaFunction(
             Add(accv: NamedLambdaVariable, inv: NamedLambdaVariable, _),
             Seq(aacc: NamedLambdaVariable, ain: NamedLambdaVariable), _),
           finish)
-        if xv.exprId == ax.exprId && yv.exprId == ay.exprId &&
+        if java.lang.Double.doubleToRawLongBits(seed) == 0L &&
+          xv.exprId == ax.exprId && yv.exprId == ay.exprId &&
           accv.exprId == aacc.exprId && inv.exprId == ain.exprId &&
           isIdentity(finish) =>
         (vecChild(l), vecChild(r)) match {

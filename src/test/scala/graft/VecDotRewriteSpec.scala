@@ -56,7 +56,12 @@ class VecDotRewriteSpec extends AnyFunSuite {
       toD(col("embedding")), (x, y) => x * y), lit(1.0), (acc, x) => acc + x)
     val wrongLambda = aggregate(zip_with(toD(col("embedding")),
       toD(col("embedding")), (x, y) => x + y), lit(0.0), (acc, x) => acc + x)
-    for (c <- Seq(wrongZero, wrongLambda)) {
+    // -0.0 seed: Scala numeric == calls it equal to 0.0, but an empty
+    // array folds to the SEED itself, so rewriting would flip its sign
+    // bit — the raw-bits guard must reject it
+    val negZero = aggregate(zip_with(toD(col("embedding")),
+      toD(col("embedding")), (x, y) => x * y), lit(-0.0), (acc, x) => acc + x)
+    for (c <- Seq(wrongZero, wrongLambda, negZero)) {
       val plan = emb.select(c.as("d")).queryExecution.executedPlan.toString
       assert(!plan.toLowerCase.contains("vecdot"), plan.take(600))
     }
