@@ -248,24 +248,43 @@ object Similarity {
     * cluster (the smallest-id init makes this plausible), turning the
     * blocked-quadratic baseline quadratic in practice — AQE splits a
     * skewed shuffle partition but cannot shrink the pair count itself.
-    * When any cluster's implied pair count exceeds `pairBudget` the op
-    * logs a warning naming the clusters and pointing at the ANN
-    * candidate path (sign-LSH / IVF, X2b/X2c) — the k-rows size check
-    * is one tiny aggregation over the (persisted) assignment. */
+    * When a cluster's implied pair count exceeds `pairBudget`, THAT
+    * cluster's candidate generation SWAPS to sign-LSH buckets within
+    * the cluster (hamming <= 1 multi-probe over `annBits` sign bits —
+    * the X2b path): candidates shrink from n^2/2 to ~n^2 (annBits+1) /
+    * 2^annBits per hot cluster, at ANN semantics for those clusters
+    * only — each hot-cluster row's reported nn is its nearest
+    * CANDIDATE (exact distance, the true NN when they share a probed
+    * bucket), and a row with no bucket peer is omitted rather than
+    * paying the quadratic scan. Clusters within budget keep the exact
+    * form, so a run with no hot clusters (the fixture corpora; any
+    * well-conditioned k scaling) is bit-identical to the exact
+    * operator. The k-rows size check is one tiny aggregation over the
+    * (persisted) assignment; the swap is logged with the offending
+    * cluster ids. */
   def withinClusterNN(assign: DataFrame, quantized: DataFrame,
-      idCol: String, pairBudget: Long = 100000000L): DataFrame = {
-    val spark = assign.sparkSession
+      idCol: String, pairBudget: Long = 100000000L,
+      annBits: Int = 8): DataFrame = {
     val hot = assign.groupBy("cluster").count().collect()
       .filter(r => { val n = r.getLong(1); n * (n - 1) / 2 > pairBudget })
-    if (hot.nonEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"withinClusterNN: cluster(s) ${hot.map(_.get(0)).mkString(",")} " +
-          s"exceed the ${pairBudget}-pair budget " +
-          s"(sizes ${hot.map(_.getLong(1)).mkString(",")}); the exact " +
-          "within-cluster form is quadratic in the hot cluster — switch " +
-          "to an ANN candidate path (signBuckets / ivfTopK) for corpora " +
-          "this skewed")
+      .map(_.get(0).asInstanceOf[Number].longValue)
     val withV = assign.join(quantized, idCol)
+    if (hot.isEmpty) exactNN(withV, idCol)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"withinClusterNN: cluster(s) ${hot.mkString(",")} exceed the " +
+          s"$pairBudget-pair budget; swapping their candidate " +
+          s"generation to sign-LSH buckets ($annBits bits, hamming <= 1 " +
+          "multi-probe) — ANN semantics for those clusters only")
+      val isHot = col("cluster").isin(hot.toSeq: _*)
+      exactNN(withV.filter(!isHot), idCol)
+        .unionByName(annNN(withV.filter(isHot), idCol, annBits))
+    }
+  }
+
+  /** Exact within-cluster argmin over all same-cluster pairs. */
+  private def exactNN(withV: DataFrame, idCol: String): DataFrame = {
+    val spark = withV.sparkSession
     val l = withV.select(col(idCol).as("d1"),
       col("cluster"), col("v").as("v1"))
     val r = withV.select(col(idCol).as("d2"),
@@ -277,6 +296,37 @@ object Similarity {
       .select(col("cluster"), col("d1"), col("d2"), col("pdist"))
     val pairs = half.unionByName(half.select(col("cluster"),
       col("d2").as("d1"), col("d1").as("d2"), col("pdist")))
+    nnArgmin(pairs, idCol)
+  }
+
+  /** ANN candidates within hot clusters: sign-LSH over the quantized
+    * vector's leading `nBits` dims; the left side enumerates its own
+    * bucket plus each one-bit flip (multi-probe), the right side keys
+    * on its own bucket, so every hamming <= 1 pair surfaces exactly
+    * once per direction — a (cluster, bucket)-keyed equijoin, never a
+    * per-cluster cross product. */
+  private def annNN(withV: DataFrame, idCol: String,
+      nBits: Int): DataFrame = {
+    val spark = withV.sparkSession
+    val bucket = (0 until nBits).map { j =>
+      when(element_at(col("v"), j + 1) > 0L, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = withV.withColumn("bkt", bucket)
+    val probes = array((Seq(col("bkt")) ++
+      (0 until nBits).map(j => col("bkt").bitwiseXOR(lit(1L << j)))): _*)
+    val l = b.select(col(idCol).as("d1"), col("cluster"),
+      col("v").as("v1"), explode(probes).as("pbkt"))
+    val r = b.select(col(idCol).as("d2"), col("cluster"),
+      col("v").as("v2"), col("bkt").as("pbkt"))
+    val pairs = l.join(r, Seq("cluster", "pbkt"))
+      .filter(col("d1") =!= col("d2"))
+      .withColumn("pdist", graft.functions.VecDist2.vecDist2(
+        spark, col("v1"), col("v2")))
+      .select(col("cluster"), col("d1"), col("d2"), col("pdist"))
+    nnArgmin(pairs, idCol)
+  }
+
+  private def nnArgmin(pairs: DataFrame, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("d1")
       .orderBy(col("pdist").asc, col("d2").asc)
     pairs.withColumn("rn", row_number().over(w))

@@ -102,4 +102,46 @@ class SimilaritySpec extends AnyFunSuite {
     val scores = out.drop(1).map(_.getLong(2))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("withinClusterNN swaps hot clusters to the sign-LSH candidate path") {
+    // one deliberately collapsed cluster of 4; vectors chosen so id 1's
+    // TRUE nn (id 3) sits hamming-2 away in 2-bit sign buckets while a
+    // farther point (id 4) shares a hamming-1 bucket:
+    //   id 1 [+1,+1,  0] bkt 11
+    //   id 2 [+1,+1,100] bkt 11 (same bucket, far: d=10000)
+    //   id 3 [-1,-1,  0] bkt 00 (true nn of 1: d=8, hamming 2 - unseen)
+    //   id 4 [+1,-1, 50] bkt 01 (hamming 1: d=2504 - the ann candidate)
+    val quantized = Seq(
+      (1L, Seq(1L, 1L, 0L)), (2L, Seq(1L, 1L, 100L)),
+      (3L, Seq(-1L, -1L, 0L)), (4L, Seq(1L, -1L, 50L)))
+      .toDF("vec_id", "v")
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
+      .toDF("vec_id", "cluster")
+    def nnOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r =>
+        r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // within budget: exact — 1's nn is 3 at d=8
+    val exact = nnOf(Similarity.withinClusterNN(assign, quantized,
+      "vec_id", pairBudget = 100L, annBits = 2))
+    assert(exact(1L) == ((3L, 8L)))
+    // budget 2 < 6 pairs: the swap engages; 1's nn becomes its nearest
+    // hamming<=1 CANDIDATE (4 at exact d=2504), not the true nn
+    val ann = nnOf(Similarity.withinClusterNN(assign, quantized,
+      "vec_id", pairBudget = 2L, annBits = 2))
+    assert(ann(1L) == ((4L, 2504L)))
+    assert(ann != exact)
+    // candidates score EXACT distances: 2's true nn is 4 (d=2504,
+    // hamming-1 bucket), found identically on both paths
+    assert(ann(2L) == ((4L, 2504L)) && exact(2L) == ((4L, 2504L)))
+    // cold clusters keep the exact path under the same call: add a
+    // second small cluster and check it is untouched by the hot swap
+    val q2 = quantized.unionByName(Seq((5L, Seq(9L, 9L, 9L)),
+      (6L, Seq(9L, 9L, 10L))).toDF("vec_id", "v"))
+    val a2 = assign.unionByName(Seq((5L, 1L), (6L, 1L))
+      .toDF("vec_id", "cluster"))
+    val mixed = nnOf(Similarity.withinClusterNN(a2, q2, "vec_id",
+      pairBudget = 2L, annBits = 2))
+    assert(mixed(5L) == ((6L, 1L)) && mixed(6L) == ((5L, 1L)))
+    assert(mixed(1L) == ((4L, 2504L)))
+  }
 }
