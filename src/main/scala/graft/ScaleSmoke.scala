@@ -101,6 +101,82 @@ object ScaleSmoke {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // ---- event-sequence classes (q62/q63/q64 shapes) under HOT-USER
+    // skew: one user owns 10% of all events (the celebrity-account
+    // profile real product telemetry has), the rest spread uniformly.
+    // funnel and cohort ride a user-keyed window with NO orderBy (an
+    // unbounded-frame conditional min — the hot partition is buffered,
+    // not sorted), so the hazard here is one window partition holding
+    // n/10 rows; MERGE is the unique-key full-outer shape at the same
+    // row scale (no hot key by construction — its hazard is plain
+    // volume).
+    val nEvents = n / 3
+    val nUsers = math.max(1000L, n / 50)
+    time(s"generate ${nEvents / 1000000}M events (1 user owns 10%)") {
+      spark.range(nEvents).select(
+        when(pmod(col("id"), lit(10L)) === 0L, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(nUsers)) + 1L)
+          .as("user_id"),
+        element_at(
+          array(lit("signup"), lit("view"), lit("click"), lit("purchase")),
+          (pmod(xxhash64(col("id"), lit(7L)), lit(4L)) + 1).cast("int"))
+          .as("event_type"),
+        (lit(1600000000000000L) +
+          pmod(xxhash64(col("id"), lit(13L)), lit(8L * 604800000000L)))
+          .as("tus"))
+        .write.mode("overwrite").parquet(s"$base/events")
+    }
+    val events = spark.read.parquet(s"$base/events")
+    time("funnel (q63 shape, hot-user window)") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      events
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("tus"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("tus") > col("t1"), col("tus"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("tus") > col("t2"), col("tus"))).over(w))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        .distinct()
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("cohort retention (q64 shape, hot-user window)") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val wk = 604800000000L
+      events
+        .withColumn("su",
+          min(when(col("event_type") === "signup", col("tus"))).over(w))
+        .filter(col("su").isNotNull && col("tus") >= col("su"))
+        .select(expr(s"su DIV $wk").as("cohort_week"),
+          expr(s"(tus - su) DIV $wk").as("week_offset"), col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("MERGE/upsert apply (q62 shape, full-outer on unique key)") {
+      val baseT = events.select(col("tus").as("k"), col("user_id")
+        .as("payload"), lit(1L).as("in_base"))
+        .filter(pmod(col("k"), lit(10L)) =!= 0L)
+      val changes = events.filter(pmod(col("tus"), lit(5L)) === 0L)
+        .select(col("tus").as("k"),
+          when(pmod(col("tus"), lit(15L)) === 0L, "D")
+            .when(pmod(col("tus"), lit(15L)) === 5L, "U")
+            .otherwise("I").as("op"),
+          (col("user_id") + 1000L).as("new_payload"))
+      val j = baseT.join(changes, Seq("k"), "full_outer")
+      val inBase = coalesce(col("in_base"), lit(0L)) === 1L
+      val op = coalesce(col("op"), lit(""))
+      j.filter((inBase && op =!= "D") || (!inBase && op === "I"))
+        .select(col("k"),
+          when(!inBase || op === "U", col("new_payload"))
+            .otherwise(col("payload")).as("payload"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // ---- text-pipeline classes: the LLM-dedup paths at n/20 docs ----
     // ~40 tokens per doc from a 997-word vocabulary — a SPARSE corpus
     // (few true near-dups), which is the regime the LSH path claims to
