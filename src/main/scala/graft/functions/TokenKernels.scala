@@ -347,6 +347,28 @@ object TokenKernels {
     new GenericArrayData(out)
   }
 
+  /** Adjacent (l, r) STRING pairs — one loop replacing the interpreted
+    * `transform(sequence(1, size-1), i -> struct(element_at(i),
+    * element_at(i+1)))` chain ([[graft.ops.BpeTrain.adjacentPairs]]):
+    * same structs (null tokens kept as null fields), fewer than 2
+    * tokens -> empty array. The HOF form paid a boxed lambda dispatch +
+    * two interpreted element_at calls per pair. */
+  def adjacentStrPairs(arr: ArrayData): ArrayData = {
+    val ne = arr.numElements()
+    if (ne < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](ne - 1)
+    var i = 0
+    var prev: AnyRef = if (arr.isNullAt(0)) null else arr.getUTF8String(0)
+    while (i < ne - 1) {
+      val cur: AnyRef =
+        if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
+      out(i) = new GenericInternalRow(Array[Any](prev, cur))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** (k12, k1) hash pairs of adjacent tokens: k1 = xxhash64(l),
     * k12 = xxhash64(l, r). Fewer than 2 tokens -> empty array (the
     * adjacentPairs guard). Null tokens skip their hash step, exactly
@@ -491,6 +513,21 @@ case class SimHashMd5Sig(child: Expression) extends TokenArrayExpression {
     copy(child = newChild)
 }
 
+/** `adjacent_str_pairs(tokens)` — adjacent (l, r) string pairs as one
+  * fused loop (see [[TokenKernels.adjacentStrPairs]]). */
+case class AdjacentStrPairs(child: Expression) extends TokenArrayExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("l", StringType), StructField("r", StringType))),
+    containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.adjacentStrPairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.adjacentStrPairs($c);")
+  override protected def withNewChildInternal(newChild: Expression): AdjacentStrPairs =
+    copy(child = newChild)
+}
+
 /** `bigram_hash_pairs(tokens)` — adjacent-pair (k12, k1) xxhash64 keys
   * as one fused loop (t_bigram_lm / LM-scoring family). */
 case class BigramHashPairs(child: Expression) extends TokenArrayExpression {
@@ -566,6 +603,11 @@ object TokenKernelFns {
   def bigramHashPairs(spark: SparkSession, toks: Column): Column = {
     reg(spark, "bigram_hash_pairs", 1, args => BigramHashPairs(args.head))
     org.apache.spark.sql.functions.call_function("bigram_hash_pairs", toks)
+  }
+
+  def adjacentStrPairs(spark: SparkSession, toks: Column): Column = {
+    reg(spark, "adjacent_str_pairs", 1, args => AdjacentStrPairs(args.head))
+    org.apache.spark.sql.functions.call_function("adjacent_str_pairs", toks)
   }
 
   def simhashMd5Sig(spark: SparkSession, toks: Column): Column = {

@@ -469,8 +469,12 @@ object CorpusOps {
       (s, dir) => {
         // toks materialized before the explode — the t_bigram_lm
         // rationale: split() inside the transform lambda re-executes
-        // per bigram position (O(tokens^2) per doc)
-        val pairs = BpeTrain.adjacentPairs(col("toks"))
+        // per bigram position (O(tokens^2) per doc). Fused kernel form
+        // of BpeTrain.adjacentPairs (TokenKernelsSpec pins equality):
+        // the interpreted transform + element_at chain was the hot
+        // stage's dominant CPU.
+        val pairs = (c: SparkSession) =>
+          graft.functions.TokenKernelFns.adjacentStrPairs(c, col("toks"))
         // spread: the split() is CPU-heavy and the fixture scan is one
         // row group — unspread this 1-row agg tokenizes on a single core
         val tot = Tables.spread(t(s, dir, "documents"))
@@ -478,7 +482,7 @@ object CorpusOps {
             .cast("long")).as("nn"))
         Tables.spread(t(s, dir, "documents"))
           .select(split(col("text"), " ").as("toks"))
-          .select(explode(pairs).as("p"))
+          .select(explode(pairs(s)).as("p"))
           .select(col("p.l").as("l"), col("p.r").as("r"))
           .groupBy("l", "r").agg(count(lit(1)).as("n_xy"))
           // pinned-parallelism window exchanges — same rationale as

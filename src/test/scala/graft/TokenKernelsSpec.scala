@@ -165,6 +165,20 @@ class TokenKernelsSpec extends AnyFunSuite {
     assert(hof == fused)
   }
 
+  test("adjacent_str_pairs equals BpeTrain.adjacentPairs") {
+    import spark.implicits._
+    val df = fixtureTexts.select(col("id"), split(col("text"), " ").as("t"))
+      .union(Seq((100L, Seq[String]("a", null, "b")),
+        (101L, Seq[String]("solo")), (102L, Seq.empty[String]))
+        .toDF("id", "t"))
+    val both = df.select(
+      TokenKernelFns.adjacentStrPairs(spark, col("t")).as("fused"),
+      BpeTrain.adjacentPairs(col("t")).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Row](0) == r.getSeq[Row](1))
+    }
+  }
+
   test("bigram_hash_pairs yields no rows below 2 tokens") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq[String]("only")), Tuple1(Seq.empty[String]))
