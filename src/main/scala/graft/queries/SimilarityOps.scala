@@ -305,6 +305,83 @@ object SimilarityOps {
               SELECT cluster, CAST(rk AS BIGINT) AS rk, vec_id, dist
               FROM rr WHERE rk <= 5 ORDER BY cluster, rk""")),
 
+    // X26 — cluster annotation (c-TF-IDF-style top terms): for each
+    // k-means cluster over the embedding space, the 5 tokens most
+    // over-represented vs the corpus — the "what is this cluster
+    // about" labeling step a curation pipeline runs right after X17
+    // clustering (NeMo-Curator-style topic inspection; which clusters
+    // to drop/upsample is a human decision made from exactly this
+    // table). Lift is kept EXACT: lift_e4 = 1e4 * ctf * n DIV
+    // (csz * df) over per-doc-distinct token counts — ctf (docs in
+    // cluster containing tok), csz (cluster size), df (corpus docs
+    // containing tok), n (corpus size) are all integers, so the full
+    // iterative fit + scoring replays in DuckDB. df rides the SAME
+    // (cluster, tok) aggregate as ctf (summed across clusters per tok
+    // — each doc sits in exactly one cluster), so the plan is ONE
+    // corpus-token aggregation, one tok-keyed window, two broadcast
+    // joins (k-row sizes, 1-row total), one per-cluster top-5 window.
+    // df >= 5 drops one-off noise tokens before ranking. 64-bit note:
+    // 1e4 * ctf * n overflows past n ~ 9.6e6 docs per cluster-term;
+    // beyond that scale drop to double lift (ranking needs ~1e-6
+    // relative accuracy) — the exact form is the ORACLE contract at
+    // verification scale (the q50/q51 pattern).
+    Entry("x26_cluster_terms",
+      (s, dir) => {
+        val (_, assign) = graft.ops.KMeans.fit(
+          t(s, dir, "embeddings"), "embedding", "vec_id", k = 8,
+          iters = 3)
+        val toks = Tables.spread(t(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val j = toks.join(assign.select(col("vec_id").as("doc_id"),
+          col("cluster")), "doc_id")
+        val ct = j.groupBy("cluster", "tok").agg(count(lit(1)).as("ctf"))
+        val csz = assign.groupBy("cluster").agg(count(lit(1)).as("csz"))
+        val nTot = assign.agg(count(lit(1)).as("n"))
+        val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val scored = ct
+          .repartition(p, col("tok"))
+          .withColumn("df", sum("ctf").over(Window.partitionBy("tok")))
+          .filter(col("df") >= 5)
+          .join(broadcast(csz), "cluster")
+          .crossJoin(broadcast(nTot))
+          .withColumn("lift_e4",
+            expr("10000 * ctf * n DIV (csz * df)"))
+        scored.withColumn("rk", row_number().over(
+            Window.partitionBy("cluster")
+              .orderBy(col("lift_e4").desc, col("tok").asc)))
+          .filter(col("rk") <= 5)
+          .select(col("cluster"), col("rk").cast("long").as("rk"),
+            col("tok"), col("lift_e4"))
+          .orderBy("cluster", "rk")
+      },
+      Some("""WITH base AS (""" +
+        graft.ops.KMeans.fitSql("embeddings", "embedding", "vec_id",
+          k = 8, iters = 3, dims = 64) +
+        """),
+              toks AS (SELECT DISTINCT doc_id,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+              j AS (SELECT b.cluster, t.tok
+                    FROM toks t JOIN base b ON t.doc_id = b.vec_id),
+              ct AS (SELECT cluster, tok, count(*) AS ctf
+                     FROM j GROUP BY 1, 2),
+              w AS (SELECT *, sum(ctf) OVER (PARTITION BY tok) AS df
+                    FROM ct),
+              csz AS (SELECT cluster, count(*) AS csz
+                      FROM base GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM base),
+              scored AS (SELECT w.cluster, w.tok,
+                                CAST(10000 * ctf * n // (csz * df)
+                                  AS BIGINT) AS lift_e4
+                         FROM w JOIN csz USING (cluster) CROSS JOIN n
+                         WHERE df >= 5),
+              r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                      ORDER BY lift_e4 DESC, tok ASC) AS rk
+                    FROM scored)
+              SELECT cluster, CAST(rk AS BIGINT) AS rk, tok, lift_e4
+              FROM r WHERE rk <= 5 ORDER BY cluster, rk""")),
+
     // X19 — within-cluster nearest neighbor: each vector's closest
     // same-cluster peer (exact integer distance, (dist, id) tie-break)
     // — the SemDeDup SCORING step that X17's clustering exists to make

@@ -29,6 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q44_cms_freq", // the 1-row Count-Min grid joined onto 5 keys
     "q51_triangles", // three 1-row census aggregates cross-joined
     "x16_collocations", // 1-row bigram total onto the vocab frame
+    "x26_cluster_terms", // 1-row corpus total onto the vocab frame
     "x15_knn_classify", // constant-bounded 10-row probe broadcast
     "q53_histogram") // 1-row global min/max onto the scan
 
