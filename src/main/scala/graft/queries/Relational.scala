@@ -418,11 +418,7 @@ object Relational {
     // round apart — observed at sf0.001 (28.8462 vs 28.8463), the same
     // class as the round-2 q22 fix.
     Entry("q13b_json",
-      // spread: the JSON parse is the CPU of this query and the
-      // fixture scan is one row group — unspread, all 100k
-      // get_json_object calls run on a single core before the
-      // group-by exchange
-      (s, dir) => graft.sources.Tables.spread(t(s, dir, "events"))
+      (s, dir) => t(s, dir, "events")
         .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy(asc_nulls_first("k")),

@@ -343,9 +343,7 @@ object TextOps {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val total = docs.agg(count(lit(1)).as("n_total"))
-        // spread: tokenize+explode is the scan CPU and the fixture is
-        // one row group (the q13b/x16 rationale)
-        val toks = graft.sources.Tables.spread(docs).select(col("doc_id"),
+        val toks = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         // df = docs containing tok = tf rows per tok — a count() window
