@@ -330,7 +330,11 @@ object SimilarityOps {
         val (_, assign) = graft.ops.KMeans.fit(
           t(s, dir, "embeddings"), "embedding", "vec_id", k = 8,
           iters = 3)
-        val toks = Tables.spread(t(s, dir, "documents"))
+        // no spread: the round-10 quiet bench measured the pre-explode
+        // repartition a NET LOSS on this shape (t_tfidf +0.33s, q13b
+        // +0.27s) — the exchange still serializes through the one scan
+        // task and then pays shuffle write/read on top
+        val toks = t(s, dir, "documents")
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
         val j = toks.join(assign.select(col("vec_id").as("doc_id"),
