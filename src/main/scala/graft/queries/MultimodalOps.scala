@@ -40,6 +40,35 @@ object MultimodalOps {
                      CAST(sum(doc_id % 7 + 1) AS BIGINT) AS sum_frames
               FROM documents GROUP BY kind ORDER BY kind""")),
 
+    // X5c — frame sampling, oracle-gated on PROVENANCE: sampleFrames is
+    // the one-row-in/many-rows-out generator shape (video -> frame
+    // batch) running as a typed flatMap with the per-partition codec
+    // contract; everything about it EXCEPT pixel content is exact
+    // integer arithmetic — which media ids emit which frame_no, the
+    // carried dims, and each decoded plane's byte size (width*height) —
+    // so the full generator output rides the strict hash oracle while
+    // pixel values stay stub-codec spec-gated (MultimodalSpec). A real
+    // codec swap changes pixels, NOT this contract.
+    Entry("x5c_frame_sample",
+      (s, dir) => {
+        val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        Multimodal.sampleFrames(media, maxFrames = 4).toDF()
+          .select(col("media_id"),
+            col("frame_no").cast("long").as("frame_no"),
+            col("width").cast("long").as("w"),
+            col("height").cast("long").as("h"),
+            length(col("pixels")).cast("long").as("plane_bytes"))
+          .orderBy("media_id", "frame_no")
+      },
+      Some("""SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+                     CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+                     CAST(n_chars % 48 + 1 AS BIGINT) AS h,
+                     CAST((n_chars % 64 + 1) * (n_chars % 48 + 1)
+                       AS BIGINT) AS plane_bytes
+              FROM documents CROSS JOIN range(0, 4) t(f)
+              WHERE f < doc_id % 7 + 1
+              ORDER BY media_id, frame_no""")),
+
     // X5b — stubbed decode -> feature extraction -> cosine top-10 vs the
     // media_id=0 probe: the multimodal-to-similarity composition. The
     // PORTABLE stub (md5-window features, integer-valued floats) makes
