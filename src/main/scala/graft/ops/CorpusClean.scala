@@ -107,36 +107,48 @@ object CorpusClean {
             bench.withColumn(textCol,
               regexp_replace(col(textCol), "[0-9]+", "<NUM>"))
           else bench
-        // Benchmark membership AND (when capped) the training document
-        // frequency both ride ONE k-keyed window exchange over the
-        // tagged union of train + bench shingles — the previous
-        // distinct + hot-agg + anti-join + join chain shuffled the
-        // corpus-sized shingle frame three more times for the same two
-        // numbers (the t_decontaminate / t_bigram_lm window rationale).
-        // 8-byte xxhash64 keys, not shingle strings: the window needs
-        // IDENTITY only, and a collision would fail the p1 oracle
-        // loudly. shingleTokens is per-doc distinct, so the count per
-        // (doc, k) IS the shared-shingle count and sum(1 - bench) per k
-        // IS the training df.
-        // fused shingle-hash kernel: distinct 3-gram xxhash64 keys
-        // straight from the text (the t_decontaminate rationale)
+        // Shingles ride as 8-byte xxhash64 keys via the fused kernel —
+        // the join/window needs IDENTITY only, and a collision would
+        // fail the p1 oracle loudly. shingleHashTokens is per-doc
+        // distinct, so the count per (doc, k) IS the shared count.
         val trainShingles = Dedup.shingleHashTokens(redacted, textCol, idCol, 3)
-        val idType = trainShingles.schema(idCol).dataType
-        val tagged = trainShingles.withColumn("bench", lit(0L))
-          .unionByName(Dedup.shingleHashTokens(benchNorm, textCol, idCol, 3)
-            .select(lit(null).cast(idType).as(idCol),
-              col("k"), lit(1L).as("bench")))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
-        val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-        val flagged = tagged.repartition(n, col("k"))
-          .withColumn("in_bench", max("bench").over(w))
         val trainSide =
-          if (config.maxShingleDf > 0)
-            flagged.withColumn("train_df", sum(lit(1L) - col("bench")).over(w))
+          if (config.maxShingleDf > 0) {
+            // CAPPED path: benchmark membership AND the training
+            // document frequency both ride ONE k-keyed window exchange
+            // over the tagged union of train + bench shingles — the
+            // previous distinct + hot-agg + anti-join + join chain
+            // shuffled the corpus-sized shingle frame three more times
+            // for the same two numbers (the t_decontaminate /
+            // t_bigram_lm window rationale); sum(1 - bench) per k IS
+            // the training df.
+            val idType = trainShingles.schema(idCol).dataType
+            val tagged = trainShingles.withColumn("bench", lit(0L))
+              .unionByName(
+                Dedup.shingleHashTokens(benchNorm, textCol, idCol, 3)
+                  .select(lit(null).cast(idType).as(idCol),
+                    col("k"), lit(1L).as("bench")))
+            val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+            val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+            tagged.repartition(n, col("k"))
+              .withColumn("in_bench", max("bench").over(w))
+              .withColumn("train_df", sum(lit(1L) - col("bench")).over(w))
               .filter(col("bench") === 0L && col("in_bench") === 1L &&
                 col("train_df") <= config.maxShingleDf)
-          else
-            flagged.filter(col("bench") === 0L && col("in_bench") === 1L)
+              .select(col(idCol), col("k"))
+          } else
+            // UNCAPPED path (the p1 audit contract): only membership is
+            // needed, and the benchmark side is EVAL-SET-SIZED by
+            // construction — the one side of this operator that does
+            // not scale with the corpus (the t_decontam_bloom
+            // rationale) — so the corpus shingle frame never shuffles
+            // at all: one broadcast inner join against the distinct
+            // bench keys, then the doc-keyed count. At 100 TB this is
+            // the difference between exchanging every training shingle
+            // and exchanging none.
+            trainShingles.join(broadcast(
+              Dedup.shingleHashTokens(benchNorm, textCol, idCol, 3)
+                .select("k").distinct()), "k")
         val contaminated = trainSide
           .groupBy(idCol).agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= config.contaminationShingles)
