@@ -305,6 +305,71 @@ object CorpusOps {
               FROM documents d JOIN r ON d.source = r.source
               GROUP BY 1, 2, 3, 4 ORDER BY d.source""")),
 
+    // X27 — temperature-smoothed mixture sampling (alpha = 0.5): a
+    // 100-doc budget allocated across sources proportionally to
+    // sqrt(n_i), not n_i — the multilingual/domain rebalancer that
+    // up-weights small sources without flattening the mixture (the
+    // standard alpha-sampling move in multilingual pretraining; X7 is
+    // the proportional-cap sibling). EVERYTHING replays exactly:
+    // w_i = floor(sqrt(n_i)) is exact in IEEE doubles (sqrt is
+    // correctly rounded, n < 2^52), quotas are largest-remainder —
+    // base_i = B·w_i DIV W, the B − Σbase leftovers go to the largest
+    // B·w_i MOD W (source asc tie-break) — and the per-source draw is
+    // the portable md5(doc_id)-priority window. Plan: one O(sources)
+    // aggregate, allocation windows over that TINY frame (bounded by
+    // construction), one broadcast join back, one per-source rank
+    // window — the corpus shuffles once.
+    Entry("x27_temperature_mix",
+      (s, dir) => {
+        val B = 100L
+        val docs = t(s, dir, "documents").select(col("source"), col("doc_id"))
+        val one = Window.partitionBy(lit(1))
+        val alloc = docs.groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+          .withColumn("tw", sum("w").over(one))
+          .withColumn("base", expr(s"$B * w DIV tw"))
+          .withColumn("rem", expr(s"$B * w % tw"))
+          .withColumn("erk", row_number().over(
+            one.orderBy(col("rem").desc, col("source").asc)))
+          .withColumn("leftover", lit(B) - sum("base").over(one))
+          .select(col("source"),
+            (col("base") + when(col("erk") <= col("leftover"), 1L)
+              .otherwise(0L)).as("quota"))
+        docs.join(broadcast(alloc), "source")
+          .withColumn("rk", row_number().over(Window.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+          .filter(col("rk") <= col("quota"))
+          .select(col("source"), col("rk").cast("long").as("rk"),
+            col("doc_id"), col("quota"))
+          .orderBy("source", "rk")
+      },
+      Some("""WITH stats AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY 1),
+              s2 AS (SELECT source, n,
+                       CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+                     FROM stats),
+              s3 AS (SELECT *, sum(w) OVER () AS tw FROM s2),
+              s4 AS (SELECT *, 100 * w // tw AS base,
+                               100 * w % tw AS rem FROM s3),
+              s5 AS (SELECT *,
+                       row_number() OVER (ORDER BY rem DESC, source ASC)
+                         AS erk,
+                       100 - sum(base) OVER () AS leftover
+                     FROM s4),
+              alloc AS (SELECT source,
+                          base + CASE WHEN erk <= leftover
+                                      THEN 1 ELSE 0 END AS quota
+                        FROM s5),
+              ranked AS (SELECT source, doc_id,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                             AS rk
+                         FROM documents)
+              SELECT r.source, CAST(rk AS BIGINT) AS rk, doc_id,
+                     CAST(quota AS BIGINT) AS quota
+              FROM ranked r JOIN alloc a ON r.source = a.source
+              WHERE rk <= quota ORDER BY r.source, rk""")),
+
     // T12 helpers live above the entries list: see bpeTrainSql.
     // T12 — BPE tokenizer TRAINING (ops.BpeTrain): learn 12 merges from
     // the corpus, Sennrich-style — one corpus-wide shuffle (the word

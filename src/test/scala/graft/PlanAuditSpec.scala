@@ -93,7 +93,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q52_skyline" -> "global sweep runs over per-bucket LOCAL-skyline survivors only",
     "q16_indexer_events" -> "rank over DISTINCT category values (O(categories))",
     "q16_indexer_mktseg" -> "rank over DISTINCT category values (O(categories))",
-    "q55_resample_ffill" -> "day-axis boundary carry (O(time-range / 1 day))")
+    "q55_resample_ffill" -> "day-axis boundary carry (O(time-range / 1 day))",
+    "x27_temperature_mix" -> "allocation windows over the O(sources) stats frame")
 
   // Paren-balanced extraction of every windowspecdefinition(...) arg
   // list, split on TOP-LEVEL commas: a partition key that is itself a
