@@ -36,4 +36,44 @@ object RangeJoin {
         col("__rts") < col(ts))
       .drop("__bin", "__probe", "__rbin", "__rk")
   }
+
+  /** Banded INTERVAL-OVERLAP join — both sides are [start, end)
+    * intervals in epoch seconds (LongType columns); a pair matches iff
+    * `l.start < r.end AND r.start < l.end` on the same key. The naive
+    * inequality join is a nested loop; here each interval lands in
+    * every `bucketSeconds`-wide bucket it covers (explode over the
+    * covered bucket range) and candidates equi-join on (key, bucket).
+    * A pair overlapping across several shared buckets would duplicate,
+    * so it is emitted ONLY from the FIRST bucket both intervals occupy
+    * — `bucket == greatest(floor(ls/W), floor(rs/W))`, an exact
+    * arithmetic dedup with no distinct() pass.
+    *
+    * Scale: shuffle key is (key, bucket); per-interval fan-out is
+    * `len/W + 1` buckets, so choose W near the typical interval length
+    * (fan-out ~2) — work scales with candidates sharing a bucket,
+    * never |L| x |R|. Output: left columns + right `valueCols`
+    * (inner semantics). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, key: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketSeconds: Long, valueCols: Seq[String]): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    def b(c: Column): Column = floor(c / bucketSeconds).cast("long")
+    // [s, e) covers buckets floor(s/W) .. floor((e-1)/W) (half-open end:
+    // an interval ending exactly on a boundary does NOT enter that bucket)
+    val l = left
+      .withColumn("__lb0", b(col(lStart)))
+      .withColumn("__b", explode(sequence(col("__lb0"),
+        b(col(lEnd) - 1))))
+    val r = right.select(
+      (col(key).as("__rk") +: col(rStart).as("__rs") +:
+        col(rEnd).as("__re") +:
+        valueCols.map(c => col(c).as(s"r_$c"))): _*)
+      .withColumn("__rb0", b(col("__rs")))
+      .withColumn("__b", explode(sequence(col("__rb0"),
+        b(col("__re") - 1))))
+    l.join(r, col(key) === col("__rk") && l("__b") === r("__b") &&
+        col(lStart) < col("__re") && col("__rs") < col(lEnd) &&
+        l("__b") === greatest(col("__lb0"), col("__rb0")))
+      .drop("__b", "__lb0", "__rb0", "__rk", "__rs", "__re")
+  }
 }

@@ -369,6 +369,55 @@ object Relational {
               GROUP BY l.user_id, l.event_id
               ORDER BY l.user_id, l.event_id""")),
 
+    // Q65 — banded INTERVAL-OVERLAP join (ops.RangeJoin
+    // .intervalOverlapJoin): both sides are [start, end) intervals —
+    // error incidents vs click activity windows per user — matched iff
+    // they overlap. Distinct from q27 (point-in-band) and q26 (as-of):
+    // the incident/session overlap shape (outage x activity,
+    // ad-slot x view). Interval lengths are deterministic integer
+    // functions of event_id, ends are epoch-second exact, and the op's
+    // first-shared-bucket arithmetic dedup means the pair SET — not
+    // just counts — matches the oracle's naive inequality join.
+    // Bucket width 300 s ~ the max interval length, so per-interval
+    // fan-out is <= 2 buckets.
+    Entry("q65_interval_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def iv(kind: String, lenMod: Int, lenMin: Int) = ev
+          .filter(col("event_type") === kind)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("s0"),
+            (unix_timestamp(col("ts")) +
+              pmod(col("event_id"), lit(lenMod)) + lenMin).as("e0"))
+        val errors = iv("error", 241, 60)
+        val clicks = iv("click", 181, 30)
+          .select(col("user_id"), col("s0").as("rs0"), col("e0").as("re0"),
+            col("event_id").as("r_id"))
+        graft.ops.RangeJoin.intervalOverlapJoin(
+            errors, clicks, "user_id", "s0", "e0", "rs0", "re0",
+            bucketSeconds = 300L, valueCols = Seq("r_id"))
+          .groupBy("user_id", "event_id")
+          .agg(count(lit(1)).as("n_overlap"), min("r_r_id").as("first_click"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH l AS (
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ls,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                         + event_id % 241 + 60 AS le
+                FROM events WHERE event_type = 'error'),
+              r AS (
+                SELECT user_id, event_id AS r_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS rs,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                         + event_id % 181 + 30 AS re
+                FROM events WHERE event_type = 'click')
+              SELECT l.user_id, l.event_id, count(*) AS n_overlap,
+                     min(r_id) AS first_click
+              FROM l JOIN r ON l.user_id = r.user_id
+                AND l.ls < r.re AND r.rs < l.le
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Q12b — the same top-3-per-customer via the bounded-heap custom
     // aggregate (graft.functions.TopKAgg): k rows per group shuffle
     // instead of the window form's full sort. Same oracle as Q12.

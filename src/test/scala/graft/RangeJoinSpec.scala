@@ -56,4 +56,37 @@ class RangeJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("intervalOverlapJoin equals the naive inequality join") {
+    import spark.implicits._
+    // crafted cases: multi-bucket spans (must not duplicate via the
+    // first-shared-bucket dedup), exact boundary touch (half-open: NO
+    // match when l.end == r.start), containment, disjoint, cross-key
+    val left = Seq(
+      (1L, 10L, 100L, 700L),   // spans buckets 0-2 at W=300
+      (1L, 11L, 650L, 660L),
+      (2L, 20L, 100L, 200L),
+      (1L, 12L, 900L, 910L))
+      .toDF("k", "lid", "ls", "le")
+    val right = Seq(
+      (1L, 50L, 550L),    // overlaps lid=10 across buckets 0-1
+      (1L, 690L, 950L),   // overlaps lid=10 (at 690-700) and lid=12
+      (1L, 700L, 800L),   // touches lid=10 exactly at its end: NO match
+      (2L, 150L, 160L),   // inside lid=20
+      (3L, 0L, 1000L))    // wrong key
+      .toDF("k", "rs", "re")
+      .withColumn("rv", col("rs"))
+    val naive = left.join(right.select(col("k").as("k2"), col("rs"),
+          col("re"), col("rv")),
+        col("k") === col("k2") && col("ls") < col("re") &&
+          col("rs") < col("le"))
+      .select("lid", "rv")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val banded = RangeJoin.intervalOverlapJoin(left, right, "k",
+        "ls", "le", "rs", "re", bucketSeconds = 300L, Seq("rv"))
+      .select(col("lid"), col("r_rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(banded == naive, s"banded=$banded naive=$naive")
+    assert(naive.nonEmpty && naive.size == 4)
+  }
 }
