@@ -617,6 +617,39 @@ object CorpusOps {
               FROM documents
               GROUP BY 1, 2 ORDER BY fold, lang""")),
 
+    // X28 — GROUP-AWARE fold split: the fold key is md5 of the SOURCE,
+    // not the document — every doc of a source lands in the same fold,
+    // the leakage-safe split a dedup-aware eval needs (near-duplicate
+    // docs cluster within sources; a per-row split like X8 leaks them
+    // across train/validation, inflating eval scores — the classic
+    // contamination-by-split bug). Same portable hex→int md5 bridge as
+    // X8, keyed on source; the output proves the leakage-safety
+    // property itself: per (fold, source) counts — a source appearing
+    // under two folds is impossible by construction and would fail the
+    // hash gate loudly. One shuffle (the fold/source agg).
+    Entry("x28_group_split",
+      (s, dir) => {
+        val hexAlphabet = "0123456789abcdef"
+        def hexAt(i: Int) =
+          expr(s"locate(substring(md5(source), $i, 1), '$hexAlphabet') - 1")
+        val fold = ((hexAt(1) * 16 + hexAt(2)) % 3).cast("long")
+        t(s, dir, "documents")
+          .select(fold.as("fold"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("tk"))
+          .groupBy("fold", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("tk").as("tokens"))
+          .orderBy("fold", "source")
+      },
+      Some("""SELECT ((strpos('0123456789abcdef',
+                       substring(md5(source), 1, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef',
+                       substring(md5(source), 2, 1)) - 1)) % 3 AS fold,
+                     source, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS tokens
+              FROM documents
+              GROUP BY 1, 2 ORDER BY fold, source""")),
+
     // X9 — int8 embedding quantization stats: per-vector min/max
     // affine quantization to 0..255 codes (the embedding-store
     // compression a retrieval corpus ships with), emitting the code
