@@ -109,7 +109,11 @@ object PageRank {
       .persist()
     val stats = nodesD.agg(count(lit(1)), sum(coalesce(col("deg"), lit(0L))))
       .head()
-    val nEdges = stats.getLong(1)
+    // sum() is NULL on an empty node frame (empty edge input) — treat
+    // as zero edges rather than NPE; the loop then runs over an empty
+    // graph and returns an empty rank frame
+    val nEdges =
+      if (stats.isNullAt(1)) 0L else stats.getLong(1)
     // With AQE scoped off, nothing coalesces the iteration stages, so
     // do AQE's job from an EXACT statistic (the cached edge count):
     // ~250k edge rows per task, bounded by the session setting so a

@@ -42,6 +42,11 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
+  test("PageRank.run: an empty edge frame yields an empty rank frame") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.run(edges, iters = 3).collect().isEmpty)
+  }
+
   private def lineitemDir(rows: Seq[(Long, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graphlayout").toString
     rows.toDF("l_partkey", "l_suppkey")
