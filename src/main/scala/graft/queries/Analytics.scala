@@ -788,6 +788,47 @@ object Analytics {
               WHERE su IS NOT NULL AND tus >= su
               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Q66 — gaps-and-islands: longest consecutive-day activity streak
+    // per user (plus streak count and active days) — the engagement-
+    // analytics class beside q63's funnel and q64's cohorts that none
+    // of the window entries cover: islands form via the classic
+    // day-minus-row_number grouping over STRICTLY increasing distinct
+    // days (no ties, so row_number is deterministic), then two
+    // aggregations. Days are epoch-second integer division (the q64
+    // epoch-week rationale: no calendar convention risk). Shape: one
+    // distinct on (user, day), one user-keyed window (same exchange),
+    // two cheap aggs — exact integers end to end.
+    Entry("q66_streaks",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) DIV 86400").as("d"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("d")
+        days.withColumn("grp", col("d") - row_number().over(w))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").as("max_streak"),
+            count(lit(1)).as("n_streaks"),
+            sum("len").as("active_days"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+                FROM events),
+              g AS (
+                SELECT user_id, d,
+                       d - row_number() OVER (PARTITION BY user_id
+                         ORDER BY d) AS grp
+                FROM days),
+              st AS (SELECT user_id, grp, count(*) AS len
+                     FROM g GROUP BY 1, 2)
+              SELECT user_id, max(len) AS max_streak,
+                     count(*) AS n_streaks,
+                     CAST(sum(len) AS BIGINT) AS active_days
+              FROM st GROUP BY 1 ORDER BY 1""")),
+
     // A-gini — per-source language-purity (Gini impurity of the lang
     // distribution, the mixture-skew diagnostic a corpus balancing job
     // watches). Kept EXACT: gini = 1 - sum(c_i^2)/n^2 is rational, so
