@@ -163,6 +163,37 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ngram_xx64_set equals the gramsOf+xxhash64 HOF on random docs") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d", "")),
+        Gen.chooseNum(1, 4)) { (toks, n) =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val hof = df.select(transform(
+          array_distinct(transform(
+            sequence(lit(0), greatest(size(col("t")) - n, lit(0))),
+            i => concat_ws(" ", slice(col("t"), i + 1, lit(n))))),
+          g => xxhash64(g)))
+        .head().getSeq[Long](0)
+      val fused = df.select(graft.functions.TokenKernelFns
+          .ngramXx64Set(spark, col("t"), n))
+        .head().getSeq[Long](0)
+      fused == hof
+    })
+  }
+
+  test("adjacent_str_pairs equals BpeTrain.adjacentPairs on random docs") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOf(Gen.oneOf("a", "bb", "c", ""))) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val hof = df.select(graft.ops.BpeTrain.adjacentPairs(col("t")))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      val fused = df.select(graft.functions.TokenKernelFns
+          .adjacentStrPairs(spark, col("t")))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      fused == hof
+    })
+  }
+
   test("quality-count kernel equals the built-in forms on random text") {
     import spark.implicits._
     // char palette stresses every branch: alnum, space runs, symbols,
