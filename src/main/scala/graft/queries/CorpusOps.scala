@@ -521,6 +521,12 @@ object CorpusOps {
     // (DuckDB promotes to HUGEINT, Spark does not) — past that, rank on
     // double lift instead; the exact-integer form is the ORACLE contract
     // at verification scale.
+    // Round-10 note: the bigram explosion runs on the fused
+    // adjacent_str_pairs kernel (stage CPU 6.9 -> 3.9 summed task
+    // seconds at sf0.1); remaining wall is the two pinned window
+    // exchanges + per-stage floors — hashing the pair identities
+    // instead of strings is blocked by the (lift, l, r) tie-break at
+    // the top-20 cut, which needs the STRINGS to rank.
     // Plan: ONE linear job — explode -> bigram agg -> window(l) ->
     // window(r) -> TakeOrdered(20) — plus a 1-row total broadcast. The
     // marginals n_x / n_y are window sums over the bigram frame

@@ -113,6 +113,16 @@ object TimeWindows {
     // timezone-proof contract); the carried metric is the rounded
     // per-minute sum+count pair, never an avg (half-boundary hashing).
     //
+    // Measured non-win (round 10, don't re-try): executing this whole
+    // pipeline with AQE scoped off + eager materialization (the
+    // PageRank pattern) to collapse its 13 tiny driver round-trip jobs
+    // was ~2x SLOWER (0.6s -> 1.5s at sf0.1) — AQE's value here is
+    // COALESCING each 32-task stage to 1 task (closure deserialization
+    // alone is ~50 ms/task on these byte-small exchanges); static
+    // planning pays 32x deser per stage. The remaining gap to the
+    // oracle is the per-stage scheduling floor x the pipeline's
+    // inherent stage count, not a plan defect.
+    //
     // SCALE SHAPE: the fill window is PARTITIONED BY DAY — grid minutes
     // fill within their own day in parallel, and day boundaries are
     // stitched with a per-day carry frame (the last observation of every
