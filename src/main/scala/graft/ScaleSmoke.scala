@@ -157,6 +157,29 @@ object ScaleSmoke {
         .agg(countDistinct("user_id").as("n_users"))
         .write.format("noop").mode("overwrite").save()
     }
+    time("interval-overlap join (q65 shape, hot-user buckets)") {
+      // intervals from the same skewed events over a time range that
+      // GROWS with the corpus (constant interval density — longer
+      // telemetry history, same instantaneous load): the hot user
+      // keeps ~7-8 co-resident intervals per (user, bucket) cell at
+      // every scale, so candidate pairs — and wall — grow linearly.
+      // (A FIXED range would concentrate the hot user quadratically:
+      // that regime is the operator's documented hazard; the
+      // mitigation is exactly this — bucket width ~ interval length
+      // against the actual density.)
+      val s0 = pmod(col("tus"), lit(nEvents))
+      val l = events.filter(pmod(col("tus"), lit(4L)) === 0L)
+        .select(col("user_id"), s0.as("ls"),
+          (s0 + pmod(col("tus"), lit(241L)) + 60L).as("le"))
+      val r = events.filter(pmod(col("tus"), lit(4L)) === 1L)
+        .select(col("user_id"), s0.as("rs"),
+          (s0 + pmod(col("tus"), lit(181L)) + 30L).as("re"),
+          col("tus").as("rv"))
+      graft.ops.RangeJoin.intervalOverlapJoin(l, r, "user_id",
+          "ls", "le", "rs", "re", bucketSeconds = 300L, Seq("rv"))
+        .groupBy("user_id").agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
     time("MERGE/upsert apply (q62 shape, full-outer on unique key)") {
       val baseT = events.select(col("tus").as("k"), col("user_id")
         .as("payload"), lit(1L).as("in_base"))
