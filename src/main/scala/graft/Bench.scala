@@ -39,7 +39,10 @@ object Bench {
           line.get.replaceAll("[^0-9]", "").toLong / 1024
         else -1L
       } catch { case _: Throwable => -1L }
-    f"""{"load":$load%.2f,"mem_avail_mb":$availMb}"""
+    // Locale.ROOT formatting: f"$load%.2f" uses the JVM default locale,
+    // which on comma-decimal locales would emit invalid JSON ("load":0,95).
+    val loadStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(load))
+    s"""{"load":$loadStr,"mem_avail_mb":$availMb}"""
   }
 
   def main(args: Array[String]): Unit = {

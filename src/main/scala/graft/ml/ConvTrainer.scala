@@ -194,7 +194,7 @@ object ConvTrainer {
     (w, losses)
   }
 
-  private def applyStep(w: ConvWeights, gr: ConvGrads,
+  private[ml] def applyStep(w: ConvWeights, gr: ConvGrads,
       lr: Double): ConvWeights =
     ConvWeights(
       w.w.zip(gr.w).map { case (r, gr2) =>

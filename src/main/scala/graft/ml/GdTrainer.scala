@@ -170,7 +170,7 @@ object GdTrainer {
     (w, losses)
   }
 
-  private def applyStep(w: MlpWeights, gr: MlpGrads,
+  private[ml] def applyStep(w: MlpWeights, gr: MlpGrads,
       lr: Double): MlpWeights =
     MlpWeights(
       w.w1.zip(gr.w1).map { case (r, gRow) =>

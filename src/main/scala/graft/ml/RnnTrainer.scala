@@ -188,7 +188,7 @@ object RnnTrainer {
     (w, losses)
   }
 
-  private def applyStep(w: RnnWeights, gr: RnnGrads,
+  private[ml] def applyStep(w: RnnWeights, gr: RnnGrads,
       lr: Double): RnnWeights =
     RnnWeights(
       w.wx.zip(gr.wx).map { case (a, ga) => a - lr * ga },

@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
   *
   *   r_0(v)     = scale
   *   r_{t+1}(v) = (15*scale) div 100
-  *                + floor(85 * sum_{u->v} floor(r_t(u) / outdeg(u)) / 100)
+  *                + (85 * sum_{u->v} floor(r_t(u) / outdeg(u))) div 100
   *
-  * floor(a/b) over IEEE doubles equals exact integer division whenever
-  * a < 2^53 (a is exactly representable; a nonzero distance to the
-  * nearest integer is >= 1/b > a*2^-53), and the contribution sum is a
-  * BIGINT sum — both bit-identical on any IEEE engine, so DuckDB can
-  * replay iterations as chained CTEs. Dangling nodes (no out-edges)
+  * The damping step is pure long integer division (Spark `DIV`, DuckDB
+  * `//`) — exact at ALL magnitudes, no double anywhere (ranks are
+  * non-negative so trunc == floor). The per-edge contribution
+  * floor(r/deg) does route through an IEEE double division, which
+  * equals exact integer division whenever r < 2^53 (r is exactly
+  * representable; a nonzero distance to the nearest integer is
+  * >= 1/deg > r*2^-53) — total mass is bounded by n*scale, so this
+  * holds far past any realistic graph. Both are bit-identical on any
+  * IEEE engine, so DuckDB can replay iterations as chained CTEs. Dangling nodes (no out-edges)
   * simply leak their mass, as in the uncorrected power-iteration form;
   * the fixed iteration count (not convergence) is part of the contract.
   *
@@ -149,9 +153,14 @@ object PageRank {
             lit(null).cast("long").as("deg"))
           .union(nodesC.select(col("id"), lit(0L).as("c"), col("deg")))
           .groupBy("id").agg(sum("c").as("s"), max("deg").as("deg"))
+          // Integer DIV, not floor(double division): 85*s stays in long
+          // arithmetic, exact at ALL magnitudes — the old
+          // floor(85*s / 100.0) form was exact only while 85*s < 2^53
+          // (fine at any fixture scale, but extreme hub in-degrees could
+          // exceed it and lose ulps). Hash-identical wherever both are
+          // defined; DuckDB replays it as the same `85*s // 100`.
           .select(col("id"),
-            (lit(base) + floor(lit(85L) * col("s")
-              / lit(100.0)).cast("long")).as("pr"),
+            (lit(base) + expr("85L * s DIV 100L")).as("pr"),
             col("deg"))
       }
       // Materialize INSIDE the AQE-off / scoped-partitions window (conf

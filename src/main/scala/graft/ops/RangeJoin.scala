@@ -60,11 +60,16 @@ object RangeJoin {
     def b(c: Column): Column = floor(c / bucketSeconds).cast("long")
     // [s, e) covers buckets floor(s/W) .. floor((e-1)/W) (half-open end:
     // an interval ending exactly on a boundary does NOT enter that bucket)
-    val l = left
+    // Empty/inverted intervals (end <= start) can never satisfy the
+    // symmetric overlap predicate — drop them BEFORE the bucket explode:
+    // sequence(lo, hi) with hi < lo would otherwise generate a DESCENDING
+    // bucket range, fanning a malformed row out |delta| times (or
+    // throwing on huge deltas) instead of producing no candidates.
+    val l = left.filter(col(lEnd) > col(lStart))
       .withColumn("__lb0", b(col(lStart)))
       .withColumn("__b", explode(sequence(col("__lb0"),
         b(col(lEnd) - 1))))
-    val r = right.select(
+    val r = right.filter(col(rEnd) > col(rStart)).select(
       (col(key).as("__rk") +: col(rStart).as("__rs") +:
         col(rEnd).as("__re") +:
         valueCols.map(c => col(c).as(s"r_$c"))): _*)

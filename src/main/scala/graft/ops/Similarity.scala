@@ -255,13 +255,16 @@ object Similarity {
     * 2^annBits per hot cluster, at ANN semantics for those clusters
     * only — each hot-cluster row's reported nn is its nearest
     * CANDIDATE (exact distance, the true NN when they share a probed
-    * bucket), and a row with no bucket peer is omitted rather than
-    * paying the quadratic scan. Clusters within budget keep the exact
-    * form, so a run with no hot clusters (the fixture corpora; any
-    * well-conditioned k scaling) is bit-identical to the exact
-    * operator. The k-rows size check is one tiny aggregation over the
-    * (persisted) assignment; the swap is logged with the offending
-    * cluster ids. */
+    * bucket), and a row with no bucket peer keeps its output row with
+    * NULL nn_id/nn_dist — a visible coverage marker, not a silent drop
+    * — rather than paying the quadratic scan. Clusters within budget
+    * keep the exact form, so a run with no hot clusters (the fixture
+    * corpora; any well-conditioned k scaling) is bit-identical to the
+    * exact operator (whose rows are never null). The k-rows size check
+    * is one tiny aggregation over the (persisted) assignment; the swap
+    * is logged with the offending cluster ids. Callers that need the
+    * always-exact contract regardless of skew pass
+    * `pairBudget = Long.MaxValue` (explicit opt-out of the fallback). */
   def withinClusterNN(assign: DataFrame, quantized: DataFrame,
       idCol: String, pairBudget: Long = 100000000L,
       annBits: Int = 8): DataFrame = {
@@ -304,7 +307,11 @@ object Similarity {
     * bucket plus each one-bit flip (multi-probe), the right side keys
     * on its own bucket, so every hamming <= 1 pair surfaces exactly
     * once per direction — a (cluster, bucket)-keyed equijoin, never a
-    * per-cluster cross product. */
+    * per-cluster cross product. Every input row appears in the output:
+    * a vector with no hamming <= 1 bucket peer gets (null, null) for
+    * (nn_id, nn_dist) via the left join back onto the hot row set, so
+    * downstream one-row-per-vector consumers see reduced coverage
+    * explicitly instead of a missing row. */
   private def annNN(withV: DataFrame, idCol: String,
       nBits: Int): DataFrame = {
     val spark = withV.sparkSession
@@ -323,7 +330,12 @@ object Similarity {
       .withColumn("pdist", graft.functions.VecDist2.vecDist2(
         spark, col("v1"), col("v2")))
       .select(col("cluster"), col("d1"), col("d2"), col("pdist"))
-    nnArgmin(pairs, idCol)
+    // Marker rows for omitted vectors: left-join the argmin back onto
+    // the full hot row set (node-sized exchange on the id, tiny next
+    // to the candidate join) — coverage gaps surface as nulls.
+    withV.select(col(idCol), col("cluster"))
+      .join(nnArgmin(pairs, idCol).drop("cluster"), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("nn_id"), col("nn_dist"))
   }
 
   private def nnArgmin(pairs: DataFrame, idCol: String): DataFrame = {

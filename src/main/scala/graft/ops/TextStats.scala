@@ -68,7 +68,13 @@ object TextStats {
     // remove a caller's own __qc column. Direct field reads off the
     // kernel struct fold identically under CollapseProject +
     // subexpression elimination (one kernel eval per row).
-    df.select(col("*"),
+    // Replace semantics: drop any pre-existing output-named columns from
+    // the input projection first — select(col("*"), ...) would otherwise
+    // emit DUPLICATE n_tok/mean_tok_len/... names (ambiguous downstream)
+    // where the old withColumn form replaced them in place.
+    val base = df.drop("n_tok", "mean_tok_len", "stopword_ratio",
+      "symbol_ratio")
+    base.select(col("*"),
       qc.getField("n_tok").as("n_tok"),
       round(qc.getField("n_char").cast("double")
         / greatest(qc.getField("n_tok"), lit(1L)), 4).as("mean_tok_len"),

@@ -29,11 +29,13 @@ object GraphLayout {
 
   /** One oracle CTE per PageRank step — the SAME formula string the
     * Scaladoc on [[PageRank.run]] pins, so Spark and DuckDB iterate in
-    * lockstep: BIGINT contribution sums, IEEE floor-division everywhere. */
+    * lockstep: BIGINT contribution sums; the damping step is integer
+    * division (`//` in DuckDB = Spark's `DIV` for non-negative s),
+    * exact at all magnitudes — no double rounding anywhere. */
   private def prStepSql(prev: String, cur: String): String =
     s"""$cur AS (
-       |                SELECT n.id, CAST($Base + CAST(floor(
-       |                    85 * COALESCE(c.s, 0) / 100.0) AS BIGINT)
+       |                SELECT n.id, CAST($Base +
+       |                    85 * COALESCE(c.s, 0) // 100
        |                  AS BIGINT) AS pr
        |                FROM nodes n LEFT JOIN (
        |                  SELECT e.dst, CAST(sum(CAST(floor(r.pr / e.deg)

@@ -89,4 +89,47 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(banded == naive, s"banded=$banded naive=$naive")
     assert(naive.nonEmpty && naive.size == 4)
   }
+
+  test("intervalOverlapJoin property: equals the naive predicate on " +
+      "random intervals incl. degenerate cases") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // random intervals covering every degenerate shape the banded form
+    // must survive: zero-length [s,s), INVERTED (end < start — must
+    // yield no candidates, never a descending-sequence fan-out), ends
+    // exactly on a bucket boundary (W=7; multiples of 7 occur often in
+    // [0,40]), spans of many buckets, duplicate endpoints, key misses.
+    // Reference semantics: nonempty intersection, i.e. the naive
+    // `ls < re && rs < le` over WELL-FORMED intervals only (an
+    // empty/inverted interval intersects nothing — the naive formula
+    // itself mis-fires on inverted input, which is exactly why the
+    // operator filters them).
+    val ivalGen = for {
+      k <- Gen.chooseNum(1L, 3L)
+      st <- Gen.chooseNum(0L, 40L)
+      len <- Gen.frequency((1, Gen.const(0L)), (1, Gen.chooseNum(-9L, -1L)),
+        (6, Gen.chooseNum(1L, 40L)))
+    } yield (k, st, st + len)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(8).withWorkers(1)
+    val r = SCTest.check(params, Prop.forAll(
+        Gen.nonEmptyListOf(ivalGen), Gen.nonEmptyListOf(ivalGen)) {
+      (ls, rs) =>
+        val left = ls.zipWithIndex.map { case ((k, s0, e0), i) =>
+          (k, i.toLong, s0, e0) }.toDF("k", "lid", "ls", "le")
+        val right = rs.zipWithIndex.map { case ((k, s0, e0), i) =>
+          (k, i.toLong, s0, e0) }.toDF("k", "rid", "rs", "re")
+        val want = (for {
+          ((lk, ls0, le0), li) <- ls.zipWithIndex
+          ((rk, rs0, re0), ri) <- rs.zipWithIndex
+          if lk == rk && le0 > ls0 && re0 > rs0 && ls0 < re0 && rs0 < le0
+        } yield (li.toLong, ri.toLong)).sorted
+        val got = RangeJoin.intervalOverlapJoin(left, right, "k",
+            "ls", "le", "rs", "re", bucketSeconds = 7L, Seq("rid"))
+          .select(col("lid"), col("r_rid"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        got == want
+    })
+    assert(r.passed, r.status.toString)
+  }
 }
