@@ -211,21 +211,27 @@ object LstmTrainer {
     * + per-epoch pre-update mean loss. One Spark job per epoch. */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: LstmWeights,
       epochs: Int, lr: Double): (LstmWeights, Seq[Double]) = {
-    def step(a: Seq[Double], ga: Seq[Double]) =
-      a.zip(ga).map { case (x, gx) => x - lr * gx }
-    def stepM(a: Seq[Seq[Double]], ga: Seq[Seq[Double]]) =
-      a.zip(ga).map { case (r, gr) => step(r, gr) }
-    def stepG(a: GateW, ga: GateW) =
-      GateW(step(a.wx, ga.wx), stepM(a.u, ga.u), step(a.b, ga.b))
     var w = w0
     val losses = (1 to epochs).map { _ =>
       val gr = gradients(df, xs, label, w)
-      w = LstmWeights(stepG(w.i, gr.i), stepG(w.f, gr.f),
-        stepG(w.g, gr.g), stepG(w.o, gr.o),
-        stepM(w.w2, gr.w2), step(w.b2, gr.b2))
+      w = applyStep(w, gr, lr)
       gr.loss
     }
     (w, losses)
+  }
+
+  /** One GD step (shared with the [[WideLstm]] execution twin). */
+  private[ml] def applyStep(w: LstmWeights, gr: LstmGrads,
+      lr: Double): LstmWeights = {
+    def step(a: Seq[Double], ga: Seq[Double]) =
+      a.zip(ga).map { case (x, gx) => x - lr * gx }
+    def stepM(a: Seq[Seq[Double]], ga: Seq[Seq[Double]]) =
+      a.zip(ga).map { case (r, gr2) => step(r, gr2) }
+    def stepG(a: GateW, ga: GateW) =
+      GateW(step(a.wx, ga.wx), stepM(a.u, ga.u), step(a.b, ga.b))
+    LstmWeights(stepG(w.i, gr.i), stepG(w.f, gr.f),
+      stepG(w.g, gr.g), stepG(w.o, gr.o),
+      stepM(w.w2, gr.w2), step(w.b2, gr.b2))
   }
 
   /** Staged inference: argmax class under `w` appended as `outCol`

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.ml.{Conv2Trainer, ConvNetTrainer, ConvTrainer, GdTrainer, Lstm2Trainer, LstmTrainer, NeuralForward, Rnn2Trainer, RnnTrainer, SignGd, TrainerCommon, WideLstm2, WideNet, WideRnn2}
+import graft.ml.{Conv2Trainer, ConvNetTrainer, ConvTrainer, GdTrainer, Lstm2Trainer, LstmTrainer, NeuralForward, Rnn2Trainer, RnnTrainer, SignGd, TrainerCommon, WideConv, WideLstm, WideLstm2, WideMlp, WideNet, WideRnn, WideRnn2}
 
 /** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
   * semantics; reference `models/cnn_model.py:21-32` stack shape and
@@ -383,8 +383,13 @@ object NeuralOps {
         val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
         // 3 epochs: per-epoch cost is staged-DAG plan/codegen depth,
         // not data (the q56/q58 rationale); descent + the ES harness
-        // are fully exercised at this count
-        val es = RnnTrainer.fitEs(facts, xs, y, w0, maxEpochs = 3,
+        // are fully exercised at this count. Fit runs on the
+        // treeAggregate twin (WideRnn — the q58/q59 pattern):
+        // WideSinglesSpec pins it gradient-for-gradient to
+        // RnnTrainer's staged plan, so the trajectory is unchanged
+        // while the per-epoch staged plan/codegen cost disappears;
+        // predictStaged below keeps the staged DAG exercised.
+        val es = WideRnn.fitEs(facts, xs, y, w0, maxEpochs = 3,
           lr = 0.5, rowKey = rk, dropout = 0.3,
           isVal = TrainerCommon.valSplitPortable(
             Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
@@ -455,7 +460,11 @@ object NeuralOps {
     Entry("q56_lstm_train",
       (s, dir) => trainEntry(s, dir) { (facts, xs, y) =>
         val w0 = LstmTrainer.init(units = 2, classes = 2, seed = 29L)
-        val (w, losses) = LstmTrainer.fit(facts, xs.take(5), y, w0,
+        // fit on the treeAggregate twin (WideLstm, the q59/q60
+        // rationale — WideSinglesSpec pins all 14 gradient tensors to
+        // the staged plan); predictStaged keeps the staged gated
+        // forward DAG exercised below
+        val (w, losses) = WideLstm.fit(facts, xs.take(5), y, w0,
           epochs = 2, lr = 0.5)
         val (lab, fs) = labeled(facts, xs, y)
         (losses, accOf(LstmTrainer.predictStaged(
@@ -524,8 +533,12 @@ object NeuralOps {
         val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
         // the reference's Dropout(.5) after the conv block
         // (cnn_model.py:29) + EarlyStopping, both riding the same
-        // per-epoch aggregation (3 epochs + the trailing val pass)
-        val es = ConvTrainer.fitEs(facts, xs, y, w0, maxEpochs = 3,
+        // per-epoch aggregation (3 epochs + the trailing val pass).
+        // Fit on the treeAggregate twin (WideConv — WideSinglesSpec
+        // pins both pool modes' gradient routing, first-argmax
+        // included, to the staged plan); predictStaged keeps the
+        // staged conv DAG exercised below.
+        val es = WideConv.fitEs(facts, xs, y, w0, maxEpochs = 3,
           lr = 0.5, rowKey = rk, dropout = 0.5,
           isVal = TrainerCommon.valSplitPortable(
             Seq(col("l_orderkey"), col("l_linenumber"))),
@@ -665,7 +678,11 @@ object NeuralOps {
               col("vec_id").as("rk")): _*)
         val feats = (0 until d).map(i => col(s"f$i"))
         val w0 = GdTrainer.init(d, 6, 2, seed = 11L)
-        val es = GdTrainer.fitEs(emb, feats, col("y"), col("rk"),
+        // fit on the treeAggregate twin (WideMlp — WideSinglesSpec
+        // pins gradients, dropout masks, and the ES trajectory to the
+        // staged plan); GdTrainer.predict below keeps the staged
+        // forward expression exercised
+        val es = WideMlp.fitEs(emb, feats, col("y"), col("rk"),
           w0, maxEpochs = 8, lr = 0.5, dropout = 0.3,
           isVal = TrainerCommon.valSplitPortable(Seq(col("rk"))), patience = 5)
         val (w, losses) = (es.weights, es.trainLosses)
