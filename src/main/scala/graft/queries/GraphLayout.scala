@@ -157,6 +157,29 @@ object GraphLayout {
         // orders scan and prunes ~93% before the join) — full-history
         // co-purchase on uniform data is a complete graph, where top-k
         // truncation is arbitrary; the windowed graph has real structure.
+        //
+        // AQE is scoped OFF for the whole census (the PageRank/KMeans
+        // fit pattern, same thread-safety caveat): the chain is 4 fixed
+        // exchanges + a one-row summary, and AQE's per-stage
+        // materialization turned it into 15 driver round-trip jobs
+        // (profiled r11 at sf0.1: 1.45 s AQE vs 0.90 s static with the
+        // same physical joins; the distinct-free adjacency rework below
+        // then cut the static form to 0.60 s warm — 2.0x the DuckDB
+        // oracle). Static shuffle parallelism is scoped to
+        // a quarter of the session setting (the heavy stages scan ~600k
+        // joined rows — at 8 tasks the per-stage deserialization floor
+        // is negligible while the pair explode still fans out; a
+        // cluster-sized session conf scales it proportionally). Because
+        // confs are read at ACTION time, the one-row result is
+        // persisted and counted INSIDE the scope — the caller's later
+        // action reads the cache, released by the runner's clearCache.
+        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+        val partWas = s.conf.get("spark.sql.shuffle.partitions")
+        val sessPart = partWas.toInt
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.max(2, sessPart / 4))
+        try {
         // One shuffle then builds each customer's sorted supplier set
         // (collect_set dedups, so no distinct() pre-pass), and ordered
         // pairs (u < w) explode MAP-SIDE — half the rows of the naive
@@ -183,31 +206,73 @@ object GraphLayout {
             row_number().over(Window.partitionBy("u")
               .orderBy(col("cw").desc, col("w").asc)))
           .filter(col("rk") <= 3)
-        // persist: the edge list feeds the degree agg + three join legs;
-        // released by the runner's clearCache (the Q36 pattern). The
-        // count() materializes it EAGERLY: the census legs below sit
-        // behind broadcast exchanges, which Spark prepares concurrently —
-        // without the barrier all three race past the still-empty cache
-        // and each recompute the full pair pipeline (measured 3x cost).
-        val edges = topk
-          .select(least(col("u"), col("w")).as("a"),
-            greatest(col("u"), col("w")).as("b"))
-          .distinct().persist()
-        // the eager count is BOTH the cache barrier and the edge total
-        val nEdges = edges.count()
-        val deg = edges.select(col("a").as("v"))
-          .union(edges.select(col("b").as("v")))
-          .groupBy("v").agg(count(lit(1)).as("d"))
-        val nW = deg.agg(expr("sum(d * (d - 1) DIV 2)").as("n_wedges"))
-        val tri = edges
-          .join(edges.select(col("a").as("b"), col("b").as("c2")), "b")
-          .join(edges.select(col("a"), col("b").as("c2")), Seq("a", "c2"))
+        // ONE v-keyed exchange carries the whole census (round-11
+        // rework; the old shape paid a distinct() exchange for edge
+        // dedup, this v-keyed exchange for the degree agg, and two
+        // more probe-side exchanges for the two triangle join legs).
+        // Each DIRECTED topk row contributes both orientations
+        // MAP-SIDE; collect_set dedups the mirrored edge {a,b} picked
+        // from both endpoints' top-3 lists, so the old distinct()
+        // stage folds into this aggregation for free. The sorted
+        // neighbor set per vertex yields everything downstream:
+        // degree = size(os); the canonical a<b edge list = explode of
+        // the higher-neighbor slice (each undirected edge appears
+        // exactly once, at its lower endpoint); wedges ride the same
+        // rows as sum(d*(d-1)/2). Persisted node-sized (m <= 3n by
+        // construction, so |adj| = n rows with <= 2k entries each),
+        // released by the runner's clearCache; the count() is the
+        // cache barrier so the two census branches below don't race
+        // past the still-empty cache and recompute the pair pipeline
+        // (measured 3x cost in the pre-rework shape).
+        val adj = topk
+          .select(explode(array(
+            struct(col("u").as("v"), col("w").as("o")),
+            struct(col("w").as("v"), col("u").as("o")))).as("e"))
+          .groupBy(col("e.v").as("v"))
+          .agg(sort_array(collect_set(col("e.o"))).as("os"))
+          .withColumn("hi", filter(col("os"), o => o > col("v")))
+          .persist()
+        val nNodes = adj.count()
+        // edges + wedges in ONE cached-scan aggregation
+        val scal = adj.agg(
+          expr("sum(size(hi))").as("n_edges"),
+          expr("sum(size(os) * (size(os) - 1) DIV 2)").as("n_wedges"))
+        // Triangles: for each vertex v, ordered pairs of its HIGHER
+        // neighbors are exactly the candidate closings (each triangle
+        // a<b<c enumerated once, at v=a, as the pair (b,c)) —
+        // k-bounded fan-out via the same fused orderedPairs kernel as
+        // the wedge build, closed by ONE join against the a<b edge
+        // list re-derived from the cache. The build side is node-sized
+        // (<= kn rows); broadcast explicitly while it fits in the
+        // driver hint budget — with AQE scoped off the planner won't
+        // discover the size on its own — and fall back to the shuffle
+        // join on a graph too big to ship (the withinClusterNN
+        // budget-gate pattern; both forms are semantically identical).
+        val edgeList = adj.select(col("v").as("a"),
+          explode(col("hi")).as("b"))
+        val eSide = if (nNodes <= 5000000L) broadcast(edgeList)
+                    else edgeList
+        val tri = adj
+          .select(explode(graft.functions.TokenKernelFns.orderedPairs(s,
+            col("hi"))).as("p"))
+          .join(eSide, col("p.u") === col("a") && col("p.w") === col("b"))
           .agg(count(lit(1)).as("n_triangles"))
-        nW.crossJoin(tri)
-          .select(lit(nEdges).as("n_edges"), col("n_wedges"),
+        // materialize INSIDE the AQE-off / scoped-partitions window
+        // (confs are read at action time); one summary row, so the
+        // persist is O(1) driver-adjacent state, not a data cache
+        val out = scal.crossJoin(tri)
+          .select(col("n_edges"), col("n_wedges"),
             col("n_triangles"),
             expr("3000000 * n_triangles DIV greatest(n_wedges, 1)")
               .as("gcc_e6"))
+          .persist()
+        out.count()
+        adj.unpersist()
+        out
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+          s.conf.set("spark.sql.shuffle.partitions", partWas)
+        }
       },
       Some("""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS v
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
