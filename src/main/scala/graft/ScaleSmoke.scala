@@ -238,6 +238,18 @@ object ScaleSmoke {
         .groupBy("doc_id").agg(countDistinct("k").as("shared"))
         .write.format("noop").mode("overwrite").save()
     }
+    // The round-10 production form of the UNCAPPED path
+    // (CorpusClean.clean, maxShingleDf=0): the benchmark side is
+    // eval-set-sized by construction — the one side that does NOT
+    // scale with the corpus — so it broadcasts and the corpus shingle
+    // frame never shuffles at all. Same query as the raw row above,
+    // differing ONLY in the join strategy, so the two rows isolate
+    // exactly what the broadcast buys at each scale.
+    time("decontamination shingle join (broadcast bench keys)") {
+      sh.filter(col("source") =!= "s0").join(broadcast(bench), "k")
+        .groupBy("doc_id").agg(countDistinct("k").as("shared"))
+        .write.format("noop").mode("overwrite").save()
+    }
     // The mitigation: cap shingle DOCUMENT FREQUENCY before the join —
     // a 3-gram appearing in thousands of docs is boilerplate, not
     // contamination evidence (the same rationale as t_boilerplate's DF

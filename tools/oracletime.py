@@ -1,14 +1,32 @@
 #!/usr/bin/env python3
 """Time each oracle SQL in DuckDB over the sf tables — the judge's
 reference point for per-query Spark-vs-oracle ratios.
-Usage: oracletime.py <sfdir> <verify_outdir_with_oracle_sql.json> [bench.json]"""
-import sys, json, time
+Usage: oracletime.py <sfdir> <verify_outdir_with_oracle_sql.json> \
+           [bench.json] [emit.json]
+With emit.json (conventionally oracle_latest.json at the repo root),
+writes an env-stamped per-query snapshot beside the bench artifact so
+ratio drift is visible round-over-round without a judge re-derivation."""
+import os, sys, json, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sfdir, outdir, benchjson=None):
+def envsnap():
+    load = os.getloadavg()[0]
+    mem_avail_mb = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    mem_avail_mb = int(line.split()[1]) // 1024
+                    break
+    except OSError:
+        pass
+    return {"load": round(load, 2), "mem_avail_mb": mem_avail_mb}
+
+def main(sfdir, outdir, benchjson=None, emitjson=None):
+    env_start = envsnap()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -46,6 +64,25 @@ def main(sfdir, outdir, benchjson=None):
     slow = [r for r in both if r[2] >= 0.5]
     for name, o, s in sorted(slow, key=lambda r: -r[2] / max(r[1], 1e-3))[:15]:
         print(f"  {s:6.2f}s vs {o:6.2f}s  {s/max(o,1e-3):6.1f}x  {name}")
+    if emitjson:
+        snap = {
+            "sf": sfdir,
+            "bench_source": benchjson,
+            "oracle_sec": {n: round(o, 4) for n, o, _ in rows},
+            "matched": {
+                "n": len(both),
+                "oracle_total_sec": round(tot_o, 3),
+                "spark_total_sec": round(tot_s, 3),
+                "ratio": round(tot_s / tot_o, 3) if tot_o > 0 else None,
+            } if both else None,
+            "env_start": env_start,
+            "env_end": envsnap(),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+        }
+        with open(emitjson, "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {emitjson}")
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
