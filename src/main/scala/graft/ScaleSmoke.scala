@@ -285,6 +285,20 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$base/emb")
     }
     val emb = spark.read.parquet(s"$base/emb")
+    // The trainer-family execution shape (q40/q42/q43/q56 +
+    // q58/q59/q60 twins): one single-pass treeAggregate per epoch
+    // whose result is O(params) driver fit state — the row count only
+    // enters through the scan, so epochs scale with data bandwidth,
+    // never with shuffle or driver state. 6 features from the same
+    // embedding frame, 3 full-batch epochs with dropout.
+    time("single-layer MLP fit, 3 epochs (treeAggregate twin)") {
+      val feats = (0 until 6).map(i =>
+        element_at(col("embedding"), i + 1).cast("double"))
+      graft.ml.WideMlp.fit(emb, feats,
+        pmod(col("vec_id"), lit(2L)).cast("int"), col("vec_id"),
+        graft.ml.GdTrainer.init(6, 6, 2, seed = 11L), epochs = 3,
+        lr = 0.5, dropout = 0.3)
+    }
     val fitRes = time(s"k-means init + 1 Lloyd update (k=$kClusters)") {
       // fit() runs init + the update's assignment/aggregation EAGERLY
       // (driver fit state); only the returned final-assignment frame is
