@@ -369,6 +369,47 @@ object TokenKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-document (tok, tf) pairs as ONE row-local fused loop — the
+    * term-frequency map that `explode` + `groupBy(doc, tok)` computes
+    * distributively. Term frequency is PER-DOCUMENT state and
+    * documents are rows, so the groupBy form pays a corpus-sized
+    * exchange (token rows, partially aggregated) for a fold the row
+    * already contains; this kernel makes the first exchange of a
+    * tf-idf pipeline the df/vocabulary one. Output is sorted by token
+    * bytes ascending (deterministic under any input token order);
+    * null tokens, if present, get their own trailing entry — exactly
+    * the groups groupBy would produce. */
+  def tokenTfPairs(arr: ArrayData): ArrayData = {
+    val ne = arr.numElements()
+    val m = new java.util.HashMap[UTF8String, Array[Long]]()
+    var nulls = 0L
+    var i = 0
+    while (i < ne) {
+      if (arr.isNullAt(i)) nulls += 1L
+      else {
+        val t = arr.getUTF8String(i)
+        val c = m.get(t)
+        if (c == null) m.put(t, Array(1L)) else c(0) += 1L
+      }
+      i += 1
+    }
+    val ks = new Array[UTF8String](m.size)
+    m.keySet().toArray(ks)
+    java.util.Arrays.sort(ks, new java.util.Comparator[UTF8String] {
+      override def compare(a: UTF8String, b: UTF8String): Int =
+        a.binaryCompare(b)
+    })
+    val out = new Array[Any](ks.length + (if (nulls > 0) 1 else 0))
+    i = 0
+    while (i < ks.length) {
+      out(i) = new GenericInternalRow(Array[Any](ks(i), m.get(ks(i))(0)))
+      i += 1
+    }
+    if (nulls > 0)
+      out(ks.length) = new GenericInternalRow(Array[Any](null, nulls))
+    new GenericArrayData(out)
+  }
+
   /** (k12, k1) hash pairs of adjacent tokens: k1 = xxhash64(l),
     * k12 = xxhash64(l, r). Fewer than 2 tokens -> empty array (the
     * adjacentPairs guard). Null tokens skip their hash step, exactly
@@ -528,6 +569,24 @@ case class AdjacentStrPairs(child: Expression) extends TokenArrayExpression {
     copy(child = newChild)
 }
 
+/** `token_tf_pairs(tokens)` — the per-document (tok, tf) term-frequency
+  * pairs as one fused row-local loop (see
+  * [[TokenKernels.tokenTfPairs]]): replaces the corpus-sized
+  * explode + groupBy(doc, tok) exchange in tf-idf-shaped pipelines. */
+case class TokenTfPairs(child: Expression) extends TokenArrayExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("tok", StringType),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.tokenTfPairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.tokenTfPairs($c);")
+  override protected def withNewChildInternal(newChild: Expression): TokenTfPairs =
+    copy(child = newChild)
+}
+
 /** `bigram_hash_pairs(tokens)` — adjacent-pair (k12, k1) xxhash64 keys
   * as one fused loop (t_bigram_lm / LM-scoring family). */
 case class BigramHashPairs(child: Expression) extends TokenArrayExpression {
@@ -603,6 +662,11 @@ object TokenKernelFns {
   def bigramHashPairs(spark: SparkSession, toks: Column): Column = {
     reg(spark, "bigram_hash_pairs", 1, args => BigramHashPairs(args.head))
     org.apache.spark.sql.functions.call_function("bigram_hash_pairs", toks)
+  }
+
+  def tokenTfPairs(spark: SparkSession, toks: Column): Column = {
+    reg(spark, "token_tf_pairs", 1, args => TokenTfPairs(args.head))
+    org.apache.spark.sql.functions.call_function("token_tf_pairs", toks)
   }
 
   def adjacentStrPairs(spark: SparkSession, toks: Column): Column = {

@@ -343,9 +343,15 @@ object TextOps {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val total = docs.agg(count(lit(1)).as("n_total"))
-        val toks = docs.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("tok"))
-        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        // per-doc term frequency is ROW-LOCAL state (a document is one
+        // row), so it comes from the fused token_tf_pairs kernel — the
+        // old explode + groupBy(doc, tok) paid a corpus-sized exchange
+        // for the same fold (round-11; TokenKernelsSpec pins parity
+        // with the groupBy form). First exchange is now the df one.
+        val tf = docs.select(col("doc_id"),
+            explode(graft.functions.TokenKernelFns.tokenTfPairs(s,
+              split(col("text"), " "))).as("p"))
+          .select(col("doc_id"), col("p.tok").as("tok"), col("p.tf").as("tf"))
         // df = docs containing tok = tf rows per tok — a count() window
         // over one pinned tok-keyed exchange, not a vocabulary agg
         // joined back in (the t_bigram_lm window rationale)

@@ -204,6 +204,37 @@ class TokenKernelsSpec extends AnyFunSuite {
     assert(fused == hof)
   }
 
+  test("token_tf_pairs equals explode + groupBy(doc, tok) counts") {
+    val toks = fixtureTexts.select(col("id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val grouped = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .orderBy("id", "tok")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val fused = fixtureTexts.select(col("id"),
+        explode(TokenKernelFns.tokenTfPairs(spark,
+          split(col("text"), " "))).as("p"))
+      .select(col("id"), col("p.tok"), col("p.tf"))
+      .orderBy("id", "tok")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(fused == grouped)
+  }
+
+  test("token_tf_pairs counts null tokens as their own group, sorted") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq[String]("b", null, "a", "b", null, "b")),
+      Tuple1(Seq.empty[String])).toDF("t")
+    val rows = df.select(
+        TokenKernelFns.tokenTfPairs(spark, col("t")).as("p"))
+      .collect().map(_.getSeq[Row](0).map(r =>
+        (Option(r.getString(0)), r.getLong(1)))).toSeq
+    // sorted by token bytes asc, null entry trailing; empty -> empty
+    assert(rows == Seq(
+      Seq((Some("a"), 1L), (Some("b"), 3L), (None, 2L)),
+      Seq.empty))
+  }
+
   test("kernels survive codegen and interpreted paths identically") {
     // wholeStage off forces the interpreted eval() path; results must
     // match the codegen run bit-for-bit (shared static kernel)
