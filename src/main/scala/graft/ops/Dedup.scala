@@ -634,9 +634,24 @@ object Dedup {
   }
 
   private def resolveClustersLoop(assign: DataFrame): DataFrame = {
+    val spark = assign.sparkSession
     var cached = assign.select(col("d2").as("doc"), col("d1").as("root"))
       .persist()
-    var m = cached
+    // The cache-filling count doubles as the exact statistic for
+    // partition sizing (the PageRank/q51 pattern): the assignment
+    // frame is linear in docs but far smaller than the corpus, and
+    // with AQE off nothing coalesces its inherited partitioning — at
+    // sf0.1 every iteration's scan of the ~400-row cache paid ~32
+    // near-empty tasks of scheduling + deserialization floor. The
+    // narrow merge is bounded by the session setting, so a
+    // billion-assignment cluster run still fans out. All iteration
+    // joins are static broadcasts over cached stats (no exchange), so
+    // the coalesced width carries through every subsequent iteration.
+    val nAssign = cached.count()
+    val sessPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(1, math.min(sessPart.toLong,
+      nAssign / 250000L + 1L).toInt)
+    var m = cached.coalesce(p)
     var changed = true
     while (changed) {
       val r = m.select(col("doc").as("r_doc"), col("root").as("r_root"))
