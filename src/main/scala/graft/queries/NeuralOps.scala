@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.ml.{Conv2Trainer, ConvNetTrainer, ConvTrainer, GdTrainer, Lstm2Trainer, LstmTrainer, NeuralForward, Rnn2Trainer, RnnTrainer, SignGd, TrainerCommon, WideConv, WideLstm, WideLstm2, WideMlp, WideNet, WideRnn, WideRnn2}
+import graft.ml.{Conv2Trainer, ConvNetTrainer, ConvTrainer, GdTrainer, Lstm2Trainer, LstmTrainer, NeuralForward, Rnn2Trainer, RnnTrainer, SignGd, TrainerCommon, WideConv, WideConv2, WideLstm, WideLstm2, WideMlp, WideNet, WideRnn, WideRnn2}
 
 /** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
   * semantics; reference `models/cnn_model.py:21-32` stack shape and
@@ -566,7 +566,10 @@ object NeuralOps {
       (s, dir) => trainEntry(s, dir) { (facts, xs, y) =>
         val w0 = Conv2Trainer.init(f1 = 2, f2 = 2, kernel = 3,
           classes = 2, seed = 37L)
-        val (w, losses) = Conv2Trainer.fit(facts, xs, y, w0,
+        // fit on the treeAggregate twin (WideConv2 — WideConv2Spec
+        // pins gradients and the fit trajectory to the staged plan);
+        // predictStaged below keeps the staged forward exercised
+        val (w, losses) = WideConv2.fit(facts, xs, y, w0,
           epochs = 3, lr = 0.5)
         val (lab, fs) = labeled(facts, xs, y)
         (losses, accOf(
