@@ -227,4 +227,103 @@ class PropertySpec extends AnyFunSuite {
       fused == legacy
     })
   }
+
+  test("asofJoin equals per-row latest-at-or-before on random series") {
+    import spark.implicits._
+    import graft.ops.AsOf
+    // keys 1..3, epoch seconds in a small range so cross-key misses,
+    // exact-tie lookups (ASOF >= semantics: a state change at exactly
+    // t is visible at t) and no-match-yet rows all occur. Right
+    // timestamps are deduped per key — the operator's contract leaves
+    // equal-timestamp right rows unordered, so the property holds the
+    // input to the domain where the semantics are defined.
+    val evGen = for {
+      k <- Gen.chooseNum(1L, 3L)
+      s <- Gen.chooseNum(0L, 30L)
+    } yield (k, s)
+    check(Prop.forAll(Gen.nonEmptyListOf(evGen),
+        Gen.nonEmptyListOf(evGen)) { (ls, rsRaw) =>
+      val rs = rsRaw.distinct.zipWithIndex
+        .map { case ((k, s), i) => (k, s, 1000L + i) }
+      val left = ls.zipWithIndex.map { case ((k, s), i) =>
+        (k, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)),
+          i.toLong) }.toDF("k", "ts", "lid")
+      val right = rs.map { case (k, s, v) =>
+        (k, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)), v)
+      }.toDF("k", "ts", "v")
+      val want = ls.zipWithIndex.map { case ((lk, lts), li) =>
+        val cands = rs.filter { case (rk, rts, _) => rk == lk && rts <= lts }
+        (li.toLong,
+          if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.sorted
+      val got = AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+        .select(col("lid"), col("asof_v"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sorted
+      got == want
+    })
+  }
+
+  test("bandJoin equals the naive band predicate on random series") {
+    import spark.implicits._
+    import graft.ops.RangeJoin
+    // band W=7 with timestamps in [0, 30]: bin-boundary-exact rows,
+    // r.ts == l.ts - W (included) and r.ts == l.ts (excluded, strictly
+    // before) all occur; pairs must come out exactly once even when
+    // left and right share a timestamp grid
+    val evGen = for {
+      k <- Gen.chooseNum(1L, 2L)
+      s <- Gen.chooseNum(0L, 30L)
+    } yield (k, s)
+    check(Prop.forAll(Gen.nonEmptyListOf(evGen),
+        Gen.nonEmptyListOf(evGen)) { (ls, rs) =>
+      def t(s: Long) =
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+      val left = ls.zipWithIndex.map { case ((k, s), i) =>
+        (k, t(s), i.toLong) }.toDF("k", "ts", "lid")
+      val right = rs.zipWithIndex.map { case ((k, s), i) =>
+        (k, t(s), i.toLong) }.toDF("k", "ts", "rid")
+      val want = (for {
+        ((lk, lts), li) <- ls.zipWithIndex
+        ((rk, rts), ri) <- rs.zipWithIndex
+        if lk == rk && rts >= lts - 7L && rts < lts
+      } yield (li.toLong, ri.toLong)).sorted
+      val got = RangeJoin.bandJoin(left, right, "k", "ts", 7L, Seq("rid"))
+        .select(col("lid"), col("r_rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      got == want
+    })
+  }
+
+  test("nextFitPack equals the sequential next-fit fold on random docs") {
+    import spark.implicits._
+    import graft.ops.Packing
+    // token counts up to cap+4: oversized docs (tk > cap) must land in
+    // singleton bins exactly where the sequential fold puts them;
+    // multiple shards reset bin ids independently; assignment must not
+    // depend on the 3-way input repartition
+    val cap = 10L
+    val docGen = for {
+      src <- Gen.oneOf("a", "b")
+      tk <- Gen.chooseNum(1L, cap + 4L)
+    } yield (src, tk)
+    check(Prop.forAll(Gen.nonEmptyListOf(docGen)) { docs =>
+      val rows = docs.zipWithIndex.map { case ((src, tk), i) =>
+        (src, i.toLong, tk) }
+      val want = rows.groupBy(_._1).flatMap { case (_, shard) =>
+        var bin = 0L; var fill = 0L
+        shard.sortBy(_._2).map { case (src, id, tk) =>
+          if (fill > 0 && fill + tk > cap) { bin += 1; fill = 0 }
+          fill += tk
+          (src, id) -> bin
+        }
+      }.toMap
+      val got = Packing.nextFitPack(spark,
+          rows.toDF("src", "id", "tk").repartition(3),
+          "src", "id", "tk", cap)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+        .toMap
+      got == want
+    })
+  }
 }
