@@ -22,6 +22,80 @@ object GraphLayout {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** The q51 census over a DIRECTED preference edge frame `topk`
+    * (u, w) — u may list w without the reverse. Returns the EAGERLY
+    * materialized one-row summary (n_edges, n_wedges, n_triangles,
+    * gcc_e6) on the undirected graph {least(u,w), greatest(u,w)}.
+    *
+    * ONE v-keyed exchange carries the whole census (round-11 rework;
+    * the old shape paid a distinct() exchange for edge dedup, this
+    * v-keyed exchange for the degree agg, and two more probe-side
+    * exchanges for the two triangle join legs). Each DIRECTED row
+    * contributes both orientations MAP-SIDE; collect_set dedups the
+    * mirrored edge {a,b} picked from both endpoints' lists, so the
+    * old distinct() stage folds into this aggregation for free. The
+    * sorted neighbor set per vertex yields everything downstream:
+    * degree = size(os); the canonical a<b edge list = explode of the
+    * higher-neighbor slice (each undirected edge appears exactly
+    * once, at its lower endpoint); wedges ride the same rows as
+    * sum(d*(d-1)/2). The adjacency is persisted node-sized (for q51's
+    * kNN graph m <= 3n by construction) and released before return;
+    * the count() is the cache barrier so the two census branches
+    * don't race past the still-empty cache and recompute the input
+    * pipeline (measured 3x cost in the pre-rework shape).
+    *
+    * Triangles: for each vertex v, ordered pairs of its HIGHER
+    * neighbors are exactly the candidate closings (each triangle
+    * a<b<c enumerated once, at v=a, as the pair (b,c)) — fan-out
+    * bounded by max degree via the fused orderedPairs kernel — closed
+    * by ONE join against the a<b edge list re-derived from the cache.
+    * The build side is node-sized; broadcast explicitly while it fits
+    * the driver hint budget (with AQE scoped off the planner won't
+    * discover the size on its own), shuffle-join fallback on a graph
+    * too big to ship (the withinClusterNN budget-gate pattern; both
+    * forms are semantically identical). The one-row result is
+    * persisted and counted HERE so callers that scope confs (AQE,
+    * shuffle partitions) around this method get the execution inside
+    * the scope — confs are read at action time.
+    *
+    * GraphLayoutSpec property-checks this census against the
+    * quadratic brute-force definition on random directed graphs. */
+  private[graft] def triangleCensus(
+      s: SparkSession,
+      topk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val adj = topk
+      .select(explode(array(
+        struct(col("u").as("v"), col("w").as("o")),
+        struct(col("w").as("v"), col("u").as("o")))).as("e"))
+      .groupBy(col("e.v").as("v"))
+      .agg(sort_array(collect_set(col("e.o"))).as("os"))
+      .withColumn("hi", filter(col("os"), o => o > col("v")))
+      .persist()
+    val nNodes = adj.count()
+    // edges + wedges in ONE cached-scan aggregation
+    val scal = adj.agg(
+      expr("sum(size(hi))").as("n_edges"),
+      expr("sum(size(os) * (size(os) - 1) DIV 2)").as("n_wedges"))
+    val edgeList = adj.select(col("v").as("a"),
+      explode(col("hi")).as("b"))
+    val eSide = if (nNodes <= 5000000L) broadcast(edgeList)
+                else edgeList
+    val tri = adj
+      .select(explode(graft.functions.TokenKernelFns.orderedPairs(s,
+        col("hi"))).as("p"))
+      .join(eSide, col("p.u") === col("a") && col("p.w") === col("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val out = scal.crossJoin(tri)
+      .select(col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("3000000 * n_triangles DIV greatest(n_wedges, 1)")
+          .as("gcc_e6"))
+      .persist()
+    out.count()
+    adj.unpersist()
+    out
+  }
+
   // ---- q45 constants: 3 iterations at scale 1e6 (base = 15% * scale) ----
   private val Iters = 3
   private val Scale = 1000000L
@@ -206,69 +280,7 @@ object GraphLayout {
             row_number().over(Window.partitionBy("u")
               .orderBy(col("cw").desc, col("w").asc)))
           .filter(col("rk") <= 3)
-        // ONE v-keyed exchange carries the whole census (round-11
-        // rework; the old shape paid a distinct() exchange for edge
-        // dedup, this v-keyed exchange for the degree agg, and two
-        // more probe-side exchanges for the two triangle join legs).
-        // Each DIRECTED topk row contributes both orientations
-        // MAP-SIDE; collect_set dedups the mirrored edge {a,b} picked
-        // from both endpoints' top-3 lists, so the old distinct()
-        // stage folds into this aggregation for free. The sorted
-        // neighbor set per vertex yields everything downstream:
-        // degree = size(os); the canonical a<b edge list = explode of
-        // the higher-neighbor slice (each undirected edge appears
-        // exactly once, at its lower endpoint); wedges ride the same
-        // rows as sum(d*(d-1)/2). Persisted node-sized (m <= 3n by
-        // construction, so |adj| = n rows with <= 2k entries each),
-        // released by the runner's clearCache; the count() is the
-        // cache barrier so the two census branches below don't race
-        // past the still-empty cache and recompute the pair pipeline
-        // (measured 3x cost in the pre-rework shape).
-        val adj = topk
-          .select(explode(array(
-            struct(col("u").as("v"), col("w").as("o")),
-            struct(col("w").as("v"), col("u").as("o")))).as("e"))
-          .groupBy(col("e.v").as("v"))
-          .agg(sort_array(collect_set(col("e.o"))).as("os"))
-          .withColumn("hi", filter(col("os"), o => o > col("v")))
-          .persist()
-        val nNodes = adj.count()
-        // edges + wedges in ONE cached-scan aggregation
-        val scal = adj.agg(
-          expr("sum(size(hi))").as("n_edges"),
-          expr("sum(size(os) * (size(os) - 1) DIV 2)").as("n_wedges"))
-        // Triangles: for each vertex v, ordered pairs of its HIGHER
-        // neighbors are exactly the candidate closings (each triangle
-        // a<b<c enumerated once, at v=a, as the pair (b,c)) —
-        // k-bounded fan-out via the same fused orderedPairs kernel as
-        // the wedge build, closed by ONE join against the a<b edge
-        // list re-derived from the cache. The build side is node-sized
-        // (<= kn rows); broadcast explicitly while it fits in the
-        // driver hint budget — with AQE scoped off the planner won't
-        // discover the size on its own — and fall back to the shuffle
-        // join on a graph too big to ship (the withinClusterNN
-        // budget-gate pattern; both forms are semantically identical).
-        val edgeList = adj.select(col("v").as("a"),
-          explode(col("hi")).as("b"))
-        val eSide = if (nNodes <= 5000000L) broadcast(edgeList)
-                    else edgeList
-        val tri = adj
-          .select(explode(graft.functions.TokenKernelFns.orderedPairs(s,
-            col("hi"))).as("p"))
-          .join(eSide, col("p.u") === col("a") && col("p.w") === col("b"))
-          .agg(count(lit(1)).as("n_triangles"))
-        // materialize INSIDE the AQE-off / scoped-partitions window
-        // (confs are read at action time); one summary row, so the
-        // persist is O(1) driver-adjacent state, not a data cache
-        val out = scal.crossJoin(tri)
-          .select(col("n_edges"), col("n_wedges"),
-            col("n_triangles"),
-            expr("3000000 * n_triangles DIV greatest(n_wedges, 1)")
-              .as("gcc_e6"))
-          .persist()
-        out.count()
-        adj.unpersist()
-        out
+        triangleCensus(s, topk)
         } finally {
           s.conf.set("spark.sql.adaptive.enabled", aqeWas)
           s.conf.set("spark.sql.shuffle.partitions", partWas)

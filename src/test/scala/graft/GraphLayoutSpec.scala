@@ -104,4 +104,39 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(avg(byLevel(2L)) > 150000L)
     assert(avg(byLevel(3L)) > 150000L)
   }
+
+  test("triangleCensus equals the quadratic brute force on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Random DIRECTED preference lists over <= 8 vertices: mirrored
+    // picks (both endpoints list each other — collect_set must dedup),
+    // one-sided picks, and duplicate rows all occur. The operator's
+    // domain is loop-free lists (u != w), which the q51 pair pipeline
+    // guarantees by construction (u < w before mirroring).
+    val edgeGen = for {
+      u <- Gen.chooseNum(1L, 8L)
+      d <- Gen.chooseNum(1L, 7L)
+    } yield (u, (u + d - 1L) % 8L + 1L) // w != u, uniform over the rest
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(8).withWorkers(1)
+    val r = SCTest.check(params, Prop.forAll(Gen.nonEmptyListOf(edgeGen)) {
+      ds =>
+        val undirected = ds.map { case (u, w) =>
+          (math.min(u, w), math.max(u, w)) }.toSet
+        val nEdges = undirected.size.toLong
+        val deg = undirected.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (_, vs) => vs.size.toLong }
+        val nWedges = deg.map(d => d * (d - 1) / 2).sum
+        val nTri = (for {
+          (a, b) <- undirected; (b2, c) <- undirected
+          if b2 == b && undirected.contains((a, c))
+        } yield (a, b, c)).size.toLong
+        val gcc = 3000000L * nTri / math.max(nWedges, 1L)
+        val got = GraphLayout.triangleCensus(spark,
+          ds.toDF("u", "w")).head()
+        spark.catalog.clearCache()
+        (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+          ((nEdges, nWedges, nTri, gcc))
+    })
+    assert(r.passed, r.status.toString)
+  }
 }
