@@ -128,7 +128,7 @@ object GraphLayout {
   /** Morton interleave of two ZBits-bit non-negative ints: x gets the
     * even bit positions, y the odd. Column form and SQL form generated
     * from the same loop so the engines compute the identical integer. */
-  private def zOrder(x: Column, y: Column): Column =
+  private[graft] def zOrder(x: Column, y: Column): Column =
     (0 until ZBits).map { j =>
       shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j) +
         shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j + 1)

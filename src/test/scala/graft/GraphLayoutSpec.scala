@@ -105,6 +105,25 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(avg(byLevel(3L)) > 150000L)
   }
 
+  test("zOrder column equals a reference Morton interleave on random keys") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions.col
+    def ref(x: Long, y: Long): Long =
+      (0 until 10).map(j =>
+        (((x >> j) & 1L) << (2 * j)) + (((y >> j) & 1L) << (2 * j + 1))).sum
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(8).withWorkers(1)
+    val xyGen = Gen.zip(Gen.chooseNum(0L, 1023L), Gen.chooseNum(0L, 1023L))
+    val r = SCTest.check(params, Prop.forAll(Gen.nonEmptyListOf(xyGen)) {
+      pts =>
+        val got = pts.toDF("x", "y")
+          .select(GraphLayout.zOrder(col("x"), col("y")).as("z"))
+          .collect().map(_.getLong(0)).toSeq
+        got == pts.map { case (x, y) => ref(x, y) }
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("triangleCensus equals the quadratic brute force on random graphs") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // Random DIRECTED preference lists over <= 8 vertices: mirrored
