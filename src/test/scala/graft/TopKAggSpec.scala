@@ -51,6 +51,35 @@ class TopKAggSpec extends AnyFunSuite {
     assert(top.sameElements(Array(10L, 20L)))
   }
 
+  test("heap aggregate equals sort-take-k on random groups with ties") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // few distinct scores force dense ties; duplicate ids (and exact
+    // duplicate (score, id) pairs) occur — the heap must reproduce the
+    // reference sort-by-(score desc, id asc)-take-k on all of them
+    val rowGen = for {
+      g <- Gen.chooseNum(1L, 3L)
+      sc <- Gen.oneOf(1.0, 2.0, 3.0)
+      id <- Gen.chooseNum(0L, 20L)
+    } yield (g, sc, id)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(8).withWorkers(1)
+    val r = SCTest.check(params, Prop.forAll(Gen.nonEmptyListOf(rowGen)) {
+      rows =>
+        val want = rows.groupBy(_._1).map { case (g, rs) =>
+          g -> rs.map(t => (t._2, t._3)).sortBy(t => (-t._1, t._2)).take(3)
+        }
+        val got = rows.toDF("g", "score", "id").repartition(5)
+          .groupBy("g")
+          .agg(TopKAgg.topkAgg(spark, col("score"), col("id"), 3).as("t"))
+          .collect().map(r => r.getLong(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1)
+              .map(x => (x.getDouble(0), x.getLong(1))).toList).toMap
+        got == want
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("aggregate plan has partial aggregation before the shuffle") {
     val orders = Tables.load(spark, TestSpark.sf0001, "orders")
     val plan = orders.groupBy("o_custkey")
