@@ -829,6 +829,104 @@ object Analytics {
                      CAST(sum(len) AS BIGINT) AS active_days
               FROM st GROUP BY 1 ORDER BY 1""")),
 
+    // Q67 — SCD Type-2 change-collapse: rebuild the slowly-changing
+    // dimension a warehouse keeps for each customer's order priority —
+    // consecutive orders with the SAME priority collapse into one
+    // validity run [valid_from, valid_to), valid_to = the next run's
+    // start (NULL while current). Runs form by the null-safe
+    // lag-compare + running-sum island id; (o_orderdate, o_orderkey)
+    // is a total order per customer so row frames are deterministic.
+    // Shape: ONE o_custkey exchange end to end — the run-id windows,
+    // the (custkey, run) aggregation (hash(custkey) already clusters
+    // it), and the lead() stitching all reuse the same partitioning;
+    // at 100 TB this is a single shuffle of the orders fact followed
+    // by partition-local sorts.
+    Entry("q67_scd2",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val runs = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .withColumn("chg",
+            when(lag("o_orderpriority", 1).over(w) <=> col("o_orderpriority"),
+              lit(0L)).otherwise(lit(1L)))
+          .withColumn("run_id", sum("chg").over(wr))
+          .groupBy(col("o_custkey"), col("run_id"))
+          .agg(min("o_orderpriority").as("priority"),
+            min("o_orderdate").as("valid_from"),
+            count(lit(1)).as("n_orders"))
+        val wl = Window.partitionBy("o_custkey").orderBy("run_id")
+        runs.select(col("o_custkey"), col("run_id"), col("priority"),
+            col("valid_from"),
+            lead("valid_from", 1).over(wl).as("valid_to"),
+            col("n_orders"))
+          .orderBy("o_custkey", "run_id")
+      },
+      Some("""WITH o AS (
+                SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                       CASE WHEN lag(o_orderpriority) OVER w
+                                 IS NOT DISTINCT FROM o_orderpriority
+                            THEN 0 ELSE 1 END AS chg
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)),
+              r AS (
+                SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+                FROM o),
+              runs AS (
+                SELECT o_custkey, CAST(run_id AS BIGINT) AS run_id,
+                       min(o_orderpriority) AS priority,
+                       min(o_orderdate) AS valid_from,
+                       count(*) AS n_orders
+                FROM r GROUP BY 1, 2)
+              SELECT o_custkey, run_id, priority, valid_from,
+                     lead(valid_from) OVER (PARTITION BY o_custkey
+                       ORDER BY run_id) AS valid_to,
+                     CAST(n_orders AS BIGINT) AS n_orders
+              FROM runs ORDER BY o_custkey, run_id""")),
+
+    // X31 — robust per-key outlier detection (median / MAD): flag
+    // events whose |value - median| exceeds 3x the median absolute
+    // deviation of their user — the z-score's robust cousin, immune to
+    // the outliers it is hunting (a data-QA pass a curation pipeline
+    // runs per source/user before trusting engagement stats). Both
+    // medians ride ONE user_id exchange: two whole-partition window
+    // aggregates back to back reuse the same hash partitioning and
+    // sort. The holistic window buffers one user's events — bounded by
+    // per-key cardinality, not corpus size; at 100 TB swap the exact
+    // median for approx_percentile per group (two-pass) if a single
+    // key's events outgrow an executor, a documented degradation the
+    // fixture never needs.
+    Entry("x31_mad_outliers",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("med", percentile(col("value"), lit(0.5)).over(w))
+          .withColumn("mad",
+            percentile(abs(col("value") - col("med")), lit(0.5)).over(w))
+          .filter(abs(col("value") - col("med")) > lit(3.0) * col("mad") &&
+            col("mad") > lit(0.0))
+          .select("user_id", "event_id", "value", "med", "mad")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH m AS (
+                SELECT event_id, user_id, value,
+                       median(value) OVER (PARTITION BY user_id) AS med
+                FROM events),
+              mm AS (
+                SELECT *, median(abs(value - med))
+                            OVER (PARTITION BY user_id) AS mad
+                FROM m)
+              SELECT user_id, event_id, value, med, mad
+              FROM mm
+              WHERE abs(value - med) > 3 * mad AND mad > 0
+              ORDER BY user_id, event_id""")),
+
     // A-gini — per-source language-purity (Gini impurity of the lang
     // distribution, the mixture-skew diagnostic a corpus balancing job
     // watches). Kept EXACT: gini = 1 - sum(c_i^2)/n^2 is rational, so

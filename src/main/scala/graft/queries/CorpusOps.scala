@@ -837,6 +837,35 @@ object CorpusOps {
                      min(doc_id) OVER (PARTITION BY k) AS keeper,
                      CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY k)
                           THEN 1 ELSE 0 END AS is_dup
-              FROM nk ORDER BY doc_id"""))
+              FROM nk ORDER BY doc_id""")),
+
+    // X29 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // A-ES, Inf. Proc. Letters 2006): per doc draw u ~ U(0,1] and keep
+    // the global top-k by key = ln(u)/w — provably a draw where doc i
+    // is selected with probability proportional to weight w_i at every
+    // step, the length-weighted corpus subsample a token-budgeted
+    // pretraining mix needs (uniform doc sampling under-weights long
+    // docs in token space). u is the 52-bit md5 prefix (+1, so u > 0
+    // and every value is an EXACT double) over 2^52 — engine-portable
+    // like every sampling priority here, and ln's cross-libm ulp
+    // wiggle is 12+ orders below inter-doc key gaps, so the selected
+    // set is stable. Shape: row-local key + TakeOrdered(k) — the
+    // corpus NEVER shuffles; each partition keeps a k-row heap and the
+    // driver merges P*k rows, the same contract at 32 tasks or 100k.
+    Entry("x29_weighted_sample",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          (log((conv(substring(md5(col("text")), 1, 13), 16, 10)
+            .cast("double") + 1) / lit(4503599627370496.0))
+            / col("n_chars")).as("pri"))
+        .orderBy(col("pri").desc, col("doc_id"))
+        .limit(20),
+      Some("""SELECT doc_id, n_chars,
+                     ln((CAST('0x' || substr(md5(text), 1, 13) AS UBIGINT)
+                         + 1) / 4503599627370496.0) / n_chars AS pri
+              FROM documents
+              WHERE n_chars > 0
+              ORDER BY pri DESC, doc_id LIMIT 20"""))
   )
 }

@@ -141,4 +141,68 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(sorted.length <= 3)
     }
   }
+
+  test("q67_scd2 matches a per-customer Scala run fold") {
+    // brute force: sort each customer's orders by (date, key), collapse
+    // consecutive equal priorities into runs, chain valid_to
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(o_orderdate AS STRING) AS d", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val expected = raw.groupBy(_._1).flatMap { case (cust, rows) =>
+      // ISO timestamp strings are fixed-width: lexicographic = temporal
+      val sorted = rows.sortBy(t => (t._3, t._2))
+      val runs = sorted.foldLeft(
+        Vector.empty[(String, String, Long)]) { case (acc, o) =>
+        if (acc.nonEmpty && acc.last._1 == o._4)
+          acc.init :+ ((acc.last._1, acc.last._2, acc.last._3 + 1))
+        else acc :+ ((o._4, o._3, 1L))
+      }
+      runs.zipWithIndex.map { case ((pri, from, n), i) =>
+        val to = if (i + 1 < runs.length) runs(i + 1)._2 else "NULL"
+        (cust, (i + 1).toLong, pri, from, to, n)
+      }
+    }.toSet
+    val got = run("q67_scd2")
+      .selectExpr("o_custkey", "run_id", "priority",
+        "CAST(valid_from AS STRING) AS vf", "CAST(valid_to AS STRING) AS vt",
+        "n_orders")
+      .collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)).getOrElse("NULL"), r.getLong(5))
+    }.toSet
+    assert(got == expected)
+    // runs tile the history: per-customer n_orders sums to order count
+    val perCust =
+      got.groupBy(_._1).view.mapValues(_.toSeq.map(_._6).sum).toMap
+    val cnts = raw.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(perCust == cnts)
+  }
+
+  test("x31_mad_outliers matches a Scala median/MAD brute force") {
+    def interp(sorted: Array[Double]): Double = {
+      val pos = 0.5 * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == pos) sorted(lo)
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
+    }
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = raw.groupBy(_._2).flatMap { case (_, rows) =>
+      val med = interp(rows.map(_._3).sorted)
+      val mad = interp(rows.map(t => math.abs(t._3 - med)).sorted)
+      if (mad > 0) rows.toSeq.filter(t => math.abs(t._3 - med) > 3 * mad)
+        .map(t => t._1 -> (med, mad))
+      else Seq.empty[(Long, (Double, Double))]
+    }.toMap
+    val got = run("x31_mad_outliers").collect()
+      .map(r => r.getLong(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (m, d)) =>
+      assert(math.abs(m - expected(id)._1) < 1e-9)
+      assert(math.abs(d - expected(id)._2) < 1e-9)
+    }
+  }
 }

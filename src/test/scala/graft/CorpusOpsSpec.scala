@@ -154,4 +154,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(0).getLong(1) == 7L)
     assert(out(0).getLong(2) == 1L)
   }
+
+  test("x29_weighted_sample matches the A-ES key brute force") {
+    // 40 docs with lengths spread 1..200 chars so weights differ widely
+    val docs = (1L to 40L).map { i =>
+      (i, ("tok" + i + " ") * (1 + (i.toInt * 5) % 50) + i, "s" + i % 4)
+    }
+    val dir = docsView(docs)
+    def key(text: String, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      math.log((java.lang.Long.parseLong(hex, 16) + 1.0) / 4503599627370496.0) / w
+    }
+    val expected = docs.map { case (id, text, _) =>
+      (id, key(text, text.length.toLong))
+    }.sortBy { case (id, k) => (-k, id) }.take(20).map(_._1)
+    val got = entry("x29_weighted_sample").run(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
 }
