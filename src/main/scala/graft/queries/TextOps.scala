@@ -822,6 +822,160 @@ object TextOps {
                             THEN d.toks ELSE r.fill + d.toks END
                 FROM rec r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1)
               SELECT shard, doc, toks, bin FROM rec
-              ORDER BY shard, doc"""))
+              ORDER BY shard, doc""")),
+
+    // T15 — BM25 relevance scoring (Robertson/Spärck Jones; the Lucene
+    // idf variant ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75): per-doc
+    // top-3 terms — TF-IDF's (t_tfidf) retrieval-grade successor, the
+    // scorer a dedup/retrieval pipeline uses to pick representative
+    // terms with length normalization (long docs stop winning on raw
+    // tf). Same shape as t_tfidf: row-local tf from the fused
+    // token_tf_pairs kernel, df as a count window over ONE tok-keyed
+    // exchange, corpus stats (N, total length) a 1-row broadcast. The
+    // rank key is the ROUNDED score (then term asc) — the t_tfidf
+    // cross-libm-ulp rationale; every arithmetic step is written in
+    // the same order in both engines.
+    Entry("t_bm25",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val stats = docs.agg(count(lit(1)).as("n_total"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_len"))
+        val tf = docs.select(col("doc_id"),
+            size(split(col("text"), " ")).as("dl"),
+            explode(graft.functions.TokenKernelFns.tokenTfPairs(s,
+              split(col("text"), " "))).as("p"))
+          .select(col("doc_id"), col("dl"),
+            col("p.tok").as("tok"), col("p.tf").as("tf"))
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val scored = tf.repartition(n, col("tok"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+          .crossJoin(broadcast(stats))
+          .withColumn("bm25", round(
+            log(lit(1.0) + (col("n_total") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5))) * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(0.25)
+                + lit(0.75) * col("dl") * col("n_total") / col("sum_len"))),
+            4))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("bm25").desc, col("tok").asc)
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "rk", "tok", "tf", "df", "bm25")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              tfq AS (SELECT doc_id, dl, tok, count(*) AS tf
+                      FROM toks GROUP BY 1, 2, 3),
+              dfq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY 1),
+              tot AS (SELECT count(*) AS n_total,
+                             CAST(sum(len(string_split(text, ' ')))
+                               AS BIGINT) AS sum_len
+                      FROM documents),
+              scored AS (
+                SELECT doc_id, tok, tf, df,
+                       round(ln(1.0 + (n_total - df + 0.5) / (df + 0.5))
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25
+                           + 0.75 * dl * n_total / sum_len)), 4) AS bm25
+                FROM tfq JOIN dfq USING (tok) CROSS JOIN tot),
+              ranked AS (
+                SELECT *, row_number() OVER
+                  (PARTITION BY doc_id ORDER BY bm25 DESC, tok ASC) AS rk
+                FROM scored)
+              SELECT doc_id, rk, tok, tf, df, bm25
+              FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // T16 — per-doc token entropy: Shannon entropy of the document's
+    // token distribution (nats) + distinct count — the repetitiveness /
+    // degenerate-text signal beside t_repetition's max-run view (a
+    // low-entropy doc is boilerplate or keyword stuffing even when no
+    // single token dominates a run). Entirely ROW-LOCAL (a document is
+    // one row): counts via filter over the sorted distinct tokens, the
+    // entropy fold left-to-right over that SAME sorted order in both
+    // engines, so the double summation is order-identical and the
+    // 4-decimal gate can't flip on accumulation order. Zero exchanges —
+    // scan, project, done; the O(k·n) per-row count scan (k = distinct
+    // tokens) swaps for the O(n) token_tf_pairs kernel at scale if
+    // profiling ever shows it hot.
+    Entry("t_entropy",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("cs", expr(
+          "transform(array_sort(array_distinct(toks)), " +
+            "x -> size(filter(toks, t -> t = x)))"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(col("cs")).cast("long").as("n_distinct"),
+          round(expr(
+            "ln(size(toks)) - aggregate(cs, CAST(0.0 AS DOUBLE), " +
+              "(a, c) -> a + c * ln(c)) / size(toks)"), 4).as("ent")),
+      Some("""WITH tk AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+              c AS (
+                SELECT doc_id, len(toks) AS n_tok,
+                       list_transform(list_sort(list_distinct(toks)),
+                         x -> len(list_filter(toks, t -> t = x))) AS cs
+                FROM tk)
+              SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                     CAST(len(cs) AS BIGINT) AS n_distinct,
+                     round(ln(n_tok) - list_reduce(list_prepend(0.0,
+                         list_transform(cs, c -> c * ln(c))),
+                       (a, c) -> a + c) / n_tok, 4) AS ent
+              FROM c ORDER BY doc_id""")),
+
+    // T17 — out-of-vocabulary rate per source: fraction of corpus
+    // tokens outside the top-200 corpus vocabulary — the "how well
+    // does a fixed tokenizer vocabulary cover this source" diagnostic
+    // a mixture designer reads next to x7/x27 before allocating budget
+    // (a high-OOV source inflates tokenized length and training cost).
+    // Shape: ONE corpus-sized (source, tok) exchange; the vocabulary
+    // (top-16 by corpus tf, tok tiebreak — t_vocab's deterministic
+    // cut; 16 of the fixture's ~31-token synthetic vocabulary stands
+    // in for 32k-of-millions real tokenizer coverage) and the OOV
+    // anti-join both derive from that SAME aggregate,
+    // and Spark's ReuseExchange collapses the two subtrees into one
+    // physical exchange (asserted in TextStatsSpec); the vocab side
+    // then broadcasts (200 rows), per-source totals ride the same
+    // frame. Exact integers end to end: oov_e6 = n_oov·1e6 DIV n_tok.
+    Entry("t_oov_rate",
+      (s, dir) => {
+        val st = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val vocab = st.groupBy("tok").agg(sum("c").as("ctf"))
+          .orderBy(col("ctf").desc, col("tok").asc).limit(16)
+        val oov = st.join(broadcast(vocab.select("tok")), Seq("tok"),
+            "left_anti")
+          .groupBy("source").agg(sum("c").as("n_oov"))
+        st.groupBy("source").agg(sum("c").as("n_tok"))
+          .join(oov, Seq("source"), "left")
+          .na.fill(0L, Seq("n_oov"))
+          .select(col("source"), col("n_tok"), col("n_oov"),
+            expr("n_oov * 1000000 DIV n_tok").as("oov_e6"))
+          .orderBy("source")
+      },
+      Some("""WITH st AS (
+                SELECT source, tok, count(*) AS c
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY 1, 2),
+              vocab AS (
+                SELECT tok FROM (
+                  SELECT tok, sum(c) AS ctf FROM st GROUP BY 1
+                  ORDER BY ctf DESC, tok ASC LIMIT 16)),
+              oov AS (
+                SELECT source, CAST(sum(c) AS BIGINT) AS n_oov
+                FROM st WHERE tok NOT IN (SELECT tok FROM vocab)
+                GROUP BY 1)
+              SELECT source, CAST(t.n_tok AS BIGINT) AS n_tok,
+                     COALESCE(o.n_oov, 0) AS n_oov,
+                     COALESCE(o.n_oov, 0) * 1000000
+                       // CAST(t.n_tok AS BIGINT) AS oov_e6
+              FROM (SELECT source, sum(c) AS n_tok FROM st GROUP BY 1) t
+              LEFT JOIN oov o USING (source)
+              ORDER BY source"""))
   )
 }

@@ -26,6 +26,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "x2_cosine_topk", "x2_cosine_topk_ann", "x2_cosine_topk_ivf", // probe
     "x5_media_features", // probe via cosineTopK
     "t_tfidf", // corpus-total doc count
+    "t_bm25", // 1-row (N, total-length) stats onto the tf frame
     "q44_cms_freq", // the 1-row Count-Min grid joined onto 5 keys
     "q51_triangles", // three 1-row census aggregates cross-joined
     "x16_collocations", // 1-row bigram total onto the vocab frame

@@ -81,4 +81,50 @@ class TextStatsSpec extends AnyFunSuite {
     val a2 = one("a b c").select(TextStats.fingerprint(col("text"))).head().getLong(0)
     assert(a == a2 && a != b)
   }
+
+  test("t_entropy: hand-computed values and bounds") {
+    val e = graft.queries.TextOps.entries.find(_.name == "t_entropy").get
+    val dir = java.nio.file.Files.createTempDirectory("entropy").toString
+    Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = e.run(spark, dir).orderBy("doc_id").collect()
+    // uniform single token -> 0; 4 distinct of 4 -> ln 4; 2x2 -> ln 2
+    assert(rows(0).getDouble(3) == 0.0)
+    assert(math.abs(rows(1).getDouble(3) - math.log(4)) < 1e-3)
+    assert(math.abs(rows(2).getDouble(3) - math.log(2)) < 1e-3)
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 4L, 2L))
+  }
+
+  test("t_bm25: length normalization ranks shorter docs higher at equal tf") {
+    val e = graft.queries.TextOps.entries.find(_.name == "t_bm25").get
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    // 'rare' appears once in both docs; doc 2 is much longer, so its
+    // BM25 for 'rare' must be strictly lower. Both docs share the
+    // same 3-token vocabulary (equal df everywhere) so all three make
+    // each doc's top-3 and the comparison isolates length.
+    Seq((1L, "rare x y"),
+        (2L, "rare " + ("x y " * 20).trim))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byDoc = e.run(spark, dir).collect()
+      .filter(_.getString(2) == "rare")
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(byDoc(1L) > byDoc(2L))
+  }
+
+  test("t_oov_rate reuses one physical exchange for vocab and oov sides") {
+    val e = graft.queries.TextOps.entries.find(_.name == "t_oov_rate").get
+    val df = e.run(spark, TestSpark.sf0001)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("TableCacheQueryStage") ||
+      plan.contains("ReusedQueryStage"),
+      s"(source, tok) aggregate not shared:\n${plan.take(1500)}")
+  }
 }
