@@ -157,6 +157,24 @@ object ScaleSmoke {
         .agg(countDistinct("user_id").as("n_users"))
         .write.format("noop").mode("overwrite").save()
     }
+    time("median/MAD outliers (x31 shape, hot-user holistic window)") {
+      // x31's hazard in pure form: percentile over an UNORDERED
+      // whole-partition window buffers each user's rows — the hot user
+      // holds n/30 of them in one partition's buffer. Near-linear wall
+      // here means the holistic buffer carries the celebrity-account
+      // profile; the documented degradation past executor memory is
+      // the grouped approx_percentile two-pass.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      events
+        .withColumn("value",
+          pmod(xxhash64(col("tus")), lit(10000L)).cast("double"))
+        .withColumn("med", percentile(col("value"), lit(0.5)).over(w))
+        .withColumn("mad",
+          percentile(abs(col("value") - col("med")), lit(0.5)).over(w))
+        .filter(abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+        .write.format("noop").mode("overwrite").save()
+    }
     time("interval-overlap join (q65 shape, hot-user buckets)") {
       // intervals from the same skewed events over a time range that
       // GROWS with the corpus (constant interval density — longer

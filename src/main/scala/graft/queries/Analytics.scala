@@ -927,6 +927,64 @@ object Analytics {
               WHERE abs(value - med) > 3 * mad AND mad > 0
               ORDER BY user_id, event_id""")),
 
+    // Q68 — Misra-Gries heavy hitters (functions/MisraGriesAgg): top-10
+    // corpus tokens from an O(capacity)-state mergeable summary — the
+    // fourth sketch family (HLL q33, KLL q34, Count-Min q44) and
+    // Count-Min's dual: MG UNDER-counts and keeps only candidates, CM
+    // over-counts and keeps none. Capacity 64 exceeds the fixture's
+    // ~31-token vocabulary, so every counter is exact and the summary
+    // is hash-gated against the true frequency table regardless of
+    // partitioning or merge order (the approximate regime — real
+    // vocabularies — is SketchSpec-gated on adversarial streams where
+    // decrements fire). Shape: partial summaries per partition, ONE
+    // capacity-sized row through the exchange, never the token
+    // universe.
+    Entry("q68_mg_topk",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(graft.functions.MisraGriesAgg.mgSummary(s, col("tok"), 64)
+          .as("mg"))
+        .select(explode(col("mg")).as("p"))
+        .select(col("p.item").as("token"), col("p.est").as("est"))
+        .orderBy(col("est").desc, col("token").asc).limit(10),
+      Some("""SELECT tok AS token, count(*) AS est
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY 1 ORDER BY est DESC, token ASC LIMIT 10""")),
+
+    // X32 — duplicate-multiplicity histogram: how many dup clusters of
+    // each size the corpus holds (and how many docs they absorb) — the
+    // "how duplicated is this crawl" report a dedup policy decision
+    // starts from (a corpus where 30% of docs sit in 1000-deep
+    // clusters dedups very differently from one with pair dups only).
+    // The cluster key is the sha of the SORTED DISTINCT TOKEN SET —
+    // the bag-of-words fingerprint (order- and repetition-insensitive,
+    // the normalization tier between x1's byte-exact sha and x4's
+    // probabilistic near-dup; on this fixture raw sha finds zero
+    // clusters while the token-set key finds up to 29-deep ones). One
+    // digest-keyed exchange for cluster sizes — the x1 shape, and the
+    // shuffle carries 32-byte digests, never text — then a second
+    // aggregation over the O(distinct sizes) frame; n_docs =
+    // sz * n_clusters stays exact-integer.
+    Entry("x32_dup_histogram",
+      (s, dir) => t(s, dir, "documents")
+        .select(sha2(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " ")))), 256)
+          .as("d"))
+        .groupBy("d").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy("sz"),
+      Some("""SELECT sz, count(*) AS n_clusters,
+                     CAST(sz * count(*) AS BIGINT) AS n_docs
+              FROM (SELECT count(*) AS sz
+                    FROM (SELECT array_to_string(list_sort(list_distinct(
+                            string_split(text, ' '))), ' ') AS d
+                          FROM documents)
+                    GROUP BY d)
+              GROUP BY sz ORDER BY sz""")),
+
     // A-gini — per-source language-purity (Gini impurity of the lang
     // distribution, the mixture-skew diagnostic a corpus balancing job
     // watches). Kept EXACT: gini = 1 - sum(c_i^2)/n^2 is rational, so

@@ -326,4 +326,24 @@ class PropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("Misra-Gries holds its bound on random streams and capacities") {
+    import spark.implicits._
+    val streamGen = Gen.nonEmptyListOf(
+      Gen.frequency(5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+        2 -> Gen.oneOf((1 to 20).map(i => s"c$i"))))
+    check(Prop.forAll(streamGen, Gen.chooseNum(1, 6),
+        Gen.chooseNum(1, 5)) { (xs, cap, parts) =>
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = xs.length.toDouble / (cap + 1)
+      val out = xs.toDF("x").repartition(parts)
+        .agg(graft.functions.MisraGriesAgg.mgSummary(spark, col("x"), cap))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      val got = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+      got.size <= cap &&
+        got.forall { case (k, est) =>
+          est <= exact(k) && est >= exact(k) - bound } &&
+        exact.forall { case (k, c) => c <= bound || got.contains(k) }
+    })
+  }
 }

@@ -84,4 +84,47 @@ class SketchSpec extends AnyFunSuite {
         assert(r.getDouble(2) >= lo95 && r.getDouble(2) <= hi95)
       }
   }
+
+  test("Misra-Gries is exact when capacity covers the universe, " +
+    "under any partitioning") {
+    import spark.implicits._
+    val items = (1 to 500).map(i => s"t${i % 7}") // 7 distinct items
+    val out = items.toDF("x").repartition(13)
+      .agg(graft.functions.MisraGriesAgg.mgSummary(spark, col("x"), 16))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val got = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = items.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got == exact)
+    // eval order is the documented (est desc, item asc) total order
+    val keys = out.map(r => (-r.getLong(1), r.getString(0)))
+    assert(keys == keys.sorted)
+  }
+
+  test("Misra-Gries guarantee under decrement pressure: " +
+    "undercount-only, heavy hitters always kept") {
+    import spark.implicits._
+    // 2 heavy items + 40 singletons, capacity 3: decrements fire in
+    // update (partition summaries overflow) AND the merge trim fires
+    // (7 partials of up to 3 entries collapse to 3)
+    val stream = Seq.fill(60)("A") ++ Seq.fill(35)("B") ++
+      (1 to 40).map(i => s"z$i")
+    val cap = 3
+    val bound = stream.length.toDouble / (cap + 1)
+    val out = stream.toDF("x").repartition(7)
+      .agg(graft.functions.MisraGriesAgg.mgSummary(spark, col("x"), cap))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val got = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = stream.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(out.length <= cap)
+    got.foreach { case (k, est) =>
+      assert(est <= exact(k), s"$k overcounted: $est > ${exact(k)}")
+      assert(est >= exact(k) - bound,
+        s"$k below the N/(k+1) floor: $est < ${exact(k)} - $bound")
+    }
+    // anything with true frequency > N/(cap+1) must survive
+    exact.filter(_._2 > bound).keys
+      .foreach(k => assert(got.contains(k), s"heavy hitter $k dropped"))
+  }
 }
