@@ -248,6 +248,31 @@ object BpeTrain {
         coalesce(col("h"), md5(lit(""))).as("h"))
   }
 
+  /** Per-key encoded-length rollup: word and BPE-piece counts grouped
+    * by `keyCol` (e.g. source) — the tokenizer-FERTILITY aggregation
+    * (pieces per word), which needs neither per-doc ordering nor the
+    * content hash, so it skips [[encodeStatsWithVocab]]'s positional
+    * explode and ordered reassembly entirely: flat word explode,
+    * broadcast vocabulary join (merge-replay fold only on cap
+    * misses), ONE key-keyed exchange with map-side partial sums. */
+  def encodeLenByKey(docs: DataFrame, textCol: String, keyCol: String,
+      merges: Seq[Merge], vocab: Seq[(String, Seq[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vdf = broadcast(vocab.toDF("word", "vtoks"))
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val fold = merges.foldLeft(
+      concat(split(col("word"), ""), array(lit(EndOfWord)))
+    )((c, m) => fuse(c, m.left, m.right))
+    graft.sources.Tables.spread(docs)
+      .select(col(keyCol), explode(words).as("word"))
+      .join(vdf, Seq("word"), "left")
+      .withColumn("toks", coalesce(col("vtoks"), fold))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("toks"))).cast("long").as("n_tokens"))
+  }
+
   /** [[encodeStats]] against a driver-held fused vocabulary (from
     * [[fitWithVocab]]): the per-word token lists ship as a BROADCAST
     * literal frame instead of being recomputed by a distinct + fold pass

@@ -985,6 +985,160 @@ object Analytics {
                     GROUP BY d)
               GROUP BY sz ORDER BY sz""")),
 
+    // Q70 — join-key skew report: the pre-pass a 100 TB join PLANS
+    // from — before picking q32's salt factor or q35's bucket count
+    // you measure the key distribution, not guess it. Top-5 hottest
+    // keys with their row share plus the global skew ratio
+    // (max_cnt / mean_cnt, e6 fixed-point) — skew_e6 ~ 1e6 means
+    // uniform; 30e6 means the hottest key holds 30x its fair share and
+    // a plain hash join stalls on one task. Shape: ONE user-keyed
+    // exchange (map-side partial counts) -> O(keys) counts frame; the
+    // 1-row totals aggregate and the top-5 TakeOrdered BOTH read that
+    // same grouped subtree (the t_oov_rate reused-exchange pattern),
+    // and the totals row broadcasts back by construction. All ratios
+    // in BIGINT DIV — exact on any engine; the triple product
+    // 1e6 * max_cnt * n_keys needs decimal past ~1e12 key-rows
+    // (diagnostic precision, not a correctness bound).
+    Entry("q70_skew_report",
+      (s, dir) => {
+        val counts = t(s, dir, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(
+          sum("cnt").cast("long").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max("cnt").as("max_cnt"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("user_id"), col("cnt"),
+            expr("1000000 * cnt DIV n_rows").as("share_e6"),
+            col("n_rows"), col("n_keys"),
+            expr("1000000 * max_cnt * n_keys DIV n_rows").as("skew_e6"))
+          .orderBy(col("cnt").desc, col("user_id").asc).limit(5)
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt
+                         FROM events GROUP BY 1),
+              tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                             count(*) AS n_keys, max(cnt) AS max_cnt
+                      FROM c)
+              SELECT user_id, cnt,
+                     CAST(1000000 * cnt // n_rows AS BIGINT) AS share_e6,
+                     n_rows, n_keys,
+                     CAST(1000000 * max_cnt * n_keys // n_rows AS BIGINT)
+                       AS skew_e6
+              FROM c, tot
+              ORDER BY cnt DESC, user_id ASC LIMIT 5""")),
+
+    // Q71 — chi-square independence of (source, lang): the "is language
+    // mix homogeneous across sources" test a mixture designer runs
+    // before stratifying (a high chi2 means per-source language quotas
+    // are load-bearing; near-dof means one global quota suffices).
+    // Includes ZERO-observed cells (src6 has no 'fr' docs): the full
+    // source x lang grid is rebuilt from the marginals — the lang
+    // marginal collapses to a 1-row array that explodes against the
+    // source marginal (the whitelisted 1-row crossJoin pattern), so no
+    // many-to-many nested loop exists in the plan. Exactness: each
+    // cell's term is floored to e4 fixed-point IN BIGINT before the
+    // sum — integer addition is order-independent, so partitioning
+    // cannot move the result. 64-bit bound (the q50 pattern):
+    // 1e4 * (o*n - r*c)^2 needs o*n < ~3e7, i.e. ~17k docs at worst-
+    // case skew; past that drop the e4 scaling to double — the exact-
+    // integer form is the ORACLE contract at verification scale, not a
+    // 100 TB requirement. Shape: ONE corpus exchange (the contingency
+    // groupBy); everything after runs on O(cells) frames.
+    Entry("q71_chi2",
+      (s, dir) => {
+        val cont = t(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val srcTot = cont.groupBy("source").agg(sum("o").as("r"))
+        val langTot = cont.groupBy("lang").agg(sum("o").as("c"))
+          .agg(collect_list(struct(col("lang"), col("c"))).as("lcs"))
+        val tot = cont.agg(sum("o").as("n"))
+        srcTot.crossJoin(broadcast(langTot))
+          .select(col("source"), col("r"), explode(col("lcs")).as("lc"))
+          .select(col("source"), col("r"),
+            col("lc.lang").as("lang"), col("lc.c").as("c"))
+          .join(broadcast(cont), Seq("source", "lang"), "left")
+          .na.fill(0L, Seq("o"))
+          .crossJoin(broadcast(tot))
+          .agg(
+            sum(expr("10000 * (o*n - r*c) * (o*n - r*c) DIV (r*c*n)"))
+              .as("chi2_e4"),
+            ((countDistinct("source") - 1) * (countDistinct("lang") - 1))
+              .as("dof"),
+            max("n").as("n_docs"))
+      },
+      Some("""WITH cont AS (SELECT source, lang, count(*) AS o
+                            FROM documents GROUP BY 1, 2),
+              r AS (SELECT source, CAST(sum(o) AS BIGINT) AS r
+                    FROM cont GROUP BY 1),
+              c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c
+                    FROM cont GROUP BY 1),
+              tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cont),
+              j AS (SELECT r.source, c.lang, r.r, c.c,
+                           coalesce(o, 0) AS o
+                    FROM r CROSS JOIN c
+                    LEFT JOIN cont ON r.source = cont.source
+                                  AND c.lang = cont.lang)
+              SELECT CAST(sum(10000 * (o*n - r*c) * (o*n - r*c)
+                               // (r*c*n)) AS BIGINT) AS chi2_e4,
+                     (count(DISTINCT j.source) - 1)
+                       * (count(DISTINCT j.lang) - 1) AS dof,
+                     max(n) AS n_docs
+              FROM j, tot""")),
+
+    // Q72 — column profile report (the engine's "describe"): per
+    // column of `orders` — row count, null count, exact distinct
+    // count, min/max — the dataset-card / ingest-QA pass every ETL run
+    // starts or ends with. ONE scan: all six columns profile in a
+    // single aggregation (Spark plans the multi-column DISTINCT via
+    // Expand — a 6x row multiplication BEFORE the exchange, the
+    // standard cost of one-pass multi-distinct; the alternative is six
+    // scans), then the 1-row frame unpivots via stack(). min/max are
+    // computed on the NATIVE type and cast to string AFTER (BIGINT
+    // lexicographic min would say "10" < "9"); the DOUBLE column
+    // (o_totalprice) reports NULL min/max — float-to-string formatting
+    // is not engine-portable (Spark switches to scientific notation at
+    // 1e7 where DuckDB does not), and its numeric profile is q17's fit
+    // stats. n_null is count(*) - count(col) in both engines.
+    Entry("q72_profile",
+      (s, dir) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val floatCols = Set("o_totalprice")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+          Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c")) ++
+            (if (floatCols(c)) Nil
+             else Seq(min(col(c)).cast("string").as(s"mn_$c"),
+               max(col(c)).cast("string").as(s"mx_$c")))
+        }
+        val stackArgs = cols.map { c =>
+          val (mn, mx) =
+            if (floatCols(c)) ("CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
+            else (s"mn_$c", s"mx_$c")
+          s"'$c', nn_$c, nd_$c, $mn, $mx"
+        }.mkString(", ")
+        t(s, dir, "orders")
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows", s"stack(${cols.length}, $stackArgs)" +
+            " AS (col_name, n_null, n_distinct, min_s, max_s)")
+          .select("col_name", "n_rows", "n_null", "n_distinct",
+            "min_s", "max_s")
+          .orderBy("col_name")
+      },
+      Some(Seq(
+        ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", true),
+        ("o_totalprice", false), ("o_orderdate", true),
+        ("o_orderpriority", true)).map { case (c, portable) =>
+          val mn = if (portable) s"CAST(min($c) AS VARCHAR)"
+                   else "CAST(NULL AS VARCHAR)"
+          val mx = if (portable) s"CAST(max($c) AS VARCHAR)"
+                   else "CAST(NULL AS VARCHAR)"
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+                     count(*) - count($c) AS n_null,
+                     count(DISTINCT $c) AS n_distinct,
+                     $mn AS min_s, $mx AS max_s FROM orders"""
+        }.mkString(" UNION ALL ") + " ORDER BY col_name")),
+
     // A-gini — per-source language-purity (Gini impurity of the lang
     // distribution, the mixture-skew diagnostic a corpus balancing job
     // watches). Kept EXACT: gini = 1 - sum(c_i^2)/n^2 is rational, so

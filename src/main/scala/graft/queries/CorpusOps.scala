@@ -203,6 +203,58 @@ object CorpusOps {
               FROM spans GROUP BY h
               HAVING count(DISTINCT doc_id) >= 2 ORDER BY h""")),
 
+    // P6 — content-defined chunking (Rabin/FastCDC family): chunk
+    // boundaries cut where hash(token) % 16 == 0 (the boundary token
+    // closes its chunk), so boundaries depend on CONTENT, not
+    // position — insert one sentence at the head of a doc and p3's
+    // fixed-stride grid shifts EVERY downstream window (all chunk
+    // hashes change), while CDC re-cuts only the chunk containing the
+    // edit: the chunking that makes incremental / cross-version dedup
+    // (x21) actually converge. Expected chunk length = 16 tokens; the
+    // hash is the portable md5 word so the oracle replays boundaries
+    // exactly. Shape: positional explode -> prefix-count-of-boundaries
+    // window -> (doc, chunk) rollup, and ONE doc-keyed exchange total:
+    // HashPartitioning(doc_id) already clusters (doc_id, chunk_id), so
+    // the rollup reuses the window's exchange (the q67 pattern —
+    // PlanAuditSpec counts the exchanges). Chunk identity is md5 of
+    // the joined tokens: the gate checks content, not just counts.
+    Entry("p6_cdc_chunk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("word"))
+          .withColumn("is_b",
+            when(graft.functions.PortableHash.md5w(col("word")) % 16 === 0,
+              1L).otherwise(0L))
+          .withColumn("chunk_id", coalesce(sum("is_b").over(w), lit(0L)))
+          .groupBy("doc_id", "chunk_id")
+          .agg(count(lit(1)).as("n_toks"),
+            md5(array_join(transform(
+              sort_array(collect_list(struct(col("pos"), col("word")))),
+              x => x.getField("word")), " ")).as("h"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents),
+              pos AS (SELECT doc_id, i, ws[i] AS word
+                      FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
+              b AS (SELECT doc_id, i, word,
+                      CASE WHEN ${graft.functions.PortableHash
+                        .md5wSql("word")} % 16 = 0
+                        THEN 1 ELSE 0 END AS is_b
+                    FROM pos),
+              ch AS (SELECT doc_id, i, word,
+                       coalesce(sum(is_b) OVER (PARTITION BY doc_id
+                         ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk_id
+                     FROM b)
+              SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                     CAST(count(*) AS BIGINT) AS n_toks,
+                     md5(string_agg(word, ' ' ORDER BY i)) AS h
+              FROM ch GROUP BY doc_id, chunk_id""")),
+
     // T10 — boilerplate-shingle stats: a 3-gram shingle occurring in >= 5
     // distinct docs is "boilerplate"; per doc, count distinct shingles,
     // boilerplate shingles, and the ratio in basis points. Two shuffles
@@ -426,6 +478,41 @@ object CorpusOps {
         BpeTrain.encodeStatsWithVocab(docs, "text", "doc_id", merges, vocab)
       },
       Some(bpeEncodeSql(steps = 8, minCount = 2L))),
+
+    // T18 — tokenizer fertility per source: BPE pieces per word (e6
+    // fixed-point, exact BIGINT DIV) — the standard multilingual-corpus
+    // diagnostic for "does this tokenizer serve this source" (fertility
+    // near 1e6 = vocabulary-covered prose; high fertility = the
+    // tokenizer shreds it into characters, so the source eats token
+    // budget disproportionately — read beside t_oov_rate and x7's
+    // quotas before allocating a mixture). Same fitted tokenizer as
+    // t_bpe_encode (8 merge steps, minCount 2); scoring skips the
+    // positional reassembly (no content hash needed) — flat word
+    // explode, broadcast vocabulary join, ONE source-keyed exchange
+    // with map-side partial sums (BpeTrain.encodeLenByKey).
+    Entry("t_fertility",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (merges, vocab) =
+          BpeTrain.fitWithVocab(docs, "text", steps = 8, minCount = 2L)
+        BpeTrain.encodeLenByKey(docs, "text", "source", merges, vocab)
+          .select(col("source"), col("n_words"), col("n_tokens"),
+            expr("1000000 * n_tokens DIV n_words").as("fertility_e6"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${bpeChainSql(steps = 8, minCount = 2L)},
+              d AS (SELECT source,
+                      list_filter(string_split(text, ' '),
+                        w -> length(w) > 0) AS ws
+                    FROM documents),
+              pos AS (SELECT source, unnest(ws) AS word FROM d),
+              tok AS (SELECT p.source, len(w8.syms) AS nt
+                      FROM pos p JOIN w8 ON w8.word = p.word)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(nt) AS BIGINT) AS n_tokens,
+                     CAST(1000000 * sum(nt) // count(*) AS BIGINT)
+                       AS fertility_e6
+              FROM tok GROUP BY source ORDER BY source""")),
 
     // T13 — bigram language-model scoring: train corpus bigram counts,
     // score each doc by the sum of scaled conditional probabilities

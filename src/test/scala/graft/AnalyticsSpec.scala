@@ -205,4 +205,85 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(d - expected(id)._2) < 1e-9)
     }
   }
+
+  test("q70_skew_report matches an exact-integer Scala brute force") {
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").collect().map(_.getLong(0))
+    val cnts = users.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nRows = users.length.toLong
+    val nKeys = cnts.size.toLong
+    val maxCnt = cnts.values.max
+    val expected = cnts.toSeq.sortBy { case (u, c) => (-c, u) }.take(5)
+      .map { case (u, c) =>
+        (u, c, 1000000L * c / nRows, nRows, nKeys,
+          1000000L * maxCnt * nKeys / nRows)
+      }
+    val got = run("q70_skew_report").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("q71_chi2 matches an exact-integer Scala brute force over the " +
+    "full grid incl. zero cells") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cont = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val srcs = rows.map(_._1).distinct
+    val langs = rows.map(_._2).distinct
+    val rTot = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cTot = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    val chi2e4 = (for (sr <- srcs; lg <- langs) yield {
+      val o = cont.getOrElse((sr, lg), 0L)
+      val d = o * n - rTot(sr) * cTot(lg)
+      10000L * d * d / (rTot(sr) * cTot(lg) * n)
+    }).sum
+    val r = run("q71_chi2").head()
+    assert(r.getLong(0) == chi2e4)
+    assert(r.getLong(1) == (srcs.length - 1).toLong * (langs.length - 1))
+    assert(r.getLong(2) == n)
+  }
+
+  test("q72_profile matches per-column Scala aggregates") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+    val rows = df.collect()
+    val names = df.columns
+    val got = run("q72_profile").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.getString(4)), Option(r.getString(5)))))
+      .toMap
+    assert(got.keySet == names.toSet)
+    names.foreach { c =>
+      val i = df.columns.indexOf(c)
+      val vals = rows.map(_.get(i)).filter(_ != null)
+      val (n, nn, nd, mn, mx) = got(c)
+      assert(n == rows.length.toLong, c)
+      assert(nn == (rows.length - vals.length).toLong, c)
+      assert(nd == vals.distinct.length.toLong, c)
+      if (c == "o_totalprice") { assert(mn.isEmpty && mx.isEmpty) }
+      else {
+        // native-type min/max, stringified in the engines' shared cast
+        // format (timestamps print "yyyy-MM-dd HH:mm:ss", not ISO-T)
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")
+        val (emn, emx) = rows.head.get(i) match {
+          case _: java.lang.Long =>
+            val ls = vals.map(_.asInstanceOf[Long])
+            (ls.min.toString, ls.max.toString)
+          case _: java.time.LocalDateTime =>
+            // fixed-width format: lexicographic order = temporal order
+            val ts = vals.map(_.asInstanceOf[java.time.LocalDateTime]
+              .format(fmt))
+            (ts.min, ts.max)
+          case _ =>
+            val ss = vals.map(_.toString)
+            (ss.min, ss.max)
+        }
+        assert(mn.contains(emn), s"$c min: $mn vs $emn")
+        assert(mx.contains(emx), s"$c max: $mx vs $emx")
+      }
+    }
+  }
 }

@@ -64,4 +64,36 @@ class BpeEncodeSpec extends AnyFunSuite {
     }.toMap
     assert(got == want)
   }
+
+  test("t_fertility equals the per-source rollup of t_bpe_encode stats") {
+    val docs = Seq(
+      (1L, "low low lower lowest", "a"),
+      (2L, "new newer newest new", "a"),
+      (3L, "low new low new", "b"),
+      (4L, "wider widest wide", "b"),
+      (5L, "low", "c"))
+    val dir = java.nio.file.Files.createTempDirectory("bpefert").toString
+    docs.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val perDoc = CorpusOps.entries.find(_.name == "t_bpe_encode").get
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val srcOf = docs.map(d => d._1 -> d._3).toMap
+    val want = perDoc.groupBy { case (id, _) => srcOf(id) }
+      .map { case (src, m) =>
+        val nw = m.values.map(_._1).sum
+        val nt = m.values.map(_._2).sum
+        src -> ((nw, nt, 1000000L * nt / nw))
+      }
+    val got = CorpusOps.entries.find(_.name == "t_fertility").get
+      .run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // BPE never merges across words: pieces >= words, fertility >= 1e6
+    got.values.foreach { case (_, _, f) => assert(f >= 1000000L) }
+  }
 }

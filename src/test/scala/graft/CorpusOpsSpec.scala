@@ -174,4 +174,57 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq
     assert(got == expected)
   }
+
+  private def cdcChunks(text: String): Seq[Seq[String]] = {
+    // reference fold: boundary token (md5w % 16 == 0) closes its chunk
+    val words = text.split(" ").toSeq
+    words.foldLeft((Vector.empty[Vector[String]], Vector.empty[String])) {
+      case ((done, cur), w) =>
+        val nxt = cur :+ w
+        if (graft.functions.PortableHash
+          .md5wBytes(w.getBytes("UTF-8")) % 16 == 0) (done :+ nxt, Vector())
+        else (done, nxt)
+    } match { case (done, cur) => done ++ (if (cur.nonEmpty) Seq(cur) else Nil) }
+  }
+
+  test("p6_cdc_chunk matches the sequential boundary fold") {
+    val text = (1 to 120).map(i => s"w$i").mkString(" ")
+    val dir = docsView(Seq((1L, text, "a"), (2L, "w1 w2 w3", "a")))
+    val got = entry("p6_cdc_chunk").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    Seq(1L -> text, 2L -> "w1 w2 w3").foreach { case (id, t) =>
+      val exp = cdcChunks(t)
+      assert(got.keys.count(_._1 == id) == exp.length, s"doc $id chunk count")
+      exp.zipWithIndex.foreach { case (chunk, i) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(chunk.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(got((id, i.toLong)) == ((chunk.length.toLong, h)),
+          s"doc $id chunk $i")
+      }
+    }
+  }
+
+  test("p6_cdc_chunk re-cuts only the edited chunk on a head insertion") {
+    // the CDC contract p3's fixed grid cannot give: prepending a token
+    // changes the FIRST chunk only — every later boundary is a token
+    // property, so later chunks keep their content hashes verbatim
+    val text = (1 to 120).map(i => s"w$i").mkString(" ")
+    val orig = cdcChunks(text)
+    assert(orig.length >= 3, "fixture must produce several chunks")
+    val edited = cdcChunks("inserted " + text)
+    assert(edited.tail == orig.tail)
+    assert(edited.head == "inserted" +: orig.head)
+  }
+
+  test("p6_cdc_chunk rollup reuses the window's doc-keyed exchange") {
+    // HashPartitioning(doc_id) clusters (doc_id, chunk_id): the plan
+    // must carry exactly ONE shuffle for window + rollup combined
+    val dir = docsView(Seq((1L, (1 to 50).map("w" + _).mkString(" "), "a")))
+    val plan = entry("p6_cdc_chunk").run(spark, dir)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 exchange, got $n:\n${plan.take(1500)}")
+  }
 }

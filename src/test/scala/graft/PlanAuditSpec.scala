@@ -32,7 +32,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x16_collocations", // 1-row bigram total onto the vocab frame
     "x26_cluster_terms", // 1-row corpus total onto the vocab frame
     "x15_knn_classify", // constant-bounded 10-row probe broadcast
-    "q53_histogram") // 1-row global min/max onto the scan
+    "q53_histogram", // 1-row global min/max onto the scan
+    "q70_skew_report", // 1-row totals onto the O(keys) counts frame
+    "q71_chi2") // 1-row lang-marginal array + 1-row total onto sources
 
   test("no query plans an unjustified nested-loop or cartesian join") {
     val offenders = plans.collect {
