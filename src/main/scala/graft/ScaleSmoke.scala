@@ -21,7 +21,20 @@ object ScaleSmoke {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "scale-smoke")
 
+    // SPARK_GRAFT_SMOKE_ONLY=substr[,substr...] re-measures matching
+    // stages without paying for the whole suite (generation stages
+    // always run — later stages read their parquet). Skipped stages
+    // return null/Unit-as-null: fine for the measurement rows, whose
+    // results are discarded; the k-means fit row is the one stage
+    // whose RESULT feeds later rows, so it runs whenever any
+    // embedding-family row matches.
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").toSeq.map(_.trim.toLowerCase))
+    def wants(tag: String): Boolean =
+      tag.startsWith("generate") ||
+        only.forall(_.exists(tag.toLowerCase.contains))
     def time[T](tag: String)(f: => T): T = {
+      if (!wants(tag)) return null.asInstanceOf[T]
       val t0 = System.nanoTime()
       val r = f
       println(f"[smoke] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -241,6 +254,57 @@ object ScaleSmoke {
       graft.ops.Dedup.simhashPortableFused(docs, "text", "doc_id")
         .write.format("noop").mode("overwrite").save()
     }
+    time("CDC chunking (p6 shape, window + rollup on one exchange)") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("word"))
+        .withColumn("is_b",
+          when(graft.functions.PortableHash.md5w(col("word")) % 16 === 0,
+            1L).otherwise(0L))
+        .withColumn("chunk_id", coalesce(sum("is_b").over(w), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_toks"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ")).as("h"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("CDC chunking, xxhash64 hashes (production swap for md5)") {
+      // same query as the row above with ONLY the hash swapped: the
+      // portable md5 word is the ORACLE contract (DuckDB must replay
+      // boundaries), but md5 allocates a hex string per token; the
+      // production boundary/fingerprint hash is codegen'd xxhash64 —
+      // the pair isolates what the oracle-portability tax costs and
+      // what a cluster deployment actually pays
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("word"))
+        .withColumn("is_b",
+          when(pmod(xxhash64(col("word")), lit(16L)) === 0L, 1L)
+            .otherwise(0L))
+        .withColumn("chunk_id", coalesce(sum("is_b").over(w), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_toks"),
+          xxhash64(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ")).as("h"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("Misra-Gries summary, capacity 64 (q68 shape, approx regime)") {
+      // the sketch contract at scale: each partition contributes ONE
+      // capacity-bounded summary to the exchange regardless of token
+      // count; the 997-word vocabulary exceeds the capacity, so the
+      // decrement votes and the PODS merge trim fire constantly —
+      // near-flat wall across 10x/50x means the summary state, not the
+      // token stream, is what crosses the wire
+      docs.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(graft.functions.MisraGriesAgg.mgSummary(spark, col("tok"), 64))
+        .write.format("noop").mode("overwrite").save()
+    }
     // The arithmetic-progression token generator above produces HEAVY-
     // HITTER shingles (many docs share the same 3-gram) — the
     // boilerplate profile of real scraped corpora. The raw shingle join
@@ -324,14 +388,16 @@ object ScaleSmoke {
       graft.ops.KMeans.fit(emb, "embedding", "vec_id", kClusters,
         iters = 2)
     }
-    time("final assignment pass (narrow literal-centroid map)") {
-      fitRes._2.write.format("noop").mode("overwrite").save()
-    }
-    time("within-cluster NN (SemDeDup scoring, cluster-blocked pairs)") {
-      val q = emb.select(col("vec_id"),
-        graft.ops.KMeans.quantize(col("embedding"), 10000).as("v"))
-      graft.ops.Similarity.withinClusterNN(fitRes._2, q, "vec_id")
-        .write.format("noop").mode("overwrite").save()
+    if (fitRes != null) {
+      time("final assignment pass (narrow literal-centroid map)") {
+        fitRes._2.write.format("noop").mode("overwrite").save()
+      }
+      time("within-cluster NN (SemDeDup scoring, cluster-blocked pairs)") {
+        val q = emb.select(col("vec_id"),
+          graft.ops.KMeans.quantize(col("embedding"), 10000).as("v"))
+        graft.ops.Similarity.withinClusterNN(fitRes._2, q, "vec_id")
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.catalog.clearCache() // release fit()'s persisted quantized frame
     println("[smoke] done")

@@ -216,8 +216,12 @@ object CorpusOps {
     // window -> (doc, chunk) rollup, and ONE doc-keyed exchange total:
     // HashPartitioning(doc_id) already clusters (doc_id, chunk_id), so
     // the rollup reuses the window's exchange (the q67 pattern —
-    // PlanAuditSpec counts the exchanges). Chunk identity is md5 of
+    // CorpusOpsSpec counts the exchanges). Chunk identity is md5 of
     // the joined tokens: the gate checks content, not just counts.
+    // The md5 boundary/fingerprint hash is the ORACLE-portability
+    // contract; a production deployment swaps both to codegen'd
+    // xxhash64 — ScaleSmoke carries the md5/xxhash64 row pair, and the
+    // swap is most of the row's CPU.
     Entry("p6_cdc_chunk",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
