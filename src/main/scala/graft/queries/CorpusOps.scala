@@ -855,6 +855,45 @@ object CorpusOps {
                 FROM documents)
               WHERE rk <= 15 ORDER BY source, rk""")),
 
+    // X33 — per-source quantile normalization of a quality score: each
+    // doc's percentile WITHIN ITS SOURCE (competition rank, e6
+    // fixed-point, exact BIGINT DIV) plus the keep/drop flag at the
+    // bottom-decile cut — the adaptive-threshold curation rule for
+    // scores that are MISCALIBRATED ACROSS DOMAINS (a fixed global cut
+    // on a length/LM/classifier score silently empties sources whose
+    // score distribution sits low — forums vs encyclopedias; cutting
+    // each source at its own quantile drops the same fraction
+    // everywhere). Score = n_chars, the x29 weight rationale. Ties
+    // share a rank() in both engines (no row_number arbitrariness on
+    // equal scores); a single-doc source is its own maximum (pct =
+    // 1e6, kept — there is no decile to drop).
+    // Shape: rank and count windows share ONE source-keyed exchange.
+    Entry("x33_score_norm",
+      (s, dir) => {
+        val bySrc = Window.partitionBy("source")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rk", rank().over(bySrc.orderBy("n_chars")))
+          .withColumn("n", count(lit(1)).over(bySrc))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            when(col("n") > 1,
+              expr("1000000 * (rk - 1) DIV (n - 1)"))
+              .otherwise(1000000L).as("pct_e6"))
+          .withColumn("keep", (col("pct_e6") >= 100000L).cast("int"))
+      },
+      Some("""SELECT doc_id, source, n_chars, pct_e6,
+                     CASE WHEN pct_e6 >= 100000 THEN 1 ELSE 0 END AS keep
+              FROM (SELECT doc_id, source, n_chars,
+                      CASE WHEN n > 1
+                        THEN 1000000 * (rk - 1) // (n - 1)
+                        ELSE 1000000 END AS pct_e6
+                    FROM (SELECT doc_id, source, n_chars,
+                            rank() OVER (PARTITION BY source
+                              ORDER BY n_chars) AS rk,
+                            count(*) OVER (PARTITION BY source) AS n
+                          FROM documents))
+              ORDER BY doc_id""")),
+
     // X21 — incremental-batch exact dedup: the newest quarter of ids
     // (doc_id >= max*3/4, the threshold being one-scalar driver fit
     // state) is "the incoming batch", everything below it the standing

@@ -218,6 +218,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(edited.head == "inserted" +: orig.head)
   }
 
+  test("x33_score_norm: per-source percentiles, tie ranks, " +
+    "single-doc source kept") {
+    // lengths engineered: source a has a tie (two 10-char docs),
+    // source b is a single doc
+    val docs = Seq(
+      (1L, "aaaaaaaaaa", "a"), (2L, "aaaaaaaaaa", "a"),
+      (3L, "aaaaa", "a"), (4L, "aaaaaaaaaaaaaaa", "a"),
+      (5L, "bbbb", "b"))
+    val dir = docsView(docs)
+    val got = entry("x33_score_norm").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getInt(4)))).toMap
+    // source a ranks by length: doc3 (5ch) rk=1, docs 1,2 (10ch) rk=2
+    // (tie), doc4 (15ch) rk=4; n=4 -> pct = 1e6*(rk-1)/3
+    val exp = Map(
+      3L -> ((0L, 0)), 1L -> ((333333L, 1)), 2L -> ((333333L, 1)),
+      4L -> ((1000000L, 1)), 5L -> ((1000000L, 1)))
+    assert(got == exp)
+  }
+
   test("p6_cdc_chunk rollup reuses the window's doc-keyed exchange") {
     // HashPartitioning(doc_id) clusters (doc_id, chunk_id): the plan
     // must carry exactly ONE shuffle for window + rollup combined
