@@ -259,6 +259,88 @@ object CorpusOps {
                      md5(string_agg(word, ' ' ORDER BY i)) AS h
               FROM ch GROUP BY doc_id, chunk_id""")),
 
+    // P7 — length-bucketed batching report: docs grouped into
+    // power-of-two token-length buckets with the PADDING WASTE each
+    // bucket pays (slots = bucket cap per doc; waste = cap - len) —
+    // the decision table for dynamic-batching policy in a training
+    // loader (uniform max-length padding wastes most of the batch on
+    // short docs; pow2 bucketing caps waste at <50% and keeps kernel
+    // shapes cacheable). Bucket cap in PURE INTEGER arithmetic:
+    // cap = 1 << length(bin(n-1)) (the q33 bin()-bit-length trick —
+    // no log2 libm boundary risk at exact powers of two). One
+    // row-local map + one O(buckets) aggregation.
+    Entry("p7_length_buckets",
+      (s, dir) => t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cap",
+          when(col("n_tok") <= 1L, 1L).otherwise(
+            expr("shiftleft(1L, length(bin(n_tok - 1)))")))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tok"),
+          sum(col("cap") - col("n_tok")).as("waste_tok"))
+        .select(col("cap"), col("n_docs"), col("sum_tok"),
+          col("waste_tok"),
+          expr("1000000 * waste_tok DIV (n_docs * cap)")
+            .as("waste_share_e6"))
+        .orderBy("cap"),
+      Some("""WITH d AS (SELECT CAST(len(string_split(text, ' '))
+                           AS BIGINT) AS n_tok FROM documents),
+              b AS (SELECT n_tok,
+                      CASE WHEN n_tok <= 1 THEN 1
+                        ELSE (CAST(1 AS BIGINT)
+                              << length(bin(n_tok - 1))) END AS cap
+                    FROM d)
+              SELECT cap, count(*) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                     CAST(sum(cap - n_tok) AS BIGINT) AS waste_tok,
+                     CAST(1000000 * sum(cap - n_tok)
+                          // (count(*) * cap) AS BIGINT)
+                       AS waste_share_e6
+              FROM b GROUP BY cap ORDER BY cap""")),
+
+    // P8 — deterministic epoch shuffle: every epoch is a REPRODUCIBLE
+    // pseudo-random permutation of the corpus into (shard, position)
+    // slots, keyed by md5(doc_id:epoch) — the resumable-training
+    // contract (a preempted job re-derives exactly where every doc
+    // sits in epoch e without any stored state; epochs decorrelate
+    // because the epoch number is inside the hash). Two epochs emitted
+    // here so the gate pins BOTH the permutation property and the
+    // decorrelation. Shape: ONE (epoch, shard)-keyed exchange with
+    // per-shard sorts — shards are many at scale, so no global sort
+    // exists; production streams one epoch at a time.
+    Entry("p8_epoch_shuffle",
+      (s, dir) => {
+        import graft.functions.PortableHash
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val epochs = Seq(0, 1).map(e =>
+          docs.withColumn("epoch", lit(e))).reduce(_.unionAll(_))
+        val key = concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))
+        epochs
+          .withColumn("pri", md5(key))
+          .withColumn("shard", pmod(PortableHash.md5w(key), lit(8L)))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("epoch", "shard")
+              .orderBy(col("pri"), col("doc_id"))).cast("long"))
+          .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      },
+      Some(s"""WITH e AS (SELECT doc_id, 0 AS epoch FROM documents
+                          UNION ALL
+                          SELECT doc_id, 1 AS epoch FROM documents),
+              k AS (SELECT doc_id, epoch,
+                      CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(epoch AS VARCHAR) AS ks
+                    FROM e),
+              s AS (SELECT doc_id, epoch, md5(ks) AS pri,
+                      ${graft.functions.PortableHash.md5wSql("ks")} % 8
+                        AS shard
+                    FROM k)
+              SELECT epoch, shard,
+                     CAST(row_number() OVER (PARTITION BY epoch, shard
+                       ORDER BY pri, doc_id) AS BIGINT) AS pos, doc_id
+              FROM s ORDER BY epoch, shard, pos""")),
+
     // T10 — boilerplate-shingle stats: a 3-gram shingle occurring in >= 5
     // distinct docs is "boilerplate"; per doc, count distinct shingles,
     // boilerplate shingles, and the ratio in basis points. Two shuffles

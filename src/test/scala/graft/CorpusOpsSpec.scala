@@ -237,6 +237,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("p7_length_buckets: pow2 caps and exact waste accounting") {
+    val dir = docsView(Seq(
+      (1L, "w", "a"),           // 1 tok  -> cap 1, waste 0
+      (2L, "a b", "a"),         // 2      -> cap 2, waste 0
+      (3L, "a b c", "a"),       // 3      -> cap 4, waste 1
+      (4L, "a b c d", "a"),     // 4      -> cap 4, waste 0
+      (5L, "a b c d e", "a")))  // 5      -> cap 8, waste 3
+    val got = entry("p7_length_buckets").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 0L, 0L),
+      (2L, 1L, 2L, 0L, 0L),
+      (4L, 2L, 7L, 1L, 125000L), // waste 1 over 2 docs * cap 4 = 8 slots
+      (8L, 1L, 5L, 3L, 375000L)))
+  }
+
+  test("p8_epoch_shuffle: each epoch is a full permutation and " +
+    "epochs decorrelate") {
+    val docs = (1L to 40L).map(i => (i, s"text $i", "a"))
+    val dir = docsView(docs)
+    val rows = entry("p8_epoch_shuffle").run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    (0 to 1).foreach { e =>
+      val mine = rows.filter(_._1 == e)
+      // permutation: every doc exactly once across shards
+      assert(mine.map(_._4).sorted.toSeq == (1L to 40L))
+      // positions are 1..count within each shard, no gaps
+      mine.groupBy(_._2).foreach { case (_, sh) =>
+        assert(sh.map(_._3).sorted.toSeq == (1L to sh.length))
+      }
+    }
+    // decorrelation: the (shard, pos) slot of docs differs across epochs
+    val slot = rows.groupBy(r => (r._1, r._4)).view
+      .mapValues(r => (r.head._2, r.head._3))
+    val moved = (1L to 40L).count(d => slot((0, d)) != slot((1, d)))
+    assert(moved > 30, s"only $moved of 40 docs moved between epochs")
+    // determinism: a rerun lands every doc in the identical slot
+    val again = entry("p8_epoch_shuffle").run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
+
   test("p6_cdc_chunk rollup reuses the window's doc-keyed exchange") {
     // HashPartitioning(doc_id) clusters (doc_id, chunk_id): the plan
     // must carry exactly ONE shuffle for window + rollup combined
