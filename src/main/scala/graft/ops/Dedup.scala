@@ -550,6 +550,50 @@ object Dedup {
     verifyPairs(lshKeepers(buckets, idCol), perDoc, idCol, threshold)
   }
 
+  /** LSH calibration report: for every candidate keeper pair of
+    * [[minhashLshDedupPortable]] — UNfiltered by the verify threshold,
+    * since the below-threshold pairs are the interesting ones — the
+    * signature-ESTIMATED Jaccard (matching components / numHashes)
+    * beside the exact token Jaccard, both e6 fixed-point BIGINT DIV,
+    * plus the signed error. "Measure your sketch before trusting it":
+    * the table that says whether numHashes/bands are sized for THIS
+    * corpus before a 100 TB run commits to them (estimator sd is
+    * ~sqrt(j(1-j)/k) — err rows outside a few sd flag a hash-family or
+    * banding bug, which is exactly how the oracle gate consumes it).
+    * Plan: the dedup path's one digest-keyed exchange and fused
+    * kernels, with the signature array riding the same per-doc
+    * projection the token set already takes into the pair joins. */
+  def minhashCalibration(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val spark = df.sparkSession
+    val reps = exact(df.select(col(idCol), col(textCol)), textCol, idCol)
+    val toksArr = reps
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+    val perDoc = toksArr.select(col(idCol),
+      graft.functions.TokenKernelFns
+        .tokenXx64Set(spark, col("__t")).as("toks"),
+      graft.functions.TokenKernelFns
+        .minhashSig(spark, col("__t"), numHashes).as("sig"))
+    val buckets = toksArr
+      .select(col(idCol), posexplode(graft.functions.TokenKernelFns
+        .minhashBandBuckets(spark, col("__t"), numHashes, bands)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+    lshKeepers(buckets, idCol)
+      .join(perDoc.select(col(idCol).as("d1"), col("toks").as("t1"),
+        col("sig").as("s1")), "d1")
+      .join(perDoc.select(col(idCol).as("d2"), col("toks").as("t2"),
+        col("sig").as("s2")), "d2")
+      .withColumn("m",
+        size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b),
+          x => x)))
+      .withColumn("c", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("u", size(col("t1")) + size(col("t2")) - col("c"))
+      .select(col("d1"), col("d2"),
+        expr(s"1000000L * m DIV $numHashes").as("est_e6"),
+        expr("1000000L * c DIV u").as("exact_e6"))
+      .withColumn("err_e6", col("est_e6") - col("exact_e6"))
+  }
+
   /** Portable SimHash: the 64-bit signature as two 32-bit planes voted
     * by the first and second words of each token's md5 (an oracle can
     * rebuild both words from hex substrings, where xxhash64 is engine-

@@ -24,12 +24,15 @@ object TextOps {
   // the affine coefficients are the SAME PortableHash literals the Spark
   // plan embeds, so signatures — and therefore buckets, keepers, and the
   // verified pair set — must agree bit-for-bit.
-  private def minhashLshSql: String = {
+  // Shared CTE chain (representatives -> signatures -> bands ->
+  // keeper pairs -> exact intersections) used by both the x4 dedup
+  // oracle and the x34 calibration oracle.
+  private def minhashCoreCtes: String = {
     import graft.functions.PortableHash
     val k = 32
     val aList = (0 until k).map(PortableHash.a).mkString("[", ",", "]")
     val bList = (0 until k).map(PortableHash.b).mkString("[", ",", "]")
-    s"""WITH reps AS (
+    s"""reps AS (
           SELECT doc_id, text FROM documents
           WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
         toks AS (
@@ -62,14 +65,44 @@ object TextOps {
           FROM keeper k JOIN toks t1 ON t1.doc_id = k.d1
                         JOIN toks t2 ON t2.doc_id = k.d2
                                     AND t2.tok = t1.tok
-          GROUP BY k.d1, k.d2)
+          GROUP BY k.d1, k.d2)"""
+  }
+
+  private def minhashLshSql: String =
+    s"""WITH $minhashCoreCtes
         SELECT i.d1, i.d2,
                round(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
         FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
                      JOIN sizes s2 ON s2.doc_id = i.d2
         WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
         ORDER BY d1, d2"""
-  }
+
+  // Matching-signature-component count per keeper pair, then the
+  // est-vs-exact comparison. est_e6 = 1e6 * eq // 32 mirrors the
+  // Spark side's BIGINT DIV exactly; pairs with no shared token (a
+  // pure bucket collision) coalesce the exact side to 0.
+  private def lshCalibrationSql: String =
+    s"""WITH $minhashCoreCtes,
+        mtch AS (
+          SELECT k.d1, k.d2, count(*) AS eq
+          FROM keeper k JOIN sig s1 ON s1.doc_id = k.d1
+                        JOIN sig s2 ON s2.doc_id = k.d2
+                                   AND s2.i = s1.i
+          WHERE s1.sv = s2.sv
+          GROUP BY k.d1, k.d2)
+        SELECT k.d1, k.d2,
+               1000000 * coalesce(m.eq, 0) // 32 AS est_e6,
+               1000000 * coalesce(i.c, 0)
+                 // (s1.n + s2.n - coalesce(i.c, 0)) AS exact_e6,
+               (1000000 * coalesce(m.eq, 0) // 32)
+                 - (1000000 * coalesce(i.c, 0)
+                    // (s1.n + s2.n - coalesce(i.c, 0))) AS err_e6
+        FROM keeper k
+        LEFT JOIN mtch m ON m.d1 = k.d1 AND m.d2 = k.d2
+        LEFT JOIN inter i ON i.d1 = k.d1 AND i.d2 = k.d2
+        JOIN sizes s1 ON s1.doc_id = k.d1
+        JOIN sizes s2 ON s2.doc_id = k.d2
+        ORDER BY k.d1, k.d2"""
 
   // DuckDB replay of the portable SimHash pair query: rebuild both
   // 32-bit planes from md5 words, then check ALL pairs at hamming <= 6 —
@@ -269,6 +302,24 @@ object TextOps {
       (s, dir) => Dedup.minhashLshDedupPortable(t(s, dir, "documents"),
         "text", "doc_id", 32, 8, 0.5),
       Some(minhashLshSql)),
+
+    // X34 — LSH calibration: for every candidate keeper pair, the
+    // signature-ESTIMATED Jaccard (matching components / 32) beside
+    // the exact token Jaccard and the signed error, all e6 BIGINT DIV
+    // exact — "measure your sketch before trusting it": the report
+    // that says whether numHashes/bands fit THIS corpus before a
+    // 100 TB dedup commits to them (estimator sd ~ sqrt(j(1-j)/k);
+    // errors outside a few sd flag a hash-family or banding bug —
+    // which is exactly what the oracle gate would catch here, since
+    // DuckDB re-derives every signature component independently).
+    // Unfiltered by the 0.5 verify threshold: the below-threshold
+    // candidates are the calibration signal. Same plan as x4 (one
+    // digest-keyed exchange, fused kernels); the signature array rides
+    // the projection the token set already takes into the pair joins.
+    Entry("x34_lsh_calibration",
+      (s, dir) => Dedup.minhashCalibration(t(s, dir, "documents"),
+        "text", "doc_id", 32, 8),
+      Some(lshCalibrationSql)),
 
     // SimHash signatures + hamming-close pairs (<= 6 of 64 bits) via
     // exact pigeonhole banding — equi-join candidates, no O(n^2) loop.

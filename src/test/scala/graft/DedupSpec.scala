@@ -168,4 +168,28 @@ class DedupSpec extends AnyFunSuite {
     val twice = Dedup.exact(once, "text", "doc_id")
     assert(once.count() == twice.count())
   }
+
+  test("minhashCalibration: estimator within MinHash error bounds, " +
+    "exact-equal token sets estimate exactly 1e6") {
+    val dir = TestSpark.sf0001
+    val rows = Dedup.minhashCalibration(
+      graft.sources.Tables.load(spark, dir, "documents"),
+      "text", "doc_id", 32, 8)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, exact, err) =>
+      assert(est >= 0L && est <= 1000000L)
+      assert(exact >= 0L && exact <= 1000000L)
+      assert(err == est - exact)
+      // identical token sets => identical signatures, est exactly 1e6
+      if (exact == 1000000L) assert(est == 1000000L)
+    }
+    // k=32 => estimator sd <= sqrt(0.25/32) ~ 0.088; candidate pairs
+    // are band-biased upward, so allow generous but diagnostic bounds:
+    // mean |err| under ~1.2 sd, max under ~6 sd
+    val absErr = rows.map(t => math.abs(t._3))
+    assert(absErr.sum / absErr.length < 110000L,
+      s"mean |err| ${absErr.sum / absErr.length}")
+    assert(absErr.max < 530000L, s"max |err| ${absErr.max}")
+  }
 }
