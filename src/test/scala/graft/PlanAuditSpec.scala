@@ -36,6 +36,24 @@ class PlanAuditSpec extends AnyFunSuite {
     "q70_skew_report", // 1-row totals onto the O(keys) counts frame
     "q71_chi2") // 1-row lang-marginal array + 1-row total onto sources
 
+  test("registry names are unique and the rows-only set is the " +
+    "declared trainer family") {
+    val names = Registry.all.map(_.name)
+    assert(names.size == names.distinct.size,
+      s"duplicate names: ${names.diff(names.distinct)}")
+    // every entry without an oracle is one of the 9 by-design
+    // FD-spec-gated trainer entries (SURVEY §5) — a new entry landing
+    // here by accident (forgotten oracleSql) fails loudly
+    val rowsOnly = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    val declared = Set("q40_mlp_train", "q41_lstm_forward",
+      "q42_rnn_train", "q43_conv_train", "q56_lstm_train",
+      "q57_conv2_train", "q58_conv3_train", "q59_rnn2_train",
+      "q60_lstm2_train")
+    assert(rowsOnly == declared,
+      s"unexpected rows-only entries: ${rowsOnly.diff(declared)}; " +
+        s"missing: ${declared.diff(rowsOnly)}")
+  }
+
   test("no query plans an unjustified nested-loop or cartesian join") {
     val offenders = plans.collect {
       case (n, p) if (p.contains("BroadcastNestedLoopJoin") ||
