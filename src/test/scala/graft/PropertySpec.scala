@@ -327,6 +327,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("x33 percentiles equal the competition-rank reference on " +
+    "random corpora") {
+    import spark.implicits._
+    // doc lengths 1..30 with heavy tie probability; 1-3 sources so
+    // singleton sources occur
+    val docsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1, 30), Gen.oneOf("s0", "s1", "s2")))
+    check(Prop.forAll(docsGen) { specs =>
+      val docs = specs.zipWithIndex.map { case ((len, src), i) =>
+        (i.toLong, "x" * len, src)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory("x33prop").toString
+      docs.toDF("doc_id", "text", "source")
+        .selectExpr("doc_id", "text", "'en' AS lang", "source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val want = docs.groupBy(_._3).flatMap { case (_, ds) =>
+        val lens = ds.map(_._2.length.toLong)
+        val n = ds.length.toLong
+        ds.map { case (id, text, _) =>
+          val rk = lens.count(_ < text.length) + 1L
+          val p = if (n > 1) 1000000L * (rk - 1) / (n - 1) else 1000000L
+          id -> ((p, if (p >= 100000L) 1 else 0))
+        }
+      }.toMap
+      val got = graft.queries.Registry.all
+        .find(_.name == "x33_score_norm").get.run(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getInt(4)))).toMap
+      got == want
+    })
+  }
+
   test("Misra-Gries holds its bound on random streams and capacities") {
     import spark.implicits._
     val streamGen = Gen.nonEmptyListOf(
