@@ -361,6 +361,63 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("q71 chi-square equals the full-grid integer brute force on " +
+    "random contingency tables") {
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("s0", "s1", "s2"), Gen.oneOf("en", "de", "fr", "zh")))
+    check(Prop.forAll(rowsGen) { pairs =>
+      val docs = pairs.zipWithIndex.map { case ((src, lg), i) =>
+        (i.toLong, s"t$i", lg, src)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory("q71prop").toString
+      docs.toDF("doc_id", "text", "lang", "source")
+        .selectExpr("doc_id", "text", "lang", "source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val srcs = pairs.map(_._1).distinct
+      val langs = pairs.map(_._2).distinct
+      val cont = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+      val rT = pairs.groupBy(_._1).view.mapValues(_.size.toLong)
+      val cT = pairs.groupBy(_._2).view.mapValues(_.size.toLong)
+      val n = pairs.length.toLong
+      val chi = (for (s <- srcs; l <- langs) yield {
+        val o = cont.getOrElse((s, l), 0L)
+        val d = o * n - rT(s) * cT(l)
+        10000L * d * d / (rT(s) * cT(l) * n)
+      }).sum
+      val r = graft.queries.Registry.all
+        .find(_.name == "q71_chi2").get.run(spark, dir).head()
+      r.getLong(0) == chi &&
+        r.getLong(1) == (srcs.length - 1).toLong * (langs.length - 1) &&
+        r.getLong(2) == n
+    })
+  }
+
+  test("p8 epoch shuffle is a per-epoch permutation at any corpus size") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.chooseNum(1, 60)) { nDocs =>
+      val docs = (0 until nDocs).map(i => (i.toLong, s"t$i"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("p8prop").toString
+      docs.toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = graft.queries.Registry.all
+        .find(_.name == "p8_epoch_shuffle").get.run(spark, dir)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      (0 to 1).forall { e =>
+        val mine = rows.filter(_._1 == e)
+        mine.map(_._4).sorted.toSeq == (0L until nDocs.toLong) &&
+          mine.groupBy(_._2).values.forall(sh =>
+            sh.map(_._3).sorted.toSeq == (1L to sh.length))
+      }
+    })
+  }
+
   test("Misra-Gries holds its bound on random streams and capacities") {
     import spark.implicits._
     val streamGen = Gen.nonEmptyListOf(
