@@ -650,16 +650,14 @@ object Dedup {
     * previous one released, so lineage stays one join deep.
     * Output: (doc, root) for every doc that ends up re-rooted.
     *
-    * NOT thread-safe with concurrent queries on the same session: the
-    * AQE toggle below is session-global for the duration of the loop
-    * (a concurrent query would silently plan without AQE, and
-    * concurrent entries could race the save/restore). Run on a
-    * dedicated session (`spark.newSession()`) if concurrent use is
-    * needed — the same contract as [[KMeans.fit]] and
-    * [[PageRank.run]].
+    * Thread-safe with concurrent queries on the caller's session: the
+    * AQE toggle and the loop's partition scoping live on a
+    * [[graft.FitSession]] clone, never on the caller's conf — the same
+    * contract as [[KMeans.fit]] and [[PageRank.run]]
+    * (SessionIsolationSpec probes a concurrent query mid-loop).
     */
   def resolveClusters(assign: DataFrame): DataFrame = {
-    // AQE OFF for the duration of the loop (restored after): every
+    // AQE OFF for the duration of the loop (on the clone): every
     // iteration joins two CACHED, stats-known frames, and AQE's
     // per-stage materialization turns each tiny join into 3 extra
     // driver round-trips — profiled at sf0.1: 34 jobs / 4.3-8.6 s with
@@ -670,11 +668,12 @@ object Dedup {
     // (PageRank), where the rank frame is NOT cached and AQE's runtime
     // broadcast is a measured win — the toggle is per-operator, scoped
     // to execution inside this method, never a session default.
-    val spark = assign.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try resolveClustersLoop(assign)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val caller = assign.sparkSession
+    val fit = graft.FitSession.aqeOff(caller)
+    val out = resolveClustersLoop(graft.FitSession.rebind(assign, fit))
+    // persisted + counted under the clone; caller-side actions on the
+    // rebound frame read the shared cache
+    graft.FitSession.rebind(out, caller)
   }
 
   private def resolveClustersLoop(assign: DataFrame): DataFrame = {

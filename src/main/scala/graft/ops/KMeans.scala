@@ -73,27 +73,26 @@ object KMeans {
     * return (final centroids, final assignment frame
     * (idCol, cluster, dist)).
     *
-    * NOT thread-safe with concurrent queries on the same session: the
-    * AQE toggle below is session-global for the duration of the fit
-    * (the [[graft.ops.Dedup.resolveClusters]] /
-    * [[graft.ops.PageRank.run]] contract) — use `spark.newSession()`
-    * for concurrent workloads. */
+    * Thread-safe with concurrent queries on the caller's session: the
+    * AQE toggle lives on a [[graft.FitSession]] clone (the
+    * [[graft.ops.Dedup.resolveClusters]] /
+    * [[graft.ops.PageRank.run]] contract). */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int, scale: Int = 10000): (Seq[Seq[Long]], DataFrame) = {
     require(k >= 1 && iters >= 1, "k and iters must be positive")
     // AQE OFF for the fit's own driver-loop actions (init collect +
     // per-iteration cell-agg collects over the small cached quantized
-    // frame), restored before returning — the resolveClusters
+    // frame), on a conf-isolated session clone — the resolveClusters
     // rationale: per-stage AQE materialization adds driver round-trips
     // per tiny job and re-plans nothing the cache stats don't already
-    // decide. Spark reads the conf at ACTION time, so the returned
-    // lazy assignment frame — executed later by consumers — still
-    // plans under the session's AQE setting.
-    val spark = df.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try fitLoop(df, vecCol, idCol, k, iters, scale)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    // decide. The returned lazy assignment frame is rebound to the
+    // CALLER's session, so consumers plan it under the caller's own
+    // AQE setting (and hit the shared cache for the quantized frame).
+    val caller = df.sparkSession
+    val fit = graft.FitSession.aqeOff(caller)
+    val (cents, res) = fitLoop(graft.FitSession.rebind(df, fit),
+      vecCol, idCol, k, iters, scale)
+    (cents, graft.FitSession.rebind(res, caller))
   }
 
   private def fitLoop(df: DataFrame, vecCol: String, idCol: String,

@@ -48,7 +48,9 @@ import org.apache.spark.sql.functions._
   * fill drops the old per-src window, i.e. one full edge-sized
   * exchange.
   *
-  * AQE is scoped OFF for the fit (same pattern as
+  * AQE is scoped OFF for the fit — on a [[graft.FitSession]] clone of
+  * the caller's session, so the toggle is invisible to concurrent
+  * queries (same pattern as
   * [[Dedup.resolveClusters]] and the k-means loop): with the rank side
   * explicitly broadcast, runtime re-planning has nothing left to
   * decide, and AQE's per-stage materialization turned the 3-iteration
@@ -87,16 +89,19 @@ object PageRank {
 
   /** Run `iters` exact-integer PageRank steps over `edges` (src, dst).
     * Returns (id, pr) for every node, unsorted, PERSISTED (node-sized;
-    * released by the caller / session cache clear). Not thread-safe
-    * with concurrent queries on the same session: the AQE toggle is
-    * session-global for the duration of the fit. */
+    * released by the caller / session cache clear). Thread-safe with
+    * concurrent queries on the caller's session: the AQE toggle and
+    * the fit's shuffle-partition scoping live on a
+    * [[graft.FitSession]] clone, never on the caller's conf
+    * (SessionIsolationSpec probes a concurrent query mid-fit). */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 0 && scale > 0, "bad pagerank params")
-    val spark = edges.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try runLoop(edges, iters, scale)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val caller = edges.sparkSession
+    val fit = graft.FitSession.aqeOff(caller)
+    val out = runLoop(graft.FitSession.rebind(edges, fit), iters, scale)
+    // the result is already persisted + counted under the clone; the
+    // rebound frame's action on the caller side hits the shared cache
+    graft.FitSession.rebind(out, caller)
   }
 
   private def runLoop(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
@@ -128,12 +133,13 @@ object PageRank {
     // (588k edges) this turns 64-task iteration stages into 3-task
     // ones — the per-stage scheduling + deserialization floor was most
     // of the measured iteration cost, not the math.
+    // `spark` here is the FitSession clone (run() rebound the edges),
+    // so this set is private to the fit — no save/restore needed.
     val sessPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(1, math.min(sessPart.toLong,
       nEdges / 250000L + 1L).toInt)
-    val partWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", p)
-    try {
+    locally {
       // coalesce: narrow merge of the 32-partition cache down to the
       // chosen parallelism — no exchange, just fewer tasks per scan.
       val edgesC = raw.coalesce(p)
@@ -188,6 +194,6 @@ object PageRank {
       raw.unpersist()
       nodesD.unpersist()
       out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", partWas)
+    }
   }
 }

@@ -232,8 +232,10 @@ object GraphLayout {
         // co-purchase on uniform data is a complete graph, where top-k
         // truncation is arbitrary; the windowed graph has real structure.
         //
-        // AQE is scoped OFF for the whole census (the PageRank/KMeans
-        // fit pattern, same thread-safety caveat): the chain is 4 fixed
+        // AQE is scoped OFF for the whole census — on a FitSession
+        // clone, so the caller's session (and any concurrent query on
+        // it) never sees the toggle (the PageRank/KMeans
+        // fit pattern): the chain is 4 fixed
         // exchanges + a one-row summary, and AQE's per-stage
         // materialization turned it into 15 driver round-trip jobs
         // (profiled r11 at sf0.1: 1.45 s AQE vs 0.90 s static with the
@@ -247,13 +249,10 @@ object GraphLayout {
         // confs are read at ACTION time, the one-row result is
         // persisted and counted INSIDE the scope — the caller's later
         // action reads the cache, released by the runner's clearCache.
-        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-        val partWas = s.conf.get("spark.sql.shuffle.partitions")
-        val sessPart = partWas.toInt
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        s.conf.set("spark.sql.shuffle.partitions",
-          math.max(2, sessPart / 4))
-        try {
+        val sessPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val fit = graft.FitSession.aqeOff(s)
+        fit.conf.set("spark.sql.shuffle.partitions",
+          math.max(2, sessPart / 4).toString)
         // One shuffle then builds each customer's sorted supplier set
         // (collect_set dedups, so no distinct() pre-pass), and ordered
         // pairs (u < w) explode MAP-SIDE — half the rows of the naive
@@ -280,11 +279,11 @@ object GraphLayout {
             row_number().over(Window.partitionBy("u")
               .orderBy(col("cw").desc, col("w").asc)))
           .filter(col("rk") <= 3)
-        triangleCensus(s, topk)
-        } finally {
-          s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-          s.conf.set("spark.sql.shuffle.partitions", partWas)
-        }
+        // the census materializes (persist + count) on the clone, so
+        // every census stage plans AQE-off at the scoped parallelism;
+        // the rebound one-row result reads the shared cache
+        graft.FitSession.rebind(
+          triangleCensus(fit, graft.FitSession.rebind(topk, fit)), s)
       },
       Some("""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS v
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -1,0 +1,47 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** The two `private[sql]` doors the engine's conf-isolated iterative
+  * fits need, opened from an `org.apache.spark.sql` subpackage — the
+  * standard interop move for Spark libraries (Delta, Sedona, et al.
+  * ship the same shim shape). Nothing here touches execution
+  * internals: `cloneSession()` is Spark's own session-fork primitive
+  * (shared `SparkContext` + `SharedState` — block manager, cache
+  * manager — with a CLONED `SessionState`, i.e. an isolated `SQLConf`
+  * snapshot of the parent, cloned function registry, and the parent's
+  * injected extensions), and `Dataset.ofRows` is how Spark itself
+  * binds a logical plan to a session.
+  *
+  * Why it exists: the iterative fits ([[graft.ops.PageRank.run]],
+  * [[graft.ops.KMeans.fit]], [[graft.ops.Dedup.resolveClusters]], the
+  * q51 triangle census) scope AQE off / shuffle parallelism down for
+  * the duration of their driver loops. Mutating the CALLER's session
+  * conf for that window (the round-9..11 shape) was single-session
+  * safe but a concurrency hazard: a concurrent query on the same
+  * session would silently plan without AQE mid-fit. Cloning gives the
+  * fit a private conf to mutate freely while the caller's session —
+  * and any concurrent query on it — keeps planning under its own
+  * unchanged conf. The public `newSession()` is NOT equivalent: it
+  * starts from a blank conf (losing the caller's tuning) and drops the
+  * session-registered functions the fits' kernels rely on.
+  */
+object SessionInterop {
+
+  /** Fork `s`: shared context/cache, isolated conf (see class doc). */
+  def cloneSession(s: SparkSession): SparkSession =
+    s.asInstanceOf[ClassicSession].cloneSession()
+
+  /** Re-bind `df`'s logical plan to session `to` (no-op when already
+    * bound). Lazy — nothing executes; actions on the result plan under
+    * `to`'s conf. Frames persisted under EITHER session are honored in
+    * both directions: the cache manager lives in `SharedState` and
+    * matches by canonicalized plan, not by session. */
+  def rebind(df: DataFrame, to: SparkSession): DataFrame = {
+    val cdf = df.asInstanceOf[ClassicDataset[Row]]
+    if (cdf.sparkSession eq to) df
+    else ClassicDataset.ofRows(to.asInstanceOf[ClassicSession],
+      cdf.queryExecution.logical)
+  }
+}

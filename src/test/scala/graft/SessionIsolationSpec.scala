@@ -1,0 +1,134 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+import scala.concurrent.{Await, Future}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, KMeans, PageRank}
+
+/** Task gates for pinning a fit mid-loop: the blocking closure must not
+  * capture the latches directly (Spark serializes task closures even in
+  * local mode; CountDownLatch is not serializable) — it references this
+  * STATIC object instead, which deserializes to the same JVM-wide
+  * instance under local[*].
+  */
+object FitGate {
+  @volatile var started: CountDownLatch = _
+  @volatile var release: CountDownLatch = _
+  def reset(): Unit = {
+    started = new CountDownLatch(1)
+    release = new CountDownLatch(1)
+  }
+  /** Park the first materialization of the partition until released. */
+  def block[T](it: Iterator[T]): Iterator[T] = {
+    started.countDown()
+    release.await(120, TimeUnit.SECONDS)
+    it
+  }
+}
+
+/** The FitSession contract (round-12 verdict #1): the iterative fits
+  * (PageRank, k-means, cluster resolution, q51 triangle census) scope
+  * AQE / shuffle parallelism on a session CLONE — the caller's conf is
+  * never mutated, and a CONCURRENT query on the caller's session planned
+  * while a fit is mid-loop still plans adaptively. Each test also pins
+  * the cross-session cache contract: the returned frame is rebound to
+  * the caller's session and reads the fit-built cache.
+  */
+class SessionIsolationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def knobs(): (String, String) = (
+    spark.conf.get("spark.sql.adaptive.enabled"),
+    spark.conf.get("spark.sql.shuffle.partitions"))
+
+  /** Run a small agg on the CALLER session and assert it planned (and
+    * executed) adaptively — the exact hazard the clone removes. */
+  private def probeCallerStillAdaptive(): Unit = {
+    val probe = spark.range(0, 1000).groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"))
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("AdaptiveSparkPlan"),
+      "caller-session query lost AQE while a fit was mid-loop")
+    assert(probe.collect().length == 7)
+  }
+
+  test("PageRank.run: caller conf untouched; concurrent probe keeps AQE") {
+    val before = knobs()
+    assert(before._1 == "true", "fixture session must start with AQE on")
+    FitGate.reset()
+    // first materialization of the edge frame parks inside the fit's
+    // AQE-off scope (raw.persist().count() is the loop's first action)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L))
+      .toDS().repartition(1)
+      .mapPartitions(FitGate.block[(Long, Long)])
+      .toDF("src", "dst")
+    val fut = Future(PageRank.run(edges, iters = 2))
+    assert(FitGate.started.await(60, TimeUnit.SECONDS), "fit never started")
+    // fit is now mid-loop, parked inside its clone's AQE-off scope
+    assert(knobs() == before, "fit leaked conf into the caller session")
+    probeCallerStillAdaptive()
+    FitGate.release.countDown()
+    val ranks = Await.result(fut, 120.seconds)
+    assert(ranks.sparkSession eq spark,
+      "result frame must be rebound to the caller session")
+    assert(ranks.count() == 3)
+    assert(knobs() == before)
+    ranks.unpersist()
+  }
+
+  test("resolveClusters: caller conf untouched; concurrent probe keeps AQE") {
+    val before = knobs()
+    FitGate.reset()
+    // chain c->b->a plus noise; parked on first materialization
+    val assign = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDS().repartition(1)
+      .mapPartitions(FitGate.block[(String, String)])
+      .toDF("d1", "d2")
+    val fut = Future(Dedup.resolveClusters(assign))
+    assert(FitGate.started.await(60, TimeUnit.SECONDS), "loop never started")
+    assert(knobs() == before, "loop leaked conf into the caller session")
+    probeCallerStillAdaptive()
+    FitGate.release.countDown()
+    val roots = Await.result(fut, 120.seconds)
+    assert(roots.sparkSession eq spark)
+    val m = roots.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("c") == "a" && m("b") == "a" && m("y") == "x")
+    assert(knobs() == before)
+    roots.unpersist()
+  }
+
+  test("KMeans.fit: caller conf untouched; assignment rebound to caller") {
+    val before = knobs()
+    val rows = (0 until 12).map { i =>
+      (i.toLong, Seq.fill(3)(if (i % 2 == 0) 0.0f else 10.0f))
+    }
+    val (_, assign) = KMeans.fit(rows.toDF("id", "vec"), "vec", "id",
+      k = 2, iters = 2)
+    assert(knobs() == before, "fit leaked conf into the caller session")
+    assert(assign.sparkSession eq spark)
+    // the caller-side action reads the clone-persisted quantized cache
+    assert(assign.count() == 12)
+    // and the caller plans its own downstream stages adaptively
+    assert(assign.groupBy("cluster").count()
+      .queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+  }
+
+  test("q51 census entry: caller conf untouched; result rebound to caller") {
+    val before = knobs()
+    val entry = graft.queries.Registry.all.find(_.name == "q51_triangles").get
+    val out = entry.run(spark, TestSpark.sf0001)
+    assert(knobs() == before, "census leaked conf into the caller session")
+    assert(out.sparkSession eq spark)
+    val row = out.collect()
+    assert(row.length == 1 && row.head.getLong(0) > 0L)
+    assert(knobs() == before)
+    out.unpersist()
+  }
+}
