@@ -952,6 +952,38 @@ object Analytics {
                     FROM documents)
               GROUP BY 1 ORDER BY est DESC, token ASC LIMIT 10""")),
 
+    // Q68b — GROUPED Misra-Gries: top-5 tokens per language, each
+    // group's summary built from per-partition partials merged by the
+    // PODS-2012 rule — the form a 100 TB "heavy hitters per segment"
+    // job actually runs (q33/q44 demonstrate the same grouped-partials
+    // story for HLL/Count-Min; this completes it for MG). The exchange
+    // carries one O(capacity) summary per (partition, lang), never the
+    // token stream; the per-group top-5 is a SLICE of the summary —
+    // eval() emits (est desc, item asc) sorted, a total order, so the
+    // cut is deterministic and needs no window over exploded rows.
+    // Exact regime as q68 (capacity 64 > per-lang vocabulary), so
+    // hash-gated; grouped trims firing under merge are SketchSpec-gated.
+    Entry("q68b_mg_by_lang",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang")
+        .agg(graft.functions.MisraGriesAgg.mgSummary(s, col("tok"), 64)
+          .as("mg"))
+        .select(col("lang"), explode(slice(col("mg"), 1, 5)).as("p"))
+        .select(col("lang"), col("p.item").as("token"),
+          col("p.est").as("est"))
+        .orderBy(col("lang"), col("est").desc, col("token").asc),
+      Some("""SELECT lang, token, est FROM (
+                SELECT lang, tok AS token,
+                       CAST(count(*) AS BIGINT) AS est,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY count(*) DESC, tok ASC) AS rk
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY lang, tok)
+              WHERE rk <= 5
+              ORDER BY lang, est DESC, token ASC""")),
+
     // X32 — duplicate-multiplicity histogram: how many dup clusters of
     // each size the corpus holds (and how many docs they absorb) — the
     // "how duplicated is this crawl" report a dedup policy decision

@@ -125,6 +125,38 @@ object MLRelational {
               FROM li CROSS JOIN m
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Q17f — PCA TRANSFORM oracle-gated at frozen literal components
+    // (E6, reference data_preprocessing.py:47; the q37
+    // fixed-integer-weights move): the FIT stays MLlib-parity-spec'd —
+    // an eigendecomposition is not DuckDB-replayable — but the
+    // transform is k dot products against a broadcast component
+    // matrix, a pure codegen'd map, and THAT is hash-gated here with
+    // the components frozen to small integer literals. Both engines
+    // evaluate the identical left-associated double expression over
+    // the same parquet bits, so results are bit-identical (literals
+    // written 1e0/-2e0 in the oracle to force DOUBLE, not DECIMAL,
+    // arithmetic in DuckDB). Exercises the REAL
+    // [[RelationalML.pcaTransform]] code path, per-row, no aggregation
+    // (a sum over projections would reintroduce summation-order
+    // drift).
+    Entry("q17f_pca_transform",
+      (s, dir) => RelationalML.pcaTransform(
+          t(s, dir, "lineitem").select((Seq("l_orderkey", "l_linenumber")
+            ++ numCols).map(col): _*),
+          numCols,
+          Array(Array(1.0, -2.0, 3.0, -4.0), Array(2.0, 1.0, -1.0, 5.0)),
+          "pc")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("pc")(0).as("pc1"), col("pc")(1).as("pc2"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     ((l_quantity * 1e0 + l_extendedprice * -2e0)
+                       + l_discount * 3e0) + l_tax * -4e0 AS pc1,
+                     ((l_quantity * 2e0 + l_extendedprice * 1e0)
+                       + l_discount * -1e0) + l_tax * 5e0 AS pc2
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber""")),
+
     // Q18 — accuracy as SQL (M6, reference cnn_model.py:94-101):
     // avg(pred = label) with a seeded deterministic prediction.
     Entry("q18_accuracy",

@@ -127,4 +127,44 @@ class SketchSpec extends AnyFunSuite {
     exact.filter(_._2 > bound).keys
       .foreach(k => assert(got.contains(k), s"heavy hitter $k dropped"))
   }
+
+  test("Misra-Gries GROUPED: per-group partial merges fire the trim, " +
+    "per-group guarantee holds") {
+    import spark.implicits._
+    // two groups with DIFFERENT streams, each overflowing capacity 3 in
+    // every partition so the groupBy's partial-merge path (not just
+    // update) trims: group g1 = heavy A + singleton tail, group g2 =
+    // heavy B/C + a different tail. 11 partitions ensure each group's
+    // final summary merges ~11 capacity-sized partials.
+    val g1 = (Seq.fill(50)("A") ++ (1 to 30).map(i => s"u$i")).map(("g1", _))
+    val g2 = (Seq.fill(40)("B") ++ Seq.fill(25)("C") ++
+      (1 to 30).map(i => s"v$i")).map(("g2", _))
+    val cap = 3
+    val out = (g1 ++ g2).toDF("g", "x").repartition(11)
+      .groupBy("g")
+      .agg(graft.functions.MisraGriesAgg.mgSummary(spark, col("x"), cap)
+        .as("mg"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => p.getString(0) -> p.getLong(1)).toMap)
+      .toMap
+    val streams = Map("g1" -> g1.map(_._2), "g2" -> g2.map(_._2))
+    streams.foreach { case (g, stream) =>
+      val exact = stream.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val bound = stream.length.toDouble / (cap + 1)
+      val got = out(g)
+      assert(got.size <= cap)
+      got.foreach { case (k, est) =>
+        assert(est <= exact(k), s"$g/$k overcounted")
+        assert(est >= exact(k) - bound, s"$g/$k below the floor")
+      }
+      exact.filter(_._2 > bound).keys.foreach(k =>
+        assert(got.contains(k), s"$g heavy hitter $k dropped"))
+    }
+    // group isolation: g1's summary never contains g2's tail items
+    assert(!out("g1").keys.exists(_.startsWith("v")))
+    assert(!out("g2").keys.exists(_.startsWith("u")))
+  }
 }

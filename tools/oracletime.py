@@ -25,7 +25,28 @@ def envsnap():
         pass
     return {"load": round(load, 2), "mem_avail_mb": mem_avail_mb}
 
+def quiet_window(max_load=1.0, wait_sec=180, poll_sec=15):
+    """Round-12 guard: wait (bounded) for a quiet box before timing.
+    Returns True when the 1-min loadavg is under max_load — the caller
+    refuses to emit a committed snapshot otherwise, so every committed
+    oracle_latest.json's own env stamp proves it quiet."""
+    deadline = time.time() + wait_sec
+    ld = os.getloadavg()[0]
+    while ld > max_load and time.time() < deadline:
+        print(f"[oracletime] load {ld:.2f} > {max_load} — "
+              f"waiting for a quiet window", file=sys.stderr)
+        time.sleep(poll_sec)
+        ld = os.getloadavg()[0]
+    return ld <= max_load
+
 def main(sfdir, outdir, benchjson=None, emitjson=None):
+    quiet = quiet_window(
+        max_load=float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "1.0")),
+        wait_sec=int(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "180")))
+    if not quiet and emitjson:
+        print(f"[oracletime] box never quieted; timing anyway, "
+              f"{emitjson} refresh SKIPPED", file=sys.stderr)
+        emitjson = None
     env_start = envsnap()
     con = duckdb.connect()
     for t in TABLES:
