@@ -26,13 +26,19 @@ object ScaleSmoke {
     // always run — later stages read their parquet). Skipped stages
     // return null/Unit-as-null: fine for the measurement rows, whose
     // results are discarded; the k-means fit row is the one stage
-    // whose RESULT feeds later rows, so it runs whenever any
-    // embedding-family row matches.
+    // whose RESULT feeds later rows, so it ALSO runs when any of its
+    // dependent rows (final assignment / within-cluster NN) is
+    // selected, even if no selector matches the fit's own tag.
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").toSeq.map(_.trim.toLowerCase))
+    val kmeansDependents = Seq(
+      "final assignment pass (narrow literal-centroid map)",
+      "within-cluster nn (semdedup scoring, cluster-blocked pairs)")
     def wants(tag: String): Boolean =
       tag.startsWith("generate") ||
-        only.forall(_.exists(tag.toLowerCase.contains))
+        only.forall(_.exists(tag.toLowerCase.contains)) ||
+        (tag.toLowerCase.startsWith("k-means") && only.exists(sel =>
+          kmeansDependents.exists(d => sel.exists(d.contains))))
     def time[T](tag: String)(f: => T): T = {
       if (!wants(tag)) return null.asInstanceOf[T]
       val t0 = System.nanoTime()
@@ -400,6 +406,74 @@ object ScaleSmoke {
       }
     }
     spark.catalog.clearCache() // release fit()'s persisted quantized frame
+
+    // ---- hot-cluster ANN swap at scale (round-12 verdict #3) ----
+    // The X19 rows above measure the EXACT path in its designed regime
+    // (cluster count scales with the corpus, ~625 vectors/cluster).
+    // These rows measure the DEGRADATION story: cluster count held
+    // FIXED so clusters GROW with the corpus — per-cluster pairs grow
+    // quadratically and the exact wall is superlinear in n. The
+    // budget-forced sign-LSH swap cuts candidates to
+    // ~(annBits+1)/2^annBits of the exact pair count (a ~28x constant
+    // cut at 8 bits — same exponent, so at some scale it too needs
+    // k rescaled; the cut buys the 100 TB operator room to re-cluster
+    // offline instead of stalling online). Assignment is a synthetic
+    // uniform mod-k map: the swap mechanics, not the k-means fit, are
+    // under test, and uniform sizes make the pair arithmetic exact.
+    // Recall + coverage vs the exact baseline print beside the walls —
+    // a fast swap that loses the NN would be a non-answer.
+    // CLUSTERED vectors for these rows, not the uniform `emb` frame:
+    // uniform random directions are sign-LSH's worst case (no angular
+    // structure — measured recall 0.13 on the uniform generator), and
+    // no real embedding corpus looks like that (clusterability is the
+    // premise of the whole SemDeDup path). 50 centroids + +-20% noise
+    // gives the angular structure actual encoders produce; recall on
+    // this shape is the number that predicts production behavior.
+    val hotN = nVecs / 5
+    val kHot = 20
+    val nTrue = 50L
+    val emb2 = spark.range(hotN).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (((pmod(xxhash64(pmod(col("id"), lit(nTrue)), j), lit(2000L))
+            - 1000L) +
+          (pmod(xxhash64(col("id"), j, lit(7L)), lit(400L)) - 200L))
+          / lit(1000.0)).cast("float")).as("embedding"))
+    val hotAssign = emb2
+      .select(col("vec_id"), pmod(col("vec_id"), lit(kHot.toLong))
+        .cast("int").as("cluster"))
+    val qHot = emb2
+      .select(col("vec_id"),
+        graft.ops.KMeans.quantize(col("embedding"), 10000).as("v"))
+    val exactHot = time(s"hot-cluster NN, EXACT ($kHot fixed clusters " +
+      s"of ${hotN / kHot} — pairs grow quadratically)") {
+      val d = graft.ops.Similarity.withinClusterNN(hotAssign, qHot,
+        "vec_id", pairBudget = Long.MaxValue).persist()
+      d.count(); d
+    }
+    val swapHot = time("hot-cluster NN, ANN swap (budget forced low, " +
+      "sign-LSH hamming<=1 candidates)") {
+      val d = graft.ops.Similarity.withinClusterNN(hotAssign, qHot,
+        "vec_id", pairBudget = 1000L).persist()
+      d.count(); d
+    }
+    if (exactHot != null && swapHot != null) {
+      time("hot-cluster swap recall/coverage vs exact") {
+        val r = exactHot
+          .select(col("vec_id"), col("nn_dist").as("exact_d"))
+          .join(swapHot.select(col("vec_id"), col("nn_dist").as("swap_d")),
+            "vec_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("swap_d").isNotNull, 1L).otherwise(0L))
+              .as("covered"),
+            sum(when(col("swap_d") === col("exact_d"), 1L).otherwise(0L))
+              .as("hit"))
+          .head()
+        val n = r.getLong(0).toDouble
+        println(f"[smoke] hot-swap coverage ${r.getLong(1) / n}%.3f " +
+          f"recall ${r.getLong(2) / n}%.3f over ${r.getLong(0)} vectors")
+      }
+    }
+    spark.catalog.clearCache()
     println("[smoke] done")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))

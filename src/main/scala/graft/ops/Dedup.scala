@@ -206,7 +206,29 @@ object Dedup {
     containmentScore(blockedIntersection(sets, idCol, blockCol), threshold)
 
   /** [[containmentPairs]] over the fused-kernel HASHED long form (the
-    * [[jaccardPairsHashed]] rationale). */
+    * [[jaccardPairsHashed]] rationale).
+    *
+    * Fixture-density floor (round-12 Profile, the q55 two-regime
+    * precedent): x14 at sf0.1 measures ~3× the DuckDB oracle and that
+    * ratio is CANDIDATE-VOLUME-bound, not plan-shape-bound. The
+    * stage decomposition (tools/Profile, 8 cores, wall 2.2 s): ONE
+    * stage — the (blk, tokh)-keyed candidate join + partial pair agg —
+    * carries 5.5 s of the 6.9 s total task CPU, because the ~59%
+    * near-dup-dense fixture joins 116k hashed token rows out to
+    * 11.2M candidate rows (96× fan-out; 620 (source, tok) groups,
+    * avg group size ~190) that collapse to 622k distinct pairs, i.e.
+    * candidates ≈ scored pairs — no candidate scheme can prune what
+    * the result itself keeps. The remaining wall is the hashed-form
+    * cache fill (~1 s CPU) plus ~12 AQE stage-materialization jobs at
+    * the fixture's per-job floor. Measured non-wins at this density:
+    * the grouped pair-explosion rewrite (5-7× worse, see
+    * [[blockedIntersection]]'s scaladoc), singleton-group pruning
+    * (~2× worse), and a shuffled-hash-join preference
+    * (`preferSortMergeJoin=false`: identical stage profile, wall
+    * unchanged). On SPARSE corpora — real crawls, where candidates ≫
+    * results — the swap is [[jaccardPairsPrefix]]'s PPJoin prefix
+    * filtering (exact, same output), which prunes candidate
+    * GENERATION rather than the result. */
   def containmentPairsHashed(hashedSets: DataFrame, idCol: String,
       blockCol: String, threshold: Double): DataFrame =
     containmentScore(blockedIntersectionHashed(hashedSets.select(

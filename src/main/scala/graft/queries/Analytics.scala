@@ -1028,9 +1028,14 @@ object Analytics {
     // 1-row totals aggregate and the top-5 TakeOrdered BOTH read that
     // same grouped subtree (the t_oov_rate reused-exchange pattern),
     // and the totals row broadcasts back by construction. All ratios
-    // in BIGINT DIV — exact on any engine; the triple product
-    // 1e6 * max_cnt * n_keys needs decimal past ~1e12 key-rows
-    // (diagnostic precision, not a correctness bound).
+    // are exact integer division on any engine; the triple product
+    // 1e6 * max_cnt * n_keys runs in DECIMAL(38,0) — it exceeds
+    // BIGINT past ~9e12 key-rows, well inside the 100 TB regime this
+    // report exists for, and a silently wrapped skew ratio is worse
+    // than none. One decimal multiply on a ONE-ROW frame costs
+    // nothing; the per-key share stays in BIGINT (1e6 * cnt <= 1e6 *
+    // n_rows can only overflow past ~9e12 rows under ONE key, at
+    // which point the report's answer is self-evident).
     Entry("q70_skew_report",
       (s, dir) => {
         val counts = t(s, dir, "events").groupBy("user_id")
@@ -1043,7 +1048,8 @@ object Analytics {
           .select(col("user_id"), col("cnt"),
             expr("1000000 * cnt DIV n_rows").as("share_e6"),
             col("n_rows"), col("n_keys"),
-            expr("1000000 * max_cnt * n_keys DIV n_rows").as("skew_e6"))
+            expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * max_cnt * n_keys" +
+              " DIV n_rows AS BIGINT)").as("skew_e6"))
           .orderBy(col("cnt").desc, col("user_id").asc).limit(5)
       },
       Some("""WITH c AS (SELECT user_id, count(*) AS cnt
@@ -1054,8 +1060,8 @@ object Analytics {
               SELECT user_id, cnt,
                      CAST(1000000 * cnt // n_rows AS BIGINT) AS share_e6,
                      n_rows, n_keys,
-                     CAST(1000000 * max_cnt * n_keys // n_rows AS BIGINT)
-                       AS skew_e6
+                     CAST(CAST(1000000 AS DECIMAL(38,0)) * max_cnt * n_keys
+                       // n_rows AS BIGINT) AS skew_e6
               FROM c, tot
               ORDER BY cnt DESC, user_id ASC LIMIT 5""")),
 

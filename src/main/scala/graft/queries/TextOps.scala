@@ -978,7 +978,7 @@ object TextOps {
               FROM c ORDER BY doc_id""")),
 
     // T17 — out-of-vocabulary rate per source: fraction of corpus
-    // tokens outside the top-200 corpus vocabulary — the "how well
+    // tokens outside the top-16 corpus vocabulary — the "how well
     // does a fixed tokenizer vocabulary cover this source" diagnostic
     // a mixture designer reads next to x7/x27 before allocating budget
     // (a high-OOV source inflates tokenized length and training cost).
@@ -989,7 +989,8 @@ object TextOps {
     // anti-join both derive from that SAME aggregate,
     // and Spark's ReuseExchange collapses the two subtrees into one
     // physical exchange (asserted in TextStatsSpec); the vocab side
-    // then broadcasts (200 rows), per-source totals ride the same
+    // then broadcasts (16 rows — O(vocab) at any corpus scale),
+    // per-source totals ride the same
     // frame. Exact integers end to end: oov_e6 = n_oov·1e6 DIV n_tok.
     Entry("t_oov_rate",
       (s, dir) => {
