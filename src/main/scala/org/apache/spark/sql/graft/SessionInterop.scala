@@ -37,7 +37,18 @@ object SessionInterop {
     * bound). Lazy — nothing executes; actions on the result plan under
     * `to`'s conf. Frames persisted under EITHER session are honored in
     * both directions: the cache manager lives in `SharedState` and
-    * matches by canonicalized plan, not by session. */
+    * matches by canonicalized plan, not by session.
+    *
+    * Analysis subtlety: `ofRows` re-analyzes the plan under `to`, but
+    * only `df`'s TOP operator is still raw — every child layer was
+    * analyzed eagerly when its Dataset was constructed, so
+    * session-registered functions buried in child plans arrive as
+    * already-resolved expressions and need no registry lookup in `to`.
+    * A caller that puts a registry-resolved `call_function` Column in
+    * the OUTERMOST operator of the frame it rebinds must have that
+    * name registered in `to` as well (clones copy the parent registry
+    * at clone time, so this only bites for names registered AFTER the
+    * clone was created — none of the engine's fit paths do that). */
   def rebind(df: DataFrame, to: SparkSession): DataFrame = {
     val cdf = df.asInstanceOf[ClassicDataset[Row]]
     if (cdf.sparkSession eq to) df

@@ -78,6 +78,11 @@ class SessionIsolationSpec extends AnyFunSuite {
     val ranks = Await.result(fut, 120.seconds)
     assert(ranks.sparkSession eq spark,
       "result frame must be rebound to the caller session")
+    // the caller-side plan must READ the clone-persisted result — a
+    // cross-session cache miss would silently re-run the whole fit
+    assert(ranks.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "rebound result did not resolve to the fit-built cache")
     assert(ranks.count() == 3)
     assert(knobs() == before)
     ranks.unpersist()
@@ -98,6 +103,9 @@ class SessionIsolationSpec extends AnyFunSuite {
     FitGate.release.countDown()
     val roots = Await.result(fut, 120.seconds)
     assert(roots.sparkSession eq spark)
+    assert(roots.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "rebound result did not resolve to the fit-built cache")
     val m = roots.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m("c") == "a" && m("b") == "a" && m("y") == "x")
     assert(knobs() == before)
@@ -118,6 +126,31 @@ class SessionIsolationSpec extends AnyFunSuite {
     // and the caller plans its own downstream stages adaptively
     assert(assign.groupBy("cluster").count()
       .queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+  }
+
+  test("two fits run CONCURRENTLY on one session without interference") {
+    // each fit gets its own clone, so neither sees the other's AQE-off
+    // scope or partition scoping; results must match the sequential
+    // runs bit for bit and the shared caller conf must never move
+    val before = knobs()
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L))
+      .toDF("src", "dst")
+    val assign = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("d1", "d2")
+    val seqRanks = PageRank.run(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seqRoots = Dedup.resolveClusters(assign).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache()
+    val f1 = Future(PageRank.run(edges, iters = 2))
+    val f2 = Future(Dedup.resolveClusters(assign))
+    val ranks = Await.result(f1, 120.seconds)
+    val roots = Await.result(f2, 120.seconds)
+    assert(ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == seqRanks)
+    assert(roots.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      == seqRoots)
+    assert(knobs() == before)
+    ranks.unpersist(); roots.unpersist()
   }
 
   test("q51 census entry: caller conf untouched; result rebound to caller") {
