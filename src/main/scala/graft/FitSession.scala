@@ -33,12 +33,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FitSession {
 
+  // ONE clone per caller session, reused across fits: a fresh clone's
+  // first analyses/plannings run on a cold SessionState (new analyzer/
+  // optimizer/planner instances), measured ~+1 s per fit entry at
+  // sf0.1 (bench q45 1.9 s -> 3.5 s with clone-per-fit; Probe puts the
+  // first clone action at +0.1-0.6 s and the driver gaps between a
+  // fresh clone's jobs at ~1.2 s for the PageRank chain). Reuse warms
+  // the clone once per session. WeakHashMap: a dropped caller session
+  // releases its clone entry. Consequence, documented: two fits
+  // running CONCURRENTLY on the same caller share the clone, so one
+  // fit's shuffle-partition scoping can transiently apply to the
+  // other's stages — that perturbs fit PARALLELISM only, never results
+  // (SessionIsolationSpec pins concurrent fits bit-identical) and
+  // never the caller's conf, which is the hazard this class exists to
+  // remove.
+  private val clones = new java.util.WeakHashMap[
+    SparkSession, SparkSession]()
+
   /** Clone of `caller` with AQE disabled — the fit planning regime.
-    * Cheap (a conf snapshot; no context, no listener bus); safe to
-    * create per fit and simply drop when done. */
+    * Reused per caller (see above); the knobs fits scope per-run (AQE,
+    * shuffle parallelism) are re-synced from the caller on every call
+    * so a previous fit's data-sized parallelism never leaks into the
+    * next fit's upper bound. */
   def aqeOff(caller: SparkSession): SparkSession = {
-    val s = org.apache.spark.sql.graft.SessionInterop.cloneSession(caller)
+    val s = clones.synchronized {
+      var c = clones.get(caller)
+      if (c == null) {
+        c = org.apache.spark.sql.graft.SessionInterop.cloneSession(caller)
+        clones.put(caller, c)
+      }
+      c
+    }
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions",
+      caller.conf.get("spark.sql.shuffle.partitions"))
     s
   }
 
