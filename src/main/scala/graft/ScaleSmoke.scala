@@ -300,6 +300,15 @@ object ScaleSmoke {
             x => x.getField("word")), " ")).as("h"))
         .write.format("noop").mode("overwrite").save()
     }
+    time("BPE trainer fit, 12 merges (one corpus agg + driver merge loop)") {
+      // the tokenizer-trainer scale contract (t_bpe_train shape): the
+      // corpus is touched by exactly ONE word-count aggregation and
+      // the 12-step merge loop then runs driver-side over the capped
+      // (word, freq) table — vocabulary-sized state, zero per-step
+      // jobs. Near-flat wall across 10x/50x means the driver loop is
+      // O(vocab), and the linear part is the single corpus agg.
+      graft.ops.BpeTrain.fit(docs, "text", steps = 12)
+    }
     time("Misra-Gries summary, capacity 64 (q68 shape, approx regime)") {
       // the sketch contract at scale: each partition contributes ONE
       // capacity-bounded summary to the exchange regardless of token
