@@ -976,6 +976,69 @@ object CorpusOps {
                           FROM documents))
               ORDER BY doc_id""")),
 
+    // X35 — per-source WINSORIZATION report: clip the score (n_chars)
+    // into its source's exact [p05, p95] nearest-rank band and report,
+    // per source, the bounds, how many docs each side clipped, and the
+    // winsorized sum — the robust-moments step that runs BEFORE
+    // temperature mixing (x27): a handful of pathological outliers
+    // must BOUND their influence on a source's budget share, not drag
+    // its mean. Complements x33 (rank normalization re-scores; this
+    // clips) and x31 (MAD DETECTS outliers; this neutralizes them).
+    // Exactness: nearest-rank percentiles via integer arithmetic
+    // (rank ceil(q*n) as (q*n + 99) DIV 100), integer clip, BIGINT
+    // sum — no float anywhere, strict hash gate. Shape: ONE
+    // source-keyed exchange — row_number/count and both bound lookups
+    // are windows over the same partition, and the final per-source
+    // rollup reuses that partitioning (map-side partials, O(sources)
+    // output).
+    Entry("x35_winsorize",
+      (s, dir) => {
+        val bySrc = Window.partitionBy("source")
+        val byVal = bySrc.orderBy("n_chars", "doc_id")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rn", row_number().over(byVal))
+          .withColumn("n", count(lit(1)).over(bySrc))
+          .withColumn("rlo", expr("(5 * n + 99) DIV 100"))
+          .withColumn("rhi", expr("(95 * n + 99) DIV 100"))
+          .withColumn("p05",
+            max(when(col("rn") === col("rlo"), col("n_chars"))).over(bySrc))
+          .withColumn("p95",
+            max(when(col("rn") === col("rhi"), col("n_chars"))).over(bySrc))
+          .groupBy("source")
+          .agg(max("p05").as("p05"), max("p95").as("p95"),
+            count(lit(1)).as("n_docs"),
+            sum((col("n_chars") < col("p05")).cast("long")).as("n_low"),
+            sum((col("n_chars") > col("p95")).cast("long")).as("n_high"),
+            sum(greatest(least(col("n_chars"), col("p95")), col("p05")))
+              .as("sum_winsorized"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY n_chars, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM documents),
+              b AS (
+                SELECT *,
+                       max(CASE WHEN rn = (5 * n + 99) // 100
+                           THEN n_chars END)
+                         OVER (PARTITION BY source) AS p05,
+                       max(CASE WHEN rn = (95 * n + 99) // 100
+                           THEN n_chars END)
+                         OVER (PARTITION BY source) AS p95
+                FROM w)
+              SELECT source, max(p05) AS p05, max(p95) AS p95,
+                     count(*) AS n_docs,
+                     CAST(sum(CASE WHEN n_chars < p05 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_low,
+                     CAST(sum(CASE WHEN n_chars > p95 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_high,
+                     CAST(sum(greatest(least(n_chars, p95), p05))
+                       AS BIGINT) AS sum_winsorized
+              FROM b GROUP BY source ORDER BY source""")),
+
     // X21 — incremental-batch exact dedup: the newest quarter of ids
     // (doc_id >= max*3/4, the threshold being one-scalar driver fit
     // state) is "the incoming batch", everything below it the standing

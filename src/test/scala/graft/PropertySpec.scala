@@ -361,6 +361,46 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("x35 winsorization equals the sort-based brute force on " +
+    "random corpora") {
+    import spark.implicits._
+    // lengths with heavy ties; 1-3 sources so tiny/singleton sources
+    // exercise the nearest-rank edge (ceil(q*n) = 1 when n is small)
+    val docsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1, 25), Gen.oneOf("s0", "s1", "s2")))
+    check(Prop.forAll(docsGen) { specs =>
+      val docs = specs.zipWithIndex.map { case ((len, src), i) =>
+        (i.toLong, "x" * len, src)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory("x35prop").toString
+      docs.toDF("doc_id", "text", "source")
+        .selectExpr("doc_id", "text", "'en' AS lang", "source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val want = docs.groupBy(_._3).map { case (src, ds) =>
+        // brute force: sort (len, id), nearest-rank bound = element at
+        // index ceil(q*n) - 1, then clip and count
+        val sorted = ds.map(d => (d._2.length.toLong, d._1)).sorted
+        val n = sorted.length.toLong
+        def bound(q: Long) =
+          sorted(((q * n + 99) / 100 - 1).toInt)._1
+        val (p05, p95) = (bound(5), bound(95))
+        val lens = ds.map(_._2.length.toLong)
+        src -> ((p05, p95, n, lens.count(_ < p05).toLong,
+          lens.count(_ > p95).toLong,
+          lens.map(v => math.max(math.min(v, p95), p05)).sum))
+      }
+      val got = graft.queries.Registry.all
+        .find(_.name == "x35_winsorize").get.run(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+        .toMap
+      got == want
+    })
+  }
+
   test("q71 chi-square equals the full-grid integer brute force on " +
     "random contingency tables") {
     import spark.implicits._
