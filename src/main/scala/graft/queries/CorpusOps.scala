@@ -1141,6 +1141,130 @@ object CorpusOps {
                          + 1) / 4503599627370496.0) / n_chars AS pri
               FROM documents
               WHERE n_chars > 0
-              ORDER BY pri DESC, doc_id LIMIT 20"""))
+              ORDER BY pri DESC, doc_id LIMIT 20""")),
+
+    // X37 — STRATIFIED weighted sampling: x29's Efraimidis–Spirakis
+    // draw run independently inside every source — top-3 docs per
+    // source by key = ln(u)/w, the per-stratum quota sample a mixture
+    // build takes AFTER x27 fixes each source's budget (the global
+    // top-k would let one hot source eat the whole sample; the
+    // stratified form guarantees every source its k). Same portable
+    // 52-bit md5 prefix u and the same ulp argument (inter-doc key
+    // gaps dwarf ln()'s cross-libm wiggle, ties break on doc_id).
+    // Shape: row-local keys, then ONE source-keyed exchange where the
+    // row_number window ranks each stratum; nothing but (source,
+    // doc_id, n_chars, pri) crosses the wire — never text. Per-source
+    // cardinality can be huge at 100 TB, but the window sorts each
+    // stratum ONCE on its own partition (spill-safe); the per-group
+    // heap aggregate (the q12b TopKAgg form) is the drop-in when even
+    // that sort is unwanted.
+    Entry("x37_group_sample",
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("pri").desc, col("doc_id").asc)
+        t(s, dir, "documents")
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (log((conv(substring(md5(col("text")), 1, 13), 16, 10)
+              .cast("double") + 1) / lit(4503599627370496.0))
+              / col("n_chars")).as("pri"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("source", "rk", "doc_id", "n_chars")
+          .orderBy("source", "rk")
+      },
+      Some("""SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+              FROM (SELECT source, doc_id, n_chars,
+                           row_number() OVER (PARTITION BY source ORDER BY
+                             ln((CAST('0x' || substr(md5(text), 1, 13)
+                                   AS UBIGINT) + 1)
+                                / 4503599627370496.0) / n_chars DESC,
+                             doc_id) AS rk
+                    FROM documents WHERE n_chars > 0)
+              WHERE rk <= 3 ORDER BY source, rk""")),
+
+    // X38 — distribution-DRIFT matrix: the two-sample Kolmogorov–
+    // Smirnov statistic between every source pair on the n_chars
+    // distribution, evaluated on a fixed 32-wide grid — "did this
+    // crawl/snapshot shift the length distribution" is the monitor a
+    // recurring ingest runs BEFORE mixing (q70 reports within-key
+    // skew, q71 tests categorical independence; this compares two
+    // CONTINUOUS empirical distributions). Grid-ECDF, not pointwise:
+    // the exact KS needs a global merge-sort of both samples, which at
+    // 100 TB is a global sort for a single scalar — the fixed grid
+    // (the q34/q53 quantile-grid precedent) reduces it to ONE corpus
+    // exchange (the (source, bucket) count), and every later frame is
+    // O(sources x buckets). ECDFs only move at observed buckets, so
+    // the grid max IS the KS of the bucketed distribution. Exactness:
+    // D = max |ca*nb - cb*na| is cross-multiplied in DECIMAL(38,0)
+    // (the q70 rationale: counts past ~3e9 per source overflow the
+    // BIGINT product exactly in the regime this monitor exists for),
+    // ks_e6 = 1e6 * D DIV (na*nb) — integer end to end, strict hash
+    // gate. The per-source cumsum window runs partitioned on the
+    // bounded grid frame; pair expansion is a self-join of that frame
+    // on bucket, broadcast-sized by construction.
+    Entry("x38_ks_drift",
+      (s, dir) => {
+        val cnt = t(s, dir, "documents")
+          .groupBy(col("source"), expr("n_chars DIV 32").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        // dense grid via the q71 move: the bucket axis collapses to a
+        // 1-ROW array that explodes against the source list — the only
+        // nested loop in the plan is a single-row broadcast
+        val bktArr = cnt.select("bucket").distinct()
+          .agg(collect_list(col("bucket")).as("bks"))
+        val grid = cnt.select("source").distinct()
+          .crossJoin(broadcast(bktArr))
+          .select(col("source"), explode(col("bks")).as("bucket"))
+          .join(cnt, Seq("source", "bucket"), "left")
+          .na.fill(0L, Seq("cnt"))
+        val cum = grid
+          .withColumn("cum", sum("cnt").over(
+            Window.partitionBy("source").orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+        val a = cum.select(col("source").as("src_a"), col("bucket"),
+          col("cum").as("ca"), col("n").as("n_a"))
+        val b = cum.select(col("source").as("src_b"), col("bucket"),
+          col("cum").as("cb"), col("n").as("n_b"))
+        a.join(b, Seq("bucket")).filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b", "n_a", "n_b")
+          .agg(max(expr("abs(CAST(ca AS DECIMAL(38,0)) * n_b" +
+            " - CAST(cb AS DECIMAL(38,0)) * n_a)")).as("dmax"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * dmax" +
+              " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+              .as("ks_e6"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH cnt AS (SELECT source, n_chars // 32 AS bucket,
+                             count(*) AS cnt
+                           FROM documents GROUP BY 1, 2),
+              grid AS (SELECT s.source, b.bucket,
+                              coalesce(c.cnt, 0) AS cnt
+                       FROM (SELECT DISTINCT source FROM cnt) s
+                       CROSS JOIN (SELECT DISTINCT bucket FROM cnt) b
+                       LEFT JOIN cnt c ON c.source = s.source
+                                      AND c.bucket = b.bucket),
+              cum AS (SELECT source, bucket,
+                             CAST(sum(cnt) OVER (PARTITION BY source
+                               ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS cum,
+                             CAST(sum(cnt) OVER (PARTITION BY source)
+                               AS BIGINT) AS n
+                      FROM grid),
+              pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                               a.n AS n_a, b.n AS n_b,
+                               max(abs(CAST(a.cum AS DECIMAL(38,0)) * b.n
+                                   - CAST(b.cum AS DECIMAL(38,0)) * a.n))
+                                 AS dmax
+                        FROM cum a JOIN cum b USING (bucket)
+                        WHERE a.source < b.source
+                        GROUP BY 1, 2, 3, 4)
+              SELECT src_a, src_b, n_a, n_b,
+                     CAST(CAST(1000000 AS DECIMAL(38,0)) * dmax
+                       // (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)
+                       AS ks_e6
+              FROM pairs ORDER BY src_a, src_b"""))
   )
 }

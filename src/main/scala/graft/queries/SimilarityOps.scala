@@ -171,6 +171,100 @@ object SimilarityOps {
                      round(sum(CAST(embedding[64] AS DOUBLE)), 4) AS sum_d64
               FROM embeddings GROUP BY label ORDER BY label""")),
 
+    // X36 — SEMANTIC decontamination: flag corpus vectors whose cosine
+    // against ANY benchmark/eval vector reaches 0.30 — the
+    // embedding-space sibling of t_decontaminate (n-gram overlap
+    // catches verbatim leaks; this catches paraphrased ones). Eval set
+    // = the fixed vec_id < 25 slice, the real-world shape: the eval
+    // set is CONSTANT-sized while the corpus grows, so it ships to
+    // every executor as one broadcast row of quantized state and the
+    // corpus is scored ROW-LOCALLY — zero corpus-keyed exchange at any
+    // scale (the t_decontam_bloom contract in embedding space; the
+    // only exchange in the plan is the presentation sort).
+    // Exactness: embeddings quantize to e3 BIGINT (round() ties away
+    // from zero on BOTH engines, and a float->double->*1000 chain is
+    // bit-identical IEEE either side), so dot products and norms are
+    // ORDER-INDEPENDENT integer sums — no float-accumulation drift for
+    // the hash gate to trip on. The single cos^2 division and sqrt
+    // that follow are one correctly-rounded IEEE op each on identical
+    // integer inputs, so the 0.09 (=0.30^2) threshold compare and the
+    // reported max_cos_e4 are deterministic cross-engine. The gate
+    // condition dp>0 AND dp^2 >= 0.09*na2*nb2 avoids materializing any
+    // cosine for the (vast) unflagged majority. Ties on best cosine
+    // break to the smallest eval id via the (cos^2, -eid) struct max.
+    Entry("x36_semantic_decontam",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val quant = expr(
+          "transform(embedding, x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        val evals = emb.filter(col("vec_id") < 25)
+          .select(col("vec_id").as("eid"), quant.as("qe"))
+          .withColumn("nb2", expr("aggregate(qe, 0L, (a, v) -> a + v * v)"))
+          .agg(collect_list(struct(col("eid"), col("qe"), col("nb2")))
+            .as("evals"))
+        emb.filter(col("vec_id") >= 25)
+          .select(col("vec_id"), quant.as("qv"))
+          .withColumn("na2", expr("aggregate(qv, 0L, (a, v) -> a + v * v)"))
+          .crossJoin(broadcast(evals))
+          .withColumn("hits", expr(
+            """filter(
+                 transform(evals, e -> named_struct(
+                   'eid', e.eid,
+                   'dp', aggregate(zip_with(qv, e.qe, (x, y) -> x * y),
+                                   0L, (a, v) -> a + v),
+                   'nb2', e.nb2)),
+                 h -> h.dp > 0 AND
+                      CAST(h.dp AS DOUBLE) * CAST(h.dp AS DOUBLE)
+                        >= 9e-2 * (CAST(na2 AS DOUBLE)
+                                   * CAST(h.nb2 AS DOUBLE)))"""))
+          .filter(size(col("hits")) >= 1)
+          .withColumn("best", expr(
+            """array_max(transform(hits, h -> named_struct(
+                 'c', CAST(h.dp AS DOUBLE) * CAST(h.dp AS DOUBLE)
+                      / (CAST(na2 AS DOUBLE) * CAST(h.nb2 AS DOUBLE)),
+                 'neid', -h.eid)))"""))
+          .select(col("vec_id"),
+            size(col("hits")).cast("long").as("n_hits"),
+            expr("CAST(round(sqrt(best.c) * 10000) AS BIGINT)")
+              .as("max_cos_e4"),
+            expr("-best.neid").as("eval_id"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                       AS qv
+                     FROM embeddings),
+              nrm AS (SELECT q.vec_id,
+                             CAST(sum(q.qv[i] * q.qv[i]) AS BIGINT) AS n2
+                      FROM q, range(1, 65) t(i) GROUP BY 1),
+              ev AS (SELECT q.vec_id AS eid, q.qv AS qe, n2 AS nb2
+                     FROM q JOIN nrm USING (vec_id) WHERE vec_id < 25),
+              corp AS (SELECT q.vec_id, q.qv, n2 AS na2
+                       FROM q JOIN nrm USING (vec_id) WHERE vec_id >= 25),
+              d AS (SELECT c.vec_id, e.eid, c.na2, e.nb2,
+                           CAST(sum(c.qv[i] * e.qe[i]) AS BIGINT) AS dp
+                    FROM corp c CROSS JOIN ev e, range(1, 65) t(i)
+                    GROUP BY 1, 2, 3, 4),
+              h AS (SELECT *,
+                           CAST(dp AS DOUBLE) * CAST(dp AS DOUBLE)
+                             / (CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))
+                             AS c
+                    FROM d
+                    WHERE dp > 0
+                      AND CAST(dp AS DOUBLE) * CAST(dp AS DOUBLE)
+                            >= 9e-2 * (CAST(na2 AS DOUBLE)
+                                       * CAST(nb2 AS DOUBLE))),
+              r AS (SELECT *,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY c DESC, eid ASC) AS rk,
+                           count(*) OVER (PARTITION BY vec_id) AS n_hits
+                    FROM h)
+              SELECT vec_id, CAST(n_hits AS BIGINT) AS n_hits,
+                     CAST(round(sqrt(c) * 10000) AS BIGINT) AS max_cos_e4,
+                     eid AS eval_id
+              FROM r WHERE rk = 1 ORDER BY vec_id""")),
+
     // X15 — exact k-NN classification: majority label of the 5 nearest
     // neighbors (rounded cosine, self excluded) for the first 10
     // vectors — the labeling-QA / label-propagation primitive. Rank

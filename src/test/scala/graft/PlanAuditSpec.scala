@@ -34,7 +34,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x15_knn_classify", // constant-bounded 10-row probe broadcast
     "q53_histogram", // 1-row global min/max onto the scan
     "q70_skew_report", // 1-row totals onto the O(keys) counts frame
-    "q71_chi2") // 1-row lang-marginal array + 1-row total onto sources
+    "q71_chi2", // 1-row lang-marginal array + 1-row total onto sources
+    "x36_semantic_decontam", // 1-row quantized eval-set state onto corpus
+    "x38_ks_drift") // 1-row bucket-axis array onto the source list
 
   test("registry names are unique and the rows-only set is the " +
     "declared trainer family") {

@@ -401,6 +401,130 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("x36 semantic decontam equals the quantized brute force on " +
+    "random embeddings") {
+    import spark.implicits._
+    // dim-8 vectors with components in [-0.5, 0.5] (the fixture range);
+    // the entry's lambdas are dimension-agnostic
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-500, 500))
+    check(Prop.forAll(Gen.listOfN(3, vecGen), Gen.nonEmptyListOf(vecGen)) {
+      (evs, corp) =>
+        val all = evs.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+          corp.zipWithIndex.map { case (v, i) => ((25 + i).toLong, v) }
+        val dir = java.nio.file.Files
+          .createTempDirectory("x36prop").toString
+        all.map { case (id, v) => (id, v.map(_ / 1000f).toArray, 0) }
+          .toDF("vec_id", "embedding", "label")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        // brute force replicating the entry's arithmetic chain exactly:
+        // float -> double -> *1000 -> HALF_UP round (Spark's Round on
+        // doubles), integer dot/norms, one double divide per pair
+        def quant(v: List[Int]): List[Long] = v.map { k =>
+          java.math.BigDecimal.valueOf((k / 1000f).toDouble * 1000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        }
+        def n2(q: List[Long]) = q.map(x => x * x).sum
+        val evq = evs.zipWithIndex.map { case (v, i) =>
+          (i.toLong, quant(v))
+        }
+        val want = corp.zipWithIndex.flatMap { case (v, i) =>
+          val qv = quant(v); val na2 = n2(qv)
+          val hits = evq.map { case (eid, qe) =>
+            val dp = qv.zip(qe).map { case (x, y) => x * y }.sum
+            (eid, dp, n2(qe))
+          }.filter { case (_, dp, nb2) =>
+            dp > 0 &&
+              dp.toDouble * dp.toDouble >= 9e-2 * (na2.toDouble * nb2.toDouble)
+          }
+          if (hits.isEmpty) None else {
+            val (eid, dp, nb2) = hits.maxBy { case (eid, dp, nb2) =>
+              (dp.toDouble * dp.toDouble / (na2.toDouble * nb2.toDouble),
+                -eid)
+            }
+            val c = dp.toDouble * dp.toDouble / (na2.toDouble * nb2.toDouble)
+            Some(((25 + i).toLong, (hits.size.toLong,
+              java.math.BigDecimal.valueOf(math.sqrt(c) * 10000)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue,
+              eid)))
+          }
+        }.toMap
+        val got = graft.queries.Registry.all
+          .find(_.name == "x36_semantic_decontam").get.run(spark, dir)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            r.getLong(3))))
+          .toMap
+        got == want
+    })
+  }
+
+  test("x37 stratified sample: k rows per stratum, dense ranks, " +
+    "deterministic") {
+    import spark.implicits._
+    val docsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1, 40), Gen.oneOf("s0", "s1", "s2")))
+    check(Prop.forAll(docsGen) { specs =>
+      val docs = specs.zipWithIndex.map { case ((len, src), i) =>
+        (i.toLong, s"d$i" + "x" * len, src)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory("x37prop").toString
+      docs.toDF("doc_id", "text", "source")
+        .selectExpr("doc_id", "text", "'en' AS lang", "source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val entry = graft.queries.Registry.all
+        .find(_.name == "x37_group_sample").get
+      def run() = entry.run(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val got = run()
+      val bySrc = docs.groupBy(_._3)
+      val sized = got.groupBy(_._1).forall { case (src, rows) =>
+        rows.length == math.min(3, bySrc(src).length) &&
+          rows.map(_._2).sorted.sameElements(1L to rows.length.toLong) &&
+          rows.forall(r => bySrc(src).exists(_._1 == r._3))
+      } && got.map(_._1).distinct.length == bySrc.size
+      sized && run().sameElements(got)
+    })
+  }
+
+  test("x38 KS drift equals the grid brute force on random corpora") {
+    import spark.implicits._
+    val docsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1, 200), Gen.oneOf("s0", "s1", "s2")))
+    check(Prop.forAll(docsGen) { specs =>
+      val docs = specs.zipWithIndex.map { case ((len, src), i) =>
+        (i.toLong, "x" * len, src)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory("x38prop").toString
+      docs.toDF("doc_id", "text", "source")
+        .selectExpr("doc_id", "text", "'en' AS lang", "source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val bySrc = specs.groupBy(_._2)
+      val srcs = bySrc.keys.toList.sorted
+      val buckets = specs.map(_._1.toLong / 32).distinct.sorted
+      def cum(src: String): List[Long] = {
+        val bs = bySrc(src).map(_._1.toLong / 32)
+        buckets.map(b => bs.count(_ <= b).toLong)
+      }
+      val want = (for { a <- srcs; b <- srcs if a < b } yield {
+        val na = bySrc(a).length.toLong; val nb = bySrc(b).length.toLong
+        val d = cum(a).zip(cum(b))
+          .map { case (x, y) => (x * nb - y * na).abs }.max
+        (a, b, na, nb, 1000000L * d / (na * nb))
+      }).toSet
+      val got = graft.queries.Registry.all
+        .find(_.name == "x38_ks_drift").get.run(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toSet
+      got == want
+    })
+  }
+
   test("q71 chi-square equals the full-grid integer brute force on " +
     "random contingency tables") {
     import spark.implicits._
