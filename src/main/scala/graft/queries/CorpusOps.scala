@@ -1265,6 +1265,66 @@ object CorpusOps {
                      CAST(CAST(1000000 AS DECIMAL(38,0)) * dmax
                        // (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)
                        AS ks_e6
-              FROM pairs ORDER BY src_a, src_b"""))
+              FROM pairs ORDER BY src_a, src_b""")),
+
+    // X39 — source VOCABULARY-overlap matrix: per source pair, vocab
+    // sizes, shared-token count, Jaccard and containment (e6 integers)
+    // — "which sources duplicate each other's CONTENT" (x38 compares
+    // length distributions; this compares what the words are), the
+    // cheap redundancy census a mixture designer reads before paying
+    // for cross-source near-dup (x4): a pair at containment ~1 means
+    // one source is a subset crawl of the other and its budget (x27)
+    // double-counts. Token identity is the fused xxhash64 kernel (the
+    // t_boilerplate rationale: overlap COUNTS are identical under any
+    // injective relabeling, and the string-token oracle would catch a
+    // collision loudly). Shape: per-doc distinct tokens row-local
+    // (kernel), ONE (source, k) distinct exchange -> vocab frame; the
+    // pair expansion self-joins that frame on k — per token the join
+    // emits at most sources² rows, so pair volume is O(vocab x
+    // sources²) worst-case and the per-pair rollup partial-aggregates
+    // map-side; vocab sizes are an O(sources) broadcast joined twice.
+    // Only pairs sharing >= 1 token appear (inner join) — a pair
+    // ABSENT from the matrix shares nothing.
+    Entry("x39_vocab_overlap",
+      (s, dir) => {
+        val vocab = Dedup.tokenHashSets(
+            t(s, dir, "documents"), "text", "doc_id", "source")
+          .select("source", "k").distinct()
+        val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+        val a = vocab.select(col("source").as("src_a"), col("k"))
+        val b = vocab.select(col("source").as("src_b"), col("k"))
+        a.join(b, Seq("k")).filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+          .join(broadcast(sizes.select(col("source").as("src_a"),
+            col("n").as("n_a"))), Seq("src_a"))
+          .join(broadcast(sizes.select(col("source").as("src_b"),
+            col("n").as("n_b"))), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("shared"),
+            expr("1000000 * shared DIV (n_a + n_b - shared)")
+              .as("jaccard_e6"),
+            expr("1000000 * shared DIV least(n_a, n_b)")
+              .as("containment_e6"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH st AS (SELECT DISTINCT source, tok
+                          FROM (SELECT source,
+                                  unnest(string_split(text, ' ')) AS tok
+                                FROM documents)),
+              sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+              pr AS (SELECT a.source AS src_a, b.source AS src_b,
+                            count(*) AS shared
+                     FROM st a JOIN st b ON a.tok = b.tok
+                     WHERE a.source < b.source
+                     GROUP BY 1, 2)
+              SELECT src_a, src_b,
+                     sa.n AS n_a, sb.n AS n_b, shared,
+                     CAST(1000000 * shared
+                       // (sa.n + sb.n - shared) AS BIGINT) AS jaccard_e6,
+                     CAST(1000000 * shared
+                       // least(sa.n, sb.n) AS BIGINT) AS containment_e6
+              FROM pr JOIN sz sa ON sa.source = pr.src_a
+                      JOIN sz sb ON sb.source = pr.src_b
+              ORDER BY src_a, src_b"""))
   )
 }

@@ -525,6 +525,44 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("x39 vocab overlap equals the set brute force on random corpora") {
+    import spark.implicits._
+    // few-word alphabet so vocabularies overlap heavily and ties/full
+    // containment both occur
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc", "d", "ee"))
+    val docsGen = Gen.nonEmptyListOf(Gen.zip(
+      docGen, Gen.oneOf("s0", "s1", "s2")))
+    check(Prop.forAll(docsGen) { specs =>
+      val docs = specs.zipWithIndex.map { case ((ws, src), i) =>
+        (i.toLong, ws.mkString(" "), src)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory("x39prop").toString
+      docs.toDF("doc_id", "text", "source")
+        .selectExpr("doc_id", "text", "'en' AS lang", "source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val vocab = specs.groupBy(_._2).view
+        .mapValues(_.flatMap(_._1).toSet).toMap
+      val srcs = vocab.keys.toList.sorted
+      val want = (for {
+        a <- srcs; b <- srcs if a < b
+        sh = (vocab(a) & vocab(b)).size.toLong if sh > 0
+      } yield {
+        val (na, nb) = (vocab(a).size.toLong, vocab(b).size.toLong)
+        (a, b, na, nb, sh, 1000000L * sh / (na + nb - sh),
+          1000000L * sh / math.min(na, nb))
+      }).toSet
+      val got = graft.queries.Registry.all
+        .find(_.name == "x39_vocab_overlap").get.run(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toSet
+      got == want
+    })
+  }
+
   test("q71 chi-square equals the full-grid integer brute force on " +
     "random contingency tables") {
     import spark.implicits._
