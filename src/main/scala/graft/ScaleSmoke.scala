@@ -382,6 +382,15 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$base/emb")
     }
     val emb = spark.read.parquet(s"$base/emb")
+    // x36: the eval set is CONSTANT-sized (25 vectors) while the corpus
+    // grows — one broadcast row of quantized state, corpus scored
+    // row-locally. Expected near-linear wall (scan + codegen'd lambda
+    // per row), zero corpus-keyed exchange at 10x and 50x alike.
+    time("semantic decontam (x36 shape, broadcast eval state)") {
+      graft.ops.Similarity.semanticDecontam(emb, "embedding", "vec_id",
+          evalMaxId = 25)
+        .write.format("noop").mode("overwrite").save()
+    }
     // The trainer-family execution shape (q40/q42/q43/q56 +
     // q58/q59/q60 twins): one single-pass treeAggregate per epoch
     // whose result is O(params) driver fit state — the row count only

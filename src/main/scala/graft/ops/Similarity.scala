@@ -450,4 +450,64 @@ object Similarity {
         ${rounds.mkString(",\n        ")}
         $out ORDER BY rk"""
   }
+
+  /** Semantic decontamination (x36): flag every corpus vector whose
+    * cosine against ANY eval-set vector (`idCol < evalMaxId`) reaches
+    * sqrt(cos2Threshold). The eval set is the constant-sized side, so
+    * it collapses to ONE broadcast row of e3-quantized integer state
+    * ({eid, quantized vec, integer norm²} structs) and the corpus is
+    * scored ROW-LOCALLY — no corpus-keyed exchange at any scale (the
+    * broadcast-decontam contract of `CorpusClean` in embedding space).
+    *
+    * Exactness contract (the x36 oracle hash-gates this): e3
+    * quantization (round ties away from zero — identical on any IEEE
+    * engine), order-independent integer dot/norm sums, then exactly
+    * one double multiply-compare per (row, eval) and one divide +
+    * sqrt + round for the flagged winners — every float op is a
+    * single correctly-rounded IEEE op on identical integer inputs.
+    * `cos2Threshold` must be passed as the exact double the replaying
+    * oracle uses (the default 9e-2 is cosine 0.30); it enters the
+    * plan via `lit(...)`, never string formatting.
+    *
+    * Output: (idCol, n_hits, max_cos_e4, eval_id) for flagged rows
+    * only; best-cosine ties break to the smallest eval id.
+    */
+  def semanticDecontam(df: DataFrame, vecCol: String, idCol: String,
+      evalMaxId: Long, cos2Threshold: Double = 9e-2): DataFrame = {
+    val quant = expr(
+      s"transform($vecCol, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    val evals = df.filter(col(idCol) < evalMaxId)
+      .select(col(idCol).as("eid"), quant.as("qe"))
+      .withColumn("nb2", expr("aggregate(qe, 0L, (a, v) -> a + v * v)"))
+      .agg(collect_list(struct(col("eid"), col("qe"), col("nb2")))
+        .as("evals"))
+    df.filter(col(idCol) >= evalMaxId)
+      .select(col(idCol), quant.as("qv"))
+      .withColumn("na2", expr("aggregate(qv, 0L, (a, v) -> a + v * v)"))
+      .crossJoin(broadcast(evals))
+      .withColumn("__t", lit(cos2Threshold))
+      .withColumn("hits", expr(
+        """filter(
+             transform(evals, e -> named_struct(
+               'eid', e.eid,
+               'dp', aggregate(zip_with(qv, e.qe, (x, y) -> x * y),
+                               0L, (a, v) -> a + v),
+               'nb2', e.nb2)),
+             h -> h.dp > 0 AND
+                  CAST(h.dp AS DOUBLE) * CAST(h.dp AS DOUBLE)
+                    >= __t * (CAST(na2 AS DOUBLE)
+                              * CAST(h.nb2 AS DOUBLE)))"""))
+      .filter(size(col("hits")) >= 1)
+      .withColumn("best", expr(
+        """array_max(transform(hits, h -> named_struct(
+             'c', CAST(h.dp AS DOUBLE) * CAST(h.dp AS DOUBLE)
+                  / (CAST(na2 AS DOUBLE) * CAST(h.nb2 AS DOUBLE)),
+             'neid', -h.eid)))"""))
+      .select(col(idCol),
+        size(col("hits")).cast("long").as("n_hits"),
+        expr("CAST(round(sqrt(best.c) * 10000) AS BIGINT)")
+          .as("max_cos_e4"),
+        expr("-best.neid").as("eval_id"))
+  }
 }

@@ -193,44 +193,10 @@ object SimilarityOps {
     // cosine for the (vast) unflagged majority. Ties on best cosine
     // break to the smallest eval id via the (cos^2, -eid) struct max.
     Entry("x36_semantic_decontam",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val quant = expr(
-          "transform(embedding, x -> " +
-            "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-        val evals = emb.filter(col("vec_id") < 25)
-          .select(col("vec_id").as("eid"), quant.as("qe"))
-          .withColumn("nb2", expr("aggregate(qe, 0L, (a, v) -> a + v * v)"))
-          .agg(collect_list(struct(col("eid"), col("qe"), col("nb2")))
-            .as("evals"))
-        emb.filter(col("vec_id") >= 25)
-          .select(col("vec_id"), quant.as("qv"))
-          .withColumn("na2", expr("aggregate(qv, 0L, (a, v) -> a + v * v)"))
-          .crossJoin(broadcast(evals))
-          .withColumn("hits", expr(
-            """filter(
-                 transform(evals, e -> named_struct(
-                   'eid', e.eid,
-                   'dp', aggregate(zip_with(qv, e.qe, (x, y) -> x * y),
-                                   0L, (a, v) -> a + v),
-                   'nb2', e.nb2)),
-                 h -> h.dp > 0 AND
-                      CAST(h.dp AS DOUBLE) * CAST(h.dp AS DOUBLE)
-                        >= 9e-2 * (CAST(na2 AS DOUBLE)
-                                   * CAST(h.nb2 AS DOUBLE)))"""))
-          .filter(size(col("hits")) >= 1)
-          .withColumn("best", expr(
-            """array_max(transform(hits, h -> named_struct(
-                 'c', CAST(h.dp AS DOUBLE) * CAST(h.dp AS DOUBLE)
-                      / (CAST(na2 AS DOUBLE) * CAST(h.nb2 AS DOUBLE)),
-                 'neid', -h.eid)))"""))
-          .select(col("vec_id"),
-            size(col("hits")).cast("long").as("n_hits"),
-            expr("CAST(round(sqrt(best.c) * 10000) AS BIGINT)")
-              .as("max_cos_e4"),
-            expr("-best.neid").as("eval_id"))
-          .orderBy("vec_id")
-      },
+      (s, dir) => Similarity.semanticDecontam(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        evalMaxId = 25, cos2Threshold = 9e-2)
+        .orderBy("vec_id"),
       Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
                        AS qv
