@@ -194,6 +194,96 @@ case class VecDist2(left: Expression, right: Expression)
       newRight: Expression): VecDist2 = copy(left = newLeft, right = newRight)
 }
 
+/** Native EXACT integer dot product over two `array<bigint>` columns —
+  * [[VecDist2]]'s sibling for the quantized-cosine kernels (semantic
+  * decontamination X36): one fused long-accumulating loop, no
+  * intermediate array, no per-element lambda dispatch. Bit-identical
+  * to `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, v) -> s + v)`
+  * (exact integers, order irrelevant), with the same edge semantics:
+  * null element or length mismatch yields NULL, never a silent partial
+  * sum. Matters even where it cannot codegen — inside a higher-order
+  * lambda (the x36 per-eval transform) it is evaluated via ONE
+  * `nullSafeEval` tight loop per call instead of ~4 interpreted
+  * expression dispatches + an intermediate array per element. */
+case class VecDotL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_l requires array<bigint> arguments, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDotL = copy(left = newLeft, right = newRight)
+}
+
+object VecDotL {
+  /** Register `vec_dot_l` in the session's function registry
+    * (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier("vec_dot_l")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[VecDotL].getName, "vec_dot_l"),
+        { args =>
+          require(args.length == 2, "vec_dot_l takes exactly 2 arguments")
+          VecDotL(args.head, args(1))
+        })
+  }
+
+  /** Column-level entry point; registers on first use per session. */
+  def vecDotL(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("vec_dot_l", a, b)
+  }
+}
+
 object VecDist2 {
   /** Register `vec_dist2` in the session's function registry
     * (idempotent). */

@@ -474,25 +474,28 @@ object Similarity {
     */
   def semanticDecontam(df: DataFrame, vecCol: String, idCol: String,
       evalMaxId: Long, cos2Threshold: Double = 9e-2): DataFrame = {
+    // integer dot/norms via the fused vec_dot_l kernel — bit-identical
+    // to the aggregate(zip_with(...)) fold (exact integers), one tight
+    // loop per call even inside the per-eval lambda below
+    graft.functions.VecDotL.register(df.sparkSession)
     val quant = expr(
       s"transform($vecCol, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
     val evals = df.filter(col(idCol) < evalMaxId)
       .select(col(idCol).as("eid"), quant.as("qe"))
-      .withColumn("nb2", expr("aggregate(qe, 0L, (a, v) -> a + v * v)"))
+      .withColumn("nb2", expr("vec_dot_l(qe, qe)"))
       .agg(collect_list(struct(col("eid"), col("qe"), col("nb2")))
         .as("evals"))
     df.filter(col(idCol) >= evalMaxId)
       .select(col(idCol), quant.as("qv"))
-      .withColumn("na2", expr("aggregate(qv, 0L, (a, v) -> a + v * v)"))
+      .withColumn("na2", expr("vec_dot_l(qv, qv)"))
       .crossJoin(broadcast(evals))
       .withColumn("__t", lit(cos2Threshold))
       .withColumn("hits", expr(
         """filter(
              transform(evals, e -> named_struct(
                'eid', e.eid,
-               'dp', aggregate(zip_with(qv, e.qe, (x, y) -> x * y),
-                               0L, (a, v) -> a + v),
+               'dp', vec_dot_l(qv, e.qe),
                'nb2', e.nb2)),
              h -> h.dp > 0 AND
                   CAST(h.dp AS DOUBLE) * CAST(h.dp AS DOUBLE)

@@ -99,4 +99,48 @@ class VecDotSpec extends AnyFunSuite {
       df.selectExpr("vec_dist2(a, b)").collect())
     assert(e.getMessage.toLowerCase.contains("vec_dist2"))
   }
+
+  test("vec_dot_l equals the higher-order fold exactly and stays codegen'd") {
+    import graft.functions.VecDotL
+    // range-rooted so the projection is a real codegen stage
+    val df = spark.range(100).select(
+      array(col("id"), col("id") * 3 - 7, -col("id")).as("a"),
+      array(col("id") % 11, lit(5L), col("id") * 2).as("b"))
+    val q = df.select(
+      VecDotL.vecDotL(spark, col("a"), col("b")).as("fused"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("hof"))
+    q.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(400))
+  }
+
+  test("vec_dot_l: length mismatch and null elements yield NULL, " +
+      "in both codegen and interpreted eval") {
+    graft.functions.VecDotL.register(spark)
+    // codegen path (range-rooted projection)
+    val mism = spark.range(1).select(
+      expr("vec_dot_l(array(id, 1L), array(id))").as("d"))
+    assert(mism.head().isNullAt(0))
+    val withNull = spark.range(1).select(
+      expr("vec_dot_l(array(id, CAST(NULL AS BIGINT)), array(1L, 2L))")
+        .as("d"))
+    assert(withNull.head().isNullAt(0))
+    // interpreted path: inside a higher-order lambda, doGenCode is not
+    // used — nullSafeEval must agree
+    val lam = spark.range(1).select(expr(
+      """transform(array(array(1L, 2L), array(3L)),
+           v -> vec_dot_l(v, array(10L, 100L)))""").as("ds"))
+      .head().getSeq[Any](0)
+    assert(lam == Seq(210L, null))
+  }
+
+  test("vec_dot_l rejects non-long-array inputs at analysis") {
+    import spark.implicits._
+    graft.functions.VecDotL.register(spark)
+    val df = Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+    val e = intercept[Exception](
+      df.selectExpr("vec_dot_l(a, b)").collect())
+    assert(e.getMessage.toLowerCase.contains("vec_dot_l"))
+  }
 }
