@@ -58,6 +58,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's own bloom-filter expressions (the runtime-filter-join
     // machinery), surfaced for explicit membership pre-filters
     graft.functions.BloomFn.injections.foreach(ext.injectFunction)
+    // the remaining scalar/aggregate kernels — registered here so a
+    // spark-submit deployment (--conf spark.sql.extensions) gets the
+    // FULL function surface without any per-session register() call
+    ext.injectFunction(graft.functions.VecDist2.injection)
+    ext.injectFunction(graft.functions.VecDotL.injection)
+    ext.injectFunction(graft.functions.CountMinAgg.injection)
+    ext.injectFunction(graft.functions.CountMinAgg.injectionPortable)
+    ext.injectFunction(graft.functions.MisraGriesAgg.injection)
+    ext.injectFunction(graft.functions.KMeansAssignExpr.injection)
     ext.injectFunction((
       FunctionIdentifier("topk_agg"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),

@@ -121,25 +121,31 @@ case class CountMinAgg(
 }
 
 object CountMinAgg {
+  private def intOf(e: Expression, what: String): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Builder tuple shared by the per-session [[register]] fallback and
+    * the [[graft.GraftExtensions]] spark-submit deployment path. */
+  val injection: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("count_min_agg"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min_agg"),
+      { args =>
+        require(args.length == 3,
+          "count_min_agg takes (column, depth literal, width literal)")
+        CountMinAgg(args.head, intOf(args(1), "depth"),
+          intOf(args(2), "width")).toAggregateExpression()
+      })
+
   /** Register `count_min_agg(col, depth, width)` in the session. */
   def register(spark: SparkSession): Unit = {
-    val id = FunctionIdentifier("count_min_agg")
+    val (id, info, builder) = injection
     if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[CountMinAgg].getName, "count_min_agg"),
-        { args =>
-          require(args.length == 3,
-            "count_min_agg takes (column, depth literal, width literal)")
-          def intOf(e: Expression, what: String): Int = e.eval(null) match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"$what must be an integer literal, got $other")
-          }
-          CountMinAgg(args.head, intOf(args(1), "depth"),
-            intOf(args(2), "width")).toAggregateExpression()
-        })
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 
   def countMinAgg(spark: SparkSession, item: Column, depth: Int,
@@ -153,25 +159,23 @@ object CountMinAgg {
   /** Portable-family variant of [[countMinAgg]] — same grid layout and
     * merge algebra, slots from [[PortableHash]] so an external oracle
     * can rebuild the whole sketch. */
+  /** Builder tuple for the portable variant — see [[injection]]. */
+  val injectionPortable: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("count_min_agg_portable"),
+      new ExpressionInfo(classOf[CountMinAgg].getName,
+        "count_min_agg_portable"),
+      { args =>
+        require(args.length == 3,
+          "count_min_agg_portable takes (column, depth, width)")
+        CountMinAgg(args.head, intOf(args(1), "depth"),
+          intOf(args(2), "width"), portable = true).toAggregateExpression()
+      })
+
   def registerPortable(spark: SparkSession): Unit = {
-    val id = FunctionIdentifier("count_min_agg_portable")
+    val (id, info, builder) = injectionPortable
     if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[CountMinAgg].getName,
-          "count_min_agg_portable"),
-        { args =>
-          require(args.length == 3,
-            "count_min_agg_portable takes (column, depth, width)")
-          def intOf(e: Expression): Int = e.eval(null) match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"expected integer literal, got $other")
-          }
-          CountMinAgg(args.head, intOf(args(1)), intOf(args(2)),
-            portable = true).toAggregateExpression()
-        })
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 
   def countMinAggPortable(spark: SparkSession, item: Column, depth: Int,

@@ -106,26 +106,39 @@ object KMeansAssignExpr {
     new GenericInternalRow(Array[Any](bestC, best))
   }
 
+  /** Builder tuple shared by the per-session [[register]] fallback and
+    * the [[graft.GraftExtensions]] spark-submit deployment path. */
+  val injection: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("kmeans_assign"),
+      new ExpressionInfo(classOf[KMeansAssignExpr].getName,
+        "kmeans_assign"),
+      { args =>
+        require(args.length == 2, "kmeans_assign takes 2 arguments")
+        // accept any FOLDABLE array<array<bigint>> — typedLit arrives
+        // as a Literal, but SQL-text array(array(...)) parses as a
+        // (resolved, foldable) CreateArray tree
+        val cents = args(1) match {
+          case e if e.resolved && e.foldable &&
+              (e.dataType match {
+                case ArrayType(ArrayType(LongType, _), _) => true
+                case _ => false
+              }) =>
+            e.eval(null).asInstanceOf[ArrayData]
+              .toObjectArray(ArrayType(LongType))
+              .map(_.asInstanceOf[ArrayData].toLongArray().toIndexedSeq)
+              .toIndexedSeq
+          case other => throw new IllegalArgumentException(
+            "kmeans_assign centroids must be a foldable " +
+              s"array<array<bigint>>, got $other")
+        }
+        KMeansAssignExpr(args.head, cents)
+      })
+
   def register(spark: SparkSession): Unit = {
-    val id = FunctionIdentifier("kmeans_assign")
+    val (id, info, builder) = injection
     if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[KMeansAssignExpr].getName,
-          "kmeans_assign"),
-        { args =>
-          require(args.length == 2, "kmeans_assign takes 2 arguments")
-          val cents = args(1) match {
-            case Literal(v: ArrayData, ArrayType(ArrayType(LongType, _), _)) =>
-              v.toObjectArray(ArrayType(LongType))
-                .map(_.asInstanceOf[ArrayData].toLongArray().toIndexedSeq)
-                .toIndexedSeq
-            case other => throw new IllegalArgumentException(
-              "kmeans_assign centroids must be an array<array<bigint>> " +
-                s"literal, got $other")
-          }
-          KMeansAssignExpr(args.head, cents)
-        })
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 
   /** Column-level entry point; registers on first use per session. */

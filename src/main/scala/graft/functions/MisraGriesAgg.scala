@@ -162,24 +162,29 @@ case class MisraGriesAgg(
 
 object MisraGriesAgg {
   /** Register `misra_gries_agg(col, capacity)` in the session. */
+  /** Builder tuple shared by the per-session [[register]] fallback and
+    * the [[graft.GraftExtensions]] spark-submit deployment path. */
+  val injection: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("misra_gries_agg"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName,
+        "misra_gries_agg"),
+      { args =>
+        require(args.length == 2,
+          "misra_gries_agg takes (column, capacity literal)")
+        val cap = args(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"capacity must be an integer literal, got $other")
+        }
+        MisraGriesAgg(args.head, cap).toAggregateExpression()
+      })
+
   def register(spark: SparkSession): Unit = {
-    val id = FunctionIdentifier("misra_gries_agg")
+    val (id, info, builder) = injection
     if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[MisraGriesAgg].getName,
-          "misra_gries_agg"),
-        { args =>
-          require(args.length == 2,
-            "misra_gries_agg takes (column, capacity literal)")
-          val cap = args(1).eval(null) match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"capacity must be an integer literal, got $other")
-          }
-          MisraGriesAgg(args.head, cap).toAggregateExpression()
-        })
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 
   /** `array<struct<item, est>>` summary column, sorted (est desc,

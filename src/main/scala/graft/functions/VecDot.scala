@@ -263,18 +263,23 @@ case class VecDotL(left: Expression, right: Expression)
 }
 
 object VecDotL {
+  /** Builder tuple shared by the per-session [[register]] fallback and
+    * the [[graft.GraftExtensions]] spark-submit deployment path. */
+  val injection: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("vec_dot_l"),
+      new ExpressionInfo(classOf[VecDotL].getName, "vec_dot_l"),
+      { args =>
+        require(args.length == 2, "vec_dot_l takes exactly 2 arguments")
+        VecDotL(args.head, args(1))
+      })
+
   /** Register `vec_dot_l` in the session's function registry
     * (idempotent). */
   def register(spark: SparkSession): Unit = {
-    val id = FunctionIdentifier("vec_dot_l")
+    val (id, info, builder) = injection
     if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[VecDotL].getName, "vec_dot_l"),
-        { args =>
-          require(args.length == 2, "vec_dot_l takes exactly 2 arguments")
-          VecDotL(args.head, args(1))
-        })
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 
   /** Column-level entry point; registers on first use per session. */
@@ -285,18 +290,23 @@ object VecDotL {
 }
 
 object VecDist2 {
+  /** Builder tuple shared by the per-session [[register]] fallback and
+    * the [[graft.GraftExtensions]] spark-submit deployment path. */
+  val injection: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("vec_dist2"),
+      new ExpressionInfo(classOf[VecDist2].getName, "vec_dist2"),
+      { args =>
+        require(args.length == 2, "vec_dist2 takes exactly 2 arguments")
+        VecDist2(args.head, args(1))
+      })
+
   /** Register `vec_dist2` in the session's function registry
     * (idempotent). */
   def register(spark: SparkSession): Unit = {
-    val id = FunctionIdentifier("vec_dist2")
+    val (id, info, builder) = injection
     if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[VecDist2].getName, "vec_dist2"),
-        { args =>
-          require(args.length == 2, "vec_dist2 takes exactly 2 arguments")
-          VecDist2(args.head, args(1))
-        })
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 
   /** Column-level entry point; registers on first use per session. */

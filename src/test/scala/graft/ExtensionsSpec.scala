@@ -26,6 +26,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sh != 0L)
   }
 
+  test("every kernel is SQL-callable from extensions alone — " +
+      "no per-session register() call") {
+    // the spark-submit deployment contract: --conf
+    // spark.sql.extensions=graft.GraftExtensions must expose the FULL
+    // function surface
+    val d2 = spark.sql(
+      "SELECT vec_dist2(array(1L, 5L), array(4L, 3L)) AS d")
+      .head().getLong(0)
+    assert(d2 == 13L)
+    val dl = spark.sql(
+      "SELECT vec_dot_l(array(2L, 3L), array(10L, 100L)) AS d")
+      .head().getLong(0)
+    assert(dl == 320L)
+    import spark.implicits._
+    Seq("a", "a", "b").toDF("tok").createOrReplaceTempView("ext_cm_toks")
+    val cm = spark.sql(
+      "SELECT count_min_agg(tok, 2, 8) AS s FROM ext_cm_toks").head()
+    assert(!cm.isNullAt(0))
+    val cmp = spark.sql(
+      "SELECT count_min_agg_portable(tok, 2, 8) AS s FROM ext_cm_toks")
+      .head()
+    assert(!cmp.isNullAt(0))
+    val mg = spark.sql(
+      "SELECT misra_gries_agg(tok, 4) AS s FROM ext_cm_toks")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.nonEmpty && mg.head.getString(0) == "a")
+    val ka = spark.sql(
+      "SELECT kmeans_assign(array(1L, 1L)," +
+        " array(array(0L, 0L), array(2L, 2L))) AS c")
+      .head()
+    assert(!ka.isNullAt(0))
+  }
+
   test("topk_agg is SQL-callable and HammingJoinRewrite is installed") {
     import spark.implicits._
     Seq((1L, 5.0), (2L, 9.0), (3L, 1.0)).toDF("id", "score")
