@@ -320,6 +320,76 @@ object ScaleSmoke {
         .agg(graft.functions.MisraGriesAgg.mgSummary(spark, col("tok"), 64))
         .write.format("noop").mode("overwrite").save()
     }
+    time("stratified weighted sample (x37 shape, 8 strata)") {
+      // the per-stratum quota draw: row-local md5 priorities, then ONE
+      // source-keyed exchange where each stratum ranks its own
+      // partition — only (source, doc_id, n_chars, pri) cross the
+      // wire, never text. Near-linear wall = the priority scan; the
+      // window sorts each stratum once on its own partition.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("pri").desc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("source"),
+          length(col("text")).as("n_chars"),
+          (log((conv(substring(md5(col("text")), 1, 13), 16, 10)
+            .cast("double") + 1) / lit(4503599627370496.0))
+            / length(col("text"))).as("pri"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("KS drift matrix (x38 shape, 8x8 source pairs, 32-wide grid)") {
+      // the drift monitor's scale contract: ONE corpus exchange (the
+      // (source, bucket) count) and every later frame is
+      // O(sources x buckets) — near-flat wall past the count means the
+      // grid algebra never touches corpus rows
+      import org.apache.spark.sql.expressions.Window
+      val cnt = docs
+        .groupBy(col("source"),
+          expr("CAST(length(text) AS BIGINT) DIV 32").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val bktArr = cnt.select("bucket").distinct()
+        .agg(collect_list(col("bucket")).as("bks"))
+      val grid = cnt.select("source").distinct()
+        .crossJoin(broadcast(bktArr))
+        .select(col("source"), explode(col("bks")).as("bucket"))
+        .join(cnt, Seq("source", "bucket"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val cum = grid
+        .withColumn("cum", sum("cnt").over(
+          Window.partitionBy("source").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+      val a = cum.select(col("source").as("src_a"), col("bucket"),
+        col("cum").as("ca"), col("n").as("n_a"))
+      val b = cum.select(col("source").as("src_b"), col("bucket"),
+        col("cum").as("cb"), col("n").as("n_b"))
+      a.join(b, Seq("bucket")).filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(max(expr("abs(CAST(ca AS DECIMAL(38,0)) * n_b" +
+          " - CAST(cb AS DECIMAL(38,0)) * n_a)")).as("dmax"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("vocab overlap matrix (x39 shape, one (source, token) distinct)") {
+      // the redundancy census: per-doc distinct token hashes row-local
+      // (fused kernel), ONE (source, k) distinct exchange, pair
+      // self-join on a vocabulary-sized frame — the linear part is the
+      // distinct over 12M/60M tokens; the pair algebra is O(vocab x
+      // sources^2) state, independent of corpus rows
+      val vocab = graft.ops.Dedup
+        .tokenHashSets(docs, "text", "doc_id", "source")
+        .select("source", "k").distinct()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+      val va = vocab.select(col("source").as("src_a"), col("k"))
+      val vb = vocab.select(col("source").as("src_b"), col("k"))
+      va.join(vb, Seq("k")).filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n").as("n_b"))), Seq("src_b"))
+        .write.format("noop").mode("overwrite").save()
+    }
     // The arithmetic-progression token generator above produces HEAVY-
     // HITTER shingles (many docs share the same 3-gram) — the
     // boilerplate profile of real scraped corpora. The raw shingle join
