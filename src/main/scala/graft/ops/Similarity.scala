@@ -375,9 +375,14 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val q = df.select(col(idCol), KMeans.quantize(col(vecCol), scale).as("v"))
+    // fused exact-integer dot: |cell| <= scale, so a dims-dot is
+    // <= dims * scale^2 — far under 2^63 for any sane (dims, scale);
+    // wrap-vs-ANSI divergence is unreachable, the kernel is safe to
+    // call directly (the LEGACY-only rewrite guard doesn't fire under
+    // the session's ANSI default)
+    graft.functions.VecDotL.register(spark)
     def dotLit(c: Seq[Long]): Column =
-      aggregate(zip_with(col("v"), typedLit(c), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
+      graft.functions.VecDotL.vecDotL(spark, col("v"), typedLit(c))
     val probeRows = q.filter(col(idCol) === probeId).select("v").take(1)
     require(probeRows.nonEmpty,
       s"mmrSelect: probe id $probeId not found in $idCol")

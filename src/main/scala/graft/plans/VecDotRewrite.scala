@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
-import graft.functions.VecDot
+import graft.functions.{VecDot, VecDotL}
 
 /** Optimizer rule fusing the idiomatic higher-order dot product into
   * the codegen'd [[VecDot]] kernel.
@@ -38,6 +38,19 @@ import graft.functions.VecDot
   *    widening `cast(array<float> as array<double>)`, which the
   *    rewrite strips: float -> double is exact, and VecDot widens
   *    per element itself.
+  *
+  * A second case fuses the exact-integer sibling — the same pattern
+  * over `array<bigint>` with a `0L` seed — into [[VecDotL]] (the
+  * quantized-cosine kernel, SURVEY §2.9 X36). Overflow guard: long
+  * arithmetic diverges by eval mode on overflow (ANSI throws, TRY
+  * nulls, LEGACY wraps), and VecDotL wraps (Java `*`/`+`) — so this
+  * case additionally requires the fold's Multiply AND Add to be in
+  * LEGACY mode, where the fusion is bit-identical on every input
+  * including the wrap. Under the ANSI default the long case simply
+  * never fires (library call sites that know their quantization bounds
+  * overflow cannot occur use [[VecDotL.vecDotL]] directly instead);
+  * VecDotRewriteSpec pins both the LEGACY fusion and the ANSI
+  * leave-alone.
   */
 object VecDotRewrite extends Rule[LogicalPlan] {
 
@@ -83,6 +96,30 @@ object VecDotRewrite extends Rule[LogicalPlan] {
           isIdentity(finish) =>
         (vecChild(l), vecChild(r)) match {
           case (Some(a), Some(b)) => VecDot(a, b)
+          case _ => agg
+        }
+      // the exact-integer sibling: same shape over array<bigint> with a
+      // 0L seed -> VecDotL. LEGACY-mode arithmetic only (see scaladoc):
+      // on overflow ANSI throws and TRY nulls, VecDotL wraps — only the
+      // LEGACY fold is bit-identical. No cast stripping — any cast on a
+      // long array changes element types and is left alone.
+      case agg @ ArrayAggregate(
+          ZipWith(l, r, LambdaFunction(
+            m @ Multiply(xv: NamedLambdaVariable, yv: NamedLambdaVariable, _),
+            Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _)),
+          Literal(0L, LongType),
+          LambdaFunction(
+            a @ Add(accv: NamedLambdaVariable, inv: NamedLambdaVariable, _),
+            Seq(aacc: NamedLambdaVariable, ain: NamedLambdaVariable), _),
+          finish)
+        if xv.exprId == ax.exprId && yv.exprId == ay.exprId &&
+          accv.exprId == aacc.exprId && inv.exprId == ain.exprId &&
+          isIdentity(finish) &&
+          m.evalContext.evalMode == EvalMode.LEGACY &&
+          a.evalContext.evalMode == EvalMode.LEGACY =>
+        (l.dataType, r.dataType) match {
+          case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+            VecDotL(l, r)
           case _ => agg
         }
     }

@@ -73,4 +73,54 @@ class VecDotRewriteSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("vecdot"), plan.take(600))
   }
+
+  test("the LEGACY long fold rewrites to vec_dot_l and agrees " +
+      "bit-for-bit, overflow wrap included") {
+    // eval mode is baked into Multiply/Add at EXPRESSION CREATION from
+    // the active conf — scope ANSI off around the fold construction so
+    // the lambda arithmetic is LEGACY (wrapping), the one mode the
+    // rewrite is allowed to fuse
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = spark.range(100).select(
+        array(col("id") * 7 - 3, -col("id"), lit(Long.MaxValue)).as("a"),
+        array(col("id") % 13, col("id") + 1, lit(2L)).as("b"))
+      val fused = df.select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("d"))
+      val plan = fused.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("vecdotl"), plan.take(600))
+      // reference: COMMUTED multiply (y * x) misses the rewrite guard,
+      // so it stays a real HOF fold — LEGACY long arithmetic wraps on
+      // overflow (MaxValue * 2 = -2), and VecDotL must wrap identically
+      val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => y * x), lit(0L), (acc, x) => acc + x).as("d"))
+      val hofPlan = hof.queryExecution.executedPlan.toString
+      assert(!hofPlan.toLowerCase.contains("vecdotl"), hofPlan.take(600))
+      val f = fused.collect().map(_.getLong(0))
+      val h = hof.collect().map(_.getLong(0))
+      assert(f.sameElements(h))
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
+  }
+
+  test("ANSI and near-miss long folds are left alone") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L), Array(3L, 4L))).toDF("a", "b")
+    // under the session's ANSI default the lambda Multiply/Add THROW on
+    // overflow while VecDotL wraps — the rewrite must not fire
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val ansiFold = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val wrongSeed = {
+      val before = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x * y), lit(1L), (acc, x) => acc + x)
+      finally spark.conf.set("spark.sql.ansi.enabled", before)
+    }
+    for (c <- Seq(ansiFold, wrongSeed)) {
+      val plan = df.select(c.as("d")).queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("vecdotl"), plan.take(600))
+    }
+  }
 }
