@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `long_set_count(arr, keys)` — how many elements of an
+  * `array<bigint>` column are members of a FIXED key set, carried as
+  * plan state (the [[KMeansAssignExpr]] literal-fit-state pattern).
+  *
+  * The composed form — `size(array_intersect(arr, lit(keys)))` — is
+  * correct but rebuilds a hash set from the keys literal ON EVERY ROW;
+  * at a 10^4-10^5-key benchmark-shingle set that is the dominant CPU of
+  * the whole scoring pass. This expression sorts the keys ONCE at
+  * construction and binary-searches each row element — O(|arr| log
+  * |keys|) per row with zero per-row allocation, codegen'd through a
+  * static kernel.
+  *
+  * Semantics: null array yields NULL; null ELEMENTS count as
+  * non-members (a null can never equal a long key — same as the
+  * intersect form, whose key side is null-free by construction). On a
+  * per-row-distinct input (e.g. the `ngram_xx64_set` kernels) the
+  * result is exactly `size(array_intersect(arr, keys))`; on inputs
+  * with duplicates it counts OCCURRENCES, not distinct values — the
+  * membership-scoring contract (CorpusIngest), not set algebra.
+  */
+case class LongSetCountExpr(child: Expression, keys: Seq[Long])
+    extends UnaryExpression {
+
+  @transient private lazy val sorted: Array[Long] = {
+    val a = keys.toArray
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"long_set_count requires array<bigint>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    LongSetCountExpr.kernel(v.asInstanceOf[ArrayData], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val keysRef = ctx.addReferenceObj("sortedKeys", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LongSetCountExpr.kernel($c, $keysRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LongSetCountExpr = copy(child = newChild)
+}
+
+object LongSetCountExpr {
+
+  /** Shared eval/codegen kernel: occurrences of arr's non-null elements
+    * in the sorted key array. */
+  def kernel(arr: ArrayData, sorted: Array[Long]): Long = {
+    var n = 0L
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) &&
+          java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0)
+        n += 1L
+      i += 1
+    }
+    n
+  }
+
+  /** Builder tuple shared by the per-session [[register]] fallback and
+    * the [[graft.GraftExtensions]] spark-submit deployment path. */
+  val injection: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("long_set_count"),
+      new ExpressionInfo(classOf[LongSetCountExpr].getName,
+        "long_set_count"),
+      { args =>
+        require(args.length == 2, "long_set_count takes 2 arguments")
+        val keys = args(1) match {
+          case e if e.resolved && e.foldable &&
+              (e.dataType match {
+                case ArrayType(LongType, _) => true
+                case _ => false
+              }) =>
+            e.eval(null).asInstanceOf[ArrayData].toLongArray().toIndexedSeq
+          case other => throw new IllegalArgumentException(
+            "long_set_count keys must be a foldable array<bigint>, " +
+              s"got $other")
+        }
+        LongSetCountExpr(args.head, keys)
+      })
+
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = injection
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  /** Column-level entry point; registers on first use per session. */
+  def longSetCount(spark: SparkSession, arr: Column, keys: Seq[Long]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("long_set_count", arr,
+      org.apache.spark.sql.functions.typedLit(keys))
+  }
+}

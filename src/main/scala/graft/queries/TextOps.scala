@@ -1045,6 +1045,73 @@ object TextOps {
                        // CAST(t.n_tok AS BIGINT) AS oov_e6
               FROM (SELECT source, sum(c) AS n_tok FROM st GROUP BY 1) t
               LEFT JOIN oov o USING (source)
-              ORDER BY source"""))
+              ORDER BY source""")),
+
+    // P9 — the STREAMING ingest surface's batch twin
+    // (streaming/CorpusIngest.ingest): quality gate -> exact dedup ->
+    // benchmark decontamination FLAG, every stage a stateless row-local
+    // projection except the one digest-keyed dedup — the shape that
+    // runs unchanged under readStream with the dedup swapped to
+    // watermark-bounded state (CorpusIngestSpec gates the streaming
+    // run; THIS entry hash-gates the shared expressions). The bench
+    // shingle set rides as sorted plan state in the long_set_count
+    // kernel (eval-set-sized, the t_decontam_bloom bound); DuckDB
+    // re-derives every gate ratio, the min-id keeper, and each shared
+    // count from gram STRINGS — an xxhash64 collision would fail the
+    // gate loudly. Flagged, not dropped: the sink routes contaminated
+    // docs to quarantine without losing the audit trail.
+    Entry("p9_stream_ingest",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = graft.streaming.CorpusIngest.benchShingleKeys(
+          docs.filter(col("source") === "src0"), "text")
+        // tsCol is consulted only on streaming frames (watermark);
+        // any existing column name satisfies the batch signature
+        graft.streaming.CorpusIngest.ingest(
+            docs.filter(col("source") =!= "src0"), "text", "doc_id",
+            tsCol = "n_chars", benchShingles = bench.toSeq)
+          .select(col("doc_id"), col("shared_shingles"),
+            col("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corp AS (SELECT doc_id, text FROM documents
+                            WHERE source <> 'src0'),
+              q AS (SELECT doc_id, text FROM corp
+                    WHERE len(string_split(text, ' ')) >= 5
+                      AND round(len(regexp_extract_all(text,
+                            '[^A-Za-z0-9 ]')) * 1.0
+                          / greatest(length(text), 1), 4) <= 0.3
+                      AND round(len(list_filter(string_split(text, ' '),
+                            t -> t IN $stopSql)) * 1.0
+                          / greatest(len(string_split(text, ' ')), 1), 4)
+                          <= 0.9),
+              keep AS (SELECT doc_id, text FROM q
+                       QUALIFY min(doc_id) OVER (PARTITION BY text)
+                         = doc_id),
+              grams AS (SELECT DISTINCT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1,
+                                   greatest(len(toks) - 2, 1)),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+                                 AS tok
+                        FROM (SELECT doc_id,
+                                string_split(text, ' ') AS toks
+                              FROM keep)),
+              bench AS (SELECT DISTINCT
+                               unnest(list_transform(
+                                 generate_series(1,
+                                   greatest(len(toks) - 2, 1)),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+                                 AS tok
+                        FROM (SELECT string_split(text, ' ') AS toks
+                              FROM documents WHERE source = 'src0')),
+              shr AS (SELECT doc_id, count(*) AS shared
+                      FROM grams JOIN bench USING (tok) GROUP BY 1)
+              SELECT k.doc_id,
+                     CAST(coalesce(s.shared, 0) AS BIGINT)
+                       AS shared_shingles,
+                     coalesce(s.shared, 0) >= 3 AS contaminated
+              FROM keep k LEFT JOIN shr s ON s.doc_id = k.doc_id
+              ORDER BY k.doc_id"""))
   )
 }
