@@ -370,6 +370,35 @@ object ScaleSmoke {
           " - CAST(cb AS DECIMAL(38,0)) * n_a)")).as("dmax"))
         .write.format("noop").mode("overwrite").save()
     }
+    // The streaming-ingest decontam flag (p9): benchmark shingles as
+    // plan state. The PAIR below isolates what the long_set_count
+    // kernel buys over the composed size(array_intersect(arr,
+    // lit(keys))) — the intersect form rebuilds a hash set from the
+    // keys literal on EVERY ROW, so its cost scales with |keys| x rows
+    // while the kernel pays |arr| x log|keys| per row.
+    val benchKeys = graft.streaming.CorpusIngest.benchShingleKeys(
+      docs.filter(col("source") === "s0").limit(500), "text")
+    time(s"decontam flag, long_set_count kernel (${benchKeys.length} keys)") {
+      docs.select(col("doc_id"),
+        graft.functions.LongSetCountExpr.longSetCount(spark,
+          graft.functions.TokenKernelFns.ngramXx64Set(
+            spark, split(col("text"), " "), 3),
+          benchKeys.toSeq).as("shared"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("decontam flag, array_intersect literal (same keys)") {
+      docs.select(col("doc_id"),
+        size(array_intersect(
+          graft.functions.TokenKernelFns.ngramXx64Set(
+            spark, split(col("text"), " "), 3),
+          typedLit(benchKeys.toSeq))).cast("long").as("shared"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("streaming-ingest batch twin, full pipeline (p9 shape)") {
+      graft.streaming.CorpusIngest.ingest(docs, "text", "doc_id",
+          tsCol = "source", benchShingles = benchKeys.toSeq)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("vocab overlap matrix (x39 shape, one (source, token) distinct)") {
       // the redundancy census: per-doc distinct token hashes row-local
       // (fused kernel), ONE (source, k) distinct exchange, pair
