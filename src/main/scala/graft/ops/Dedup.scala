@@ -179,7 +179,21 @@ object Dedup {
   /** [[jaccardPairs]] over a fused-kernel HASHED long form (idCol,
     * blockCol, k) from [[tokenHashSets]] / [[shingleHashSets]] —
     * identical output (the kernels are spec-pinned bit-identical to
-    * the string chain + xxhash64), none of the string materialization. */
+    * the string chain + xxhash64), none of the string materialization.
+    *
+    * Fixture-density floor — the whole X4/X14 pair family shares
+    * [[containmentPairsHashed]]'s candidate-volume bound (its scaladoc
+    * has the stage decomposition and the measured non-wins). For the
+    * shingle variant specifically (`x4_ngram_jaccard`, round-12
+    * Profile at 32 cores): wall is 12 jobs of AQE stage
+    * materialization over ~13.6 s summed task CPU — the shingle-set
+    * kernel build, the (blk, k)-keyed candidate self-join, and the
+    * pair rollup — so the warm ~1.4 s wall (vs DuckDB's ~0.4-0.5 s
+    * single-threaded pass over the same 59%-dense fixture) is
+    * per-job-floor-bound, not plan-shape-bound; candidates ≈ kept
+    * pairs at this density, so no candidate scheme can prune it. On
+    * sparse corpora (the 100 TB case) swap to [[jaccardPairsPrefix]],
+    * which prunes candidate GENERATION. */
   def jaccardPairsHashed(hashedSets: DataFrame, idCol: String,
       blockCol: String, threshold: Double): DataFrame =
     jaccardScore(blockedIntersectionHashed(hashedSets.select(col(idCol),
