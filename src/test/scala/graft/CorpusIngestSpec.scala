@@ -101,6 +101,23 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(s.getLong(1) == 3L)
   }
 
+  test("batch-twin plan carries exactly ONE shuffle exchange — the " +
+      "digest-keyed keeper window") {
+    // quality gate, redaction, and the decontam flag must stay
+    // row-local projections: the scale contract (SURVEY §7.4b P9 row)
+    // is that only the dedup exchanges data
+    val docs = graft.sources.Tables.load(spark, TestSpark.sf0001,
+      "documents")
+    val plan = graft.streaming.CorpusIngest.ingest(docs, "text",
+        "doc_id", tsCol = "n_chars", benchShingles = benchKeys)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n" +
+      plan.take(1500))
+    assert(plan.toLowerCase.contains("longsetcount"), plan.take(800))
+  }
+
   test("empty benchmark set disables the decontamination stage") {
     import spark.implicits._
     val docs = Seq(Doc(1, ts(1), leaked)).toDF()

@@ -198,4 +198,22 @@ class SimilaritySpec extends AnyFunSuite {
     // measured on this fixture: coverage 119/120, recall 65/120 (0.54)
     assert(hits >= (n * 0.45).toInt, s"ANN recall $hits/$n below floor")
   }
+
+  test("semanticDecontam shuffles ZERO corpus rows — eval state rides " +
+      "one broadcast") {
+    // the x36 scale contract (SURVEY §7.4b): the corpus side is scored
+    // row-locally; the only shuffle in the plan is the constant-sized
+    // eval aggregate's SinglePartition collapse (25 rows), never a
+    // corpus-keyed hash/range partitioning
+    val emb = graft.sources.Tables.load(spark, TestSpark.sf0001,
+      "embeddings")
+    val plan = graft.ops.Similarity.semanticDecontam(
+        emb, "embedding", "vec_id", evalMaxId = 25)
+      .queryExecution.executedPlan.toString
+    val corpusShuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(corpusShuffles == 0,
+      s"corpus-keyed shuffle in the x36 plan:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+  }
 }
