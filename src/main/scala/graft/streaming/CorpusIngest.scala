@@ -56,11 +56,18 @@ object CorpusIngest {
     * same bound as the batch broadcast side). Sorted for a
     * deterministic plan literal. */
   def benchShingleKeys(bench: DataFrame, textCol: String,
-      shingleN: Int = 3): Array[Long] =
-    bench.select(explode(graft.functions.TokenKernelFns.ngramXx64Set(
-        bench.sparkSession, split(col(textCol), " "), shingleN)).as("k"))
-      .distinct().orderBy("k")
+      shingleN: Int = 3): Array[Long] = {
+    // sort DRIVER-side: the frame is eval-set-sized, and a distributed
+    // orderBy here pays a range-exchange (bounds-sampling re-executes
+    // the child) plus one extra job for a sort over ~10^3-10^5 longs
+    val keys = bench.select(
+        explode(graft.functions.TokenKernelFns.ngramXx64Set(
+          bench.sparkSession, split(col(textCol), " "), shingleN)).as("k"))
+      .distinct()
       .collect().map(_.getLong(0))
+    java.util.Arrays.sort(keys)
+    keys
+  }
 
   /** Quality → redact → watermark-bounded digest dedup → decontam flag
     * over a (possibly streaming) documents frame. `benchShingles`
