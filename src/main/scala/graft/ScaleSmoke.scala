@@ -399,6 +399,23 @@ object ScaleSmoke {
           tsCol = "source", benchShingles = benchKeys.toSeq)
         .write.format("noop").mode("overwrite").save()
     }
+    time("streaming ingest, REAL file stream (AvailableNow micro-batches)") {
+      // the same pipeline as a genuine readStream: parquet file source,
+      // constant event time (nothing late, so the digest-dedup state
+      // covers the whole corpus — the worst-case state size), noop
+      // sink. Measures micro-batch overhead + the stateful dedup at
+      // 300k/1.5M docs of growing state.
+      import org.apache.spark.sql.streaming.Trigger
+      val src = spark.readStream.schema(docs.schema).parquet(s"$base/docs")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      val q = graft.streaming.CorpusIngest.ingest(src, "text", "doc_id",
+          tsCol = "ts", benchShingles = benchKeys.toSeq,
+          watermark = "1 hour")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ingest_ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     time("vocab overlap matrix (x39 shape, one (source, token) distinct)") {
       // the redundancy census: per-doc distinct token hashes row-local
       // (fused kernel), ONE (source, k) distinct exchange, pair

@@ -118,6 +118,31 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("longsetcount"), plan.take(800))
   }
 
+  test("streaming ingest runs unchanged under the RocksDB state store") {
+    // the 100 TB state backend for the digest-dedup store (the one
+    // stateful operator): same output, disk-backed state
+    import spark.implicits._
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Doc](spark)
+      val plan = CorpusIngest.ingest(stream.toDF(), "text", "doc_id",
+        "ts", benchShingles = benchKeys, watermark = "1 hour")
+      val rows = runStream(stream, plan, Seq(
+        Seq(Doc(1, ts(1), goodA)),
+        Seq(Doc(3, ts(3), goodA), Doc(5, ts(5), leaked))))
+      val ids = rows.map(_.getAs[Long]("doc_id")).sorted
+      assert(ids == Seq(1L, 5L)) // 3 deduped against RocksDB state
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("empty benchmark set disables the decontamination stage") {
     import spark.implicits._
     val docs = Seq(Doc(1, ts(1), leaked)).toDF()
