@@ -143,6 +143,44 @@ class CorpusIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("batch twin equals a plain-Scala brute force on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val words = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f")))
+    val corpus = Gen.choose(3, 14).flatMap(n => Gen.listOfN(n, words))
+      .map(_.map(_.mkString(" ")))
+    val prop = Prop.forAll(corpus, corpus) { (docsW, benchW) =>
+      // force duplicates so the keeper path always exercises
+      val texts = docsW ++ docsW.take(2)
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, ts(i), t) }
+        .toDF("doc_id", "ts", "text")
+      val keys = CorpusIngest.benchShingleKeys(
+        benchW.toDF("text"), "text")
+      val got = CorpusIngest.ingest(df, "text", "doc_id", "ts",
+          benchShingles = keys.toSeq, minTokens = 2)
+        .select("doc_id", "shared_shingles").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: >=2 tokens (a-f corpus has zero symbols/stopwords,
+      // so the other gates never fire), min-id per text, distinct
+      // shared 3-gram STRINGS vs the bench's distinct 3-grams
+      def grams(t: String) =
+        t.split(" ").toSeq.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val benchG = benchW.flatMap(grams).toSet
+      val expect = texts.zipWithIndex
+        .filter(_._1.split(" ").length >= 2)
+        .groupBy(_._1).map { case (_, g) => g.minBy(_._2) }
+        .map { case (t, i) =>
+          i.toLong -> (grams(t) & benchG).size.toLong }
+      got == expect
+    }
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(6).withWorkers(1), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("empty benchmark set disables the decontamination stage") {
     import spark.implicits._
     val docs = Seq(Doc(1, ts(1), leaked)).toDF()
