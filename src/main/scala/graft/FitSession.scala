@@ -39,34 +39,65 @@ object FitSession {
   // sf0.1 (bench q45 1.9 s -> 3.5 s with clone-per-fit; Probe puts the
   // first clone action at +0.1-0.6 s and the driver gaps between a
   // fresh clone's jobs at ~1.2 s for the PageRank chain). Reuse warms
-  // the clone once per session. WeakHashMap: a dropped caller session
-  // releases its clone entry. Consequence, documented: two fits
-  // running CONCURRENTLY on the same caller share the clone, so one
-  // fit's shuffle-partition scoping can transiently apply to the
-  // other's stages — that perturbs fit PARALLELISM only, never results
-  // (SessionIsolationSpec pins concurrent fits bit-identical) and
-  // never the caller's conf, which is the hazard this class exists to
-  // remove.
+  // the clone once per session.
+  //
+  // Lifetime: the clone STRONGLY reaches its own key (cloneSession
+  // keeps the caller's SessionState as parentSessionState, whose
+  // closures capture the caller session), so the WeakHashMap's weak
+  // keys never become collectable while their value lives — a dropped
+  // caller session would leak one session pair per entry. A
+  // SoftReference value was MEASURED WRONG here (round 12): the bench
+  // JVM's GC clears soft refs under shuffle heap pressure, and a
+  // cleared clone re-pays the cold-SessionState warmup mid-run (q36
+  // best 2.5 s -> 4.9 s, worst attempt 6.5 s -> 18.6 s). Instead the
+  // cache is size-CAPPED: beyond MaxClones entries the whole map is
+  // cleared — live sessions rebuild their clone on the next fit (the
+  // one-time warmup), and the retained footprint is bounded at
+  // MaxClones session pairs instead of growing with every dropped
+  // caller. Single-session drivers (the common case) never hit the
+  // cap.
+  //
+  // Consequence of reuse, documented: two fits running CONCURRENTLY on
+  // the same caller share the clone, so one fit's shuffle-partition
+  // scoping can transiently apply to the other's stages — that perturbs
+  // fit PARALLELISM only, never results (SessionIsolationSpec pins
+  // concurrent fits bit-identical) and never the caller's conf, which
+  // is the hazard this class exists to remove.
+  private val MaxClones = 16
   private val clones = new java.util.WeakHashMap[
     SparkSession, SparkSession]()
 
   /** Clone of `caller` with AQE disabled — the fit planning regime.
-    * Reused per caller (see above); the knobs fits scope per-run (AQE,
-    * shuffle parallelism) are re-synced from the caller on every call
-    * so a previous fit's data-sized parallelism never leaks into the
-    * next fit's upper bound. */
+    * Reused per caller (see above). Every call re-syncs the caller's
+    * CURRENT modifiable conf onto the clone before applying the fit
+    * scoping, so a conf the caller changed after the first fit (ANSI
+    * mode, codegen flags, a new shuffle parallelism) is seen by later
+    * fits, and a previous fit's data-sized parallelism never leaks
+    * into the next fit's upper bound. */
   def aqeOff(caller: SparkSession): SparkSession = {
     val s = clones.synchronized {
       var c = clones.get(caller)
       if (c == null) {
+        if (clones.size >= MaxClones) clones.clear()
         c = org.apache.spark.sql.graft.SessionInterop.cloneSession(caller)
         clones.put(caller, c)
       }
       c
     }
+    // full re-sync, caller -> clone: set what differs, unset what the
+    // caller no longer carries (falls back to defaults). try/catch, not
+    // isModifiable: static/core entries THROW on set (skipped), while
+    // unregistered "spark.my.key" entries — which isModifiable would
+    // wrongly skip — set fine. O(conf size) driver work per fit.
+    val want = caller.conf.getAll
+    val have = s.conf.getAll
+    for ((k, v) <- want if !have.get(k).contains(v))
+      try s.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    for (k <- have.keysIterator if !want.contains(k))
+      try s.conf.unset(k)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions",
-      caller.conf.get("spark.sql.shuffle.partitions"))
     s
   }
 

@@ -376,7 +376,9 @@ object ScaleSmoke {
     // lit(keys))) — the intersect form rebuilds a hash set from the
     // keys literal on EVERY ROW, so its cost scales with |keys| x rows
     // while the kernel pays |arr| x log|keys| per row.
-    val benchKeys = graft.streaming.CorpusIngest.benchShingleKeys(
+    // lazy: runs only when a selected row below consumes it (three jobs
+    // of kernel+distinct+collect the other SMOKE_ONLY selections skip)
+    lazy val benchKeys = graft.streaming.CorpusIngest.benchShingleKeys(
       docs.filter(col("source") === "s0").limit(500), "text")
     time(s"decontam flag, long_set_count kernel (${benchKeys.length} keys)") {
       docs.select(col("doc_id"),

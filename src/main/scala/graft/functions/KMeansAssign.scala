@@ -123,13 +123,16 @@ object KMeansAssignExpr {
               (e.dataType match {
                 case ArrayType(ArrayType(LongType, _), _) => true
                 case _ => false
-              }) =>
+              }) && e.eval(null) != null => // null literal folds to null
             e.eval(null).asInstanceOf[ArrayData]
               .toObjectArray(ArrayType(LongType))
-              .map(_.asInstanceOf[ArrayData].toLongArray().toIndexedSeq)
+              .map(v => Option(v.asInstanceOf[ArrayData])
+                .getOrElse(throw new IllegalArgumentException(
+                  "kmeans_assign centroids must not contain null rows"))
+                .toLongArray().toIndexedSeq)
               .toIndexedSeq
           case other => throw new IllegalArgumentException(
-            "kmeans_assign centroids must be a foldable " +
+            "kmeans_assign centroids must be a non-null foldable " +
               s"array<array<bigint>>, got $other")
         }
         KMeansAssignExpr(args.head, cents)

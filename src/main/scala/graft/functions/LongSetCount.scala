@@ -92,11 +92,11 @@ object LongSetCountExpr {
               (e.dataType match {
                 case ArrayType(LongType, _) => true
                 case _ => false
-              }) =>
+              }) && e.eval(null) != null => // null literal folds to null
             e.eval(null).asInstanceOf[ArrayData].toLongArray().toIndexedSeq
           case other => throw new IllegalArgumentException(
-            "long_set_count keys must be a foldable array<bigint>, " +
-              s"got $other")
+            "long_set_count keys must be a non-null foldable " +
+              s"array<bigint>, got $other")
         }
         LongSetCountExpr(args.head, keys)
       })

@@ -162,22 +162,33 @@ class CorpusIngestSpec extends AnyFunSuite {
           benchShingles = keys.toSeq, minTokens = 2)
         .select("doc_id", "shared_shingles").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // brute force: >=2 tokens (a-f corpus has zero symbols/stopwords,
-      // so the other gates never fire), min-id per text, distinct
-      // shared 3-gram STRINGS vs the bench's distinct 3-grams
-      def grams(t: String) =
-        t.split(" ").toSeq.sliding(3).filter(_.length == 3)
-          .map(_.mkString(" ")).toSet
+      // brute force replicating the engine's exact edges: the quality
+      // gate counts "a" as a STOPWORD (round(nStop/nTok, 4) <= 0.9 —
+      // an all-"a" doc is gated); the ngram kernel emits ONE TRUNCATED
+      // gram for docs under 3 tokens (TokenKernels.ngramXx64Set:165);
+      // symbol ratio is always 0 on this alphabet. Min-id per text,
+      // distinct shared gram STRINGS vs the bench's distinct grams.
+      def grams(t: String) = {
+        val w = t.split(" ").toSeq
+        if (w.length < 3) Set(w.mkString(" "))
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      def passesGate(t: String) = {
+        val w = t.split(" ")
+        val stopRatio = BigDecimal(w.count(_ == "a").toDouble / w.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        w.length >= 2 && stopRatio <= BigDecimal("0.9")
+      }
       val benchG = benchW.flatMap(grams).toSet
       val expect = texts.zipWithIndex
-        .filter(_._1.split(" ").length >= 2)
+        .filter(d => passesGate(d._1))
         .groupBy(_._1).map { case (_, g) => g.minBy(_._2) }
         .map { case (t, i) =>
           i.toLong -> (grams(t) & benchG).size.toLong }
       got == expect
     }
     val r = SCTest.check(SCTest.Parameters.default
-      .withMinSuccessfulTests(6).withWorkers(1), prop)
+      .withMinSuccessfulTests(12).withWorkers(1), prop)
     assert(r.passed, r.status.toString)
   }
 

@@ -49,5 +49,17 @@ class LongSetCountSpec extends AnyFunSuite {
     val e = intercept[Exception](
       df.selectExpr("long_set_count(a, b)").collect())
     assert(e.getMessage.toLowerCase.contains("long_set_count"))
+    // a NULL keys literal is resolved+foldable+type-correct — must
+    // raise the clean message, not an NPE (same guard in kmeans_assign)
+    val eNull = intercept[Exception](spark.sql(
+      "SELECT long_set_count(array(1L), CAST(NULL AS ARRAY<BIGINT>))")
+      .collect())
+    assert(eNull.getMessage.toLowerCase.contains("long_set_count"),
+      eNull.getMessage)
+    val eNullK = intercept[Exception](spark.sql(
+      "SELECT kmeans_assign(array(1L)," +
+        " CAST(NULL AS ARRAY<ARRAY<BIGINT>>))").collect())
+    assert(eNullK.getMessage.toLowerCase.contains("kmeans_assign"),
+      eNullK.getMessage)
   }
 }

@@ -164,4 +164,31 @@ class SessionIsolationSpec extends AnyFunSuite {
     assert(knobs() == before)
     out.unpersist()
   }
+
+  test("caller conf changes AFTER the first fit reach later fits " +
+      "(full re-sync, not just the scoped knobs)") {
+    // warm the clone
+    FitSession.aqeOff(spark)
+    val key = "spark.sql.ansi.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (prev != "true").toString)
+      val clone = FitSession.aqeOff(spark)
+      assert(clone.conf.get(key) == spark.conf.get(key),
+        "clone kept a stale conf snapshot")
+      // a conf the caller UNSETS falls back on the clone too
+      spark.conf.set("spark.sql.graft.test.marker", "x")
+      assert(FitSession.aqeOff(spark)
+        .conf.get("spark.sql.graft.test.marker", "absent") == "x")
+      spark.conf.unset("spark.sql.graft.test.marker")
+      assert(FitSession.aqeOff(spark)
+        .conf.get("spark.sql.graft.test.marker", "absent") == "absent")
+      // the fit scoping still applies on top of the re-sync
+      assert(clone.conf.get("spark.sql.adaptive.enabled") == "false")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.unset("spark.sql.graft.test.marker")
+    }
+  }
 }
