@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
-import graft.functions.{VecDot, VecDotL}
+import graft.functions.{VecDist2, VecDot, VecDotL}
 
 /** Optimizer rule fusing the idiomatic higher-order dot product into
   * the codegen'd [[VecDot]] kernel.
@@ -39,9 +39,10 @@ import graft.functions.{VecDot, VecDotL}
   *    rewrite strips: float -> double is exact, and VecDot widens
   *    per element itself.
   *
-  * A second case fuses the exact-integer sibling — the same pattern
-  * over `array<bigint>` with a `0L` seed — into [[VecDotL]] (the
-  * quantized-cosine kernel, SURVEY §2.9 X36). Overflow guard: long
+  * Two further cases fuse the exact-integer siblings — the same
+  * pattern over `array<bigint>` with a `0L` seed into [[VecDotL]] (the
+  * quantized-cosine kernel, SURVEY §2.9 X36), and the squared-L2 form
+  * `(x - y) * (x - y)` into [[VecDist2]] (the X17/X19 kernel). Overflow guard: long
   * arithmetic diverges by eval mode on overflow (ANSI throws, TRY
   * nulls, LEGACY wraps), and VecDotL wraps (Java `*`/`+`) — so this
   * case additionally requires the fold's Multiply AND Add to be in
@@ -120,6 +121,32 @@ object VecDotRewrite extends Rule[LogicalPlan] {
         (l.dataType, r.dataType) match {
           case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
             VecDotL(l, r)
+          case _ => agg
+        }
+      // squared-L2 sibling: (x - y) * (x - y) over array<bigint> with a
+      // 0L seed -> VecDist2 (the X17/X19 kernel) — same LEGACY-only
+      // overflow guard as the long dot above
+      case agg @ ArrayAggregate(
+          ZipWith(l, r, LambdaFunction(
+            m @ Multiply(
+              s1 @ Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+              Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _), _),
+            Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _)),
+          Literal(0L, LongType),
+          LambdaFunction(
+            a @ Add(accv: NamedLambdaVariable, inv: NamedLambdaVariable, _),
+            Seq(aacc: NamedLambdaVariable, ain: NamedLambdaVariable), _),
+          finish)
+        if x1.exprId == ax.exprId && y1.exprId == ay.exprId &&
+          x2.exprId == ax.exprId && y2.exprId == ay.exprId &&
+          accv.exprId == aacc.exprId && inv.exprId == ain.exprId &&
+          isIdentity(finish) &&
+          m.evalContext.evalMode == EvalMode.LEGACY &&
+          s1.evalContext.evalMode == EvalMode.LEGACY &&
+          a.evalContext.evalMode == EvalMode.LEGACY =>
+        (l.dataType, r.dataType) match {
+          case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+            VecDist2(l, r)
           case _ => agg
         }
     }

@@ -103,6 +103,31 @@ class VecDotRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", before)
   }
 
+  test("the LEGACY squared-L2 fold rewrites to vec_dist2 and agrees " +
+      "bit-for-bit") {
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = spark.range(100).select(
+        array(col("id") * 5 - 2, -col("id")).as("a"),
+        array(col("id") % 7, col("id") * 3).as("b"))
+      val fused = df.select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+        .as("d"))
+      val plan = fused.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("vecdist2"), plan.take(600))
+      // commuted factors miss the guard -> a real fold to compare with
+      val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (y - x) * (y - x)), lit(0L), (acc, v) => acc + v)
+        .as("d"))
+      assert(!hof.queryExecution.executedPlan.toString.toLowerCase
+        .contains("vecdist2"))
+      // (x-y)^2 == (y-x)^2 exactly on integers
+      assert(fused.collect().map(_.getLong(0))
+        .sameElements(hof.collect().map(_.getLong(0))))
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
+  }
+
   test("ANSI and near-miss long folds are left alone") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L), Array(3L, 4L))).toDF("a", "b")
