@@ -50,12 +50,13 @@ object FitSession {
   // JVM's GC clears soft refs under shuffle heap pressure, and a
   // cleared clone re-pays the cold-SessionState warmup mid-run (q36
   // best 2.5 s -> 4.9 s, worst attempt 6.5 s -> 18.6 s). Instead the
-  // cache is size-CAPPED: beyond MaxClones entries the whole map is
-  // cleared — live sessions rebuild their clone on the next fit (the
-  // one-time warmup), and the retained footprint is bounded at
-  // MaxClones session pairs instead of growing with every dropped
-  // caller. Single-session drivers (the common case) never hit the
-  // cap.
+  // cache is size-CAPPED with LRU single-eviction: beyond MaxClones
+  // entries only the least-recently-fitting caller's clone is dropped
+  // (access-ordered LinkedHashMap), so a hot caller never re-pays the
+  // one-time warmup because OTHER sessions churned — the round-12
+  // clear-all variant made all 15 surviving sessions re-warm on
+  // overflow. Retained footprint stays bounded at MaxClones session
+  // pairs. Single-session drivers (the common case) never hit the cap.
   //
   // Consequence of reuse, documented: two fits running CONCURRENTLY on
   // the same caller share the clone, so one fit's shuffle-partition
@@ -64,8 +65,15 @@ object FitSession {
   // concurrent fits bit-identical) and never the caller's conf, which
   // is the hazard this class exists to remove.
   private val MaxClones = 16
-  private val clones = new java.util.WeakHashMap[
-    SparkSession, SparkSession]()
+  // accessOrder = true: `get` refreshes recency, so eviction order is
+  // least-recently-FIT, not insertion. removeEldestEntry evicts exactly
+  // one entry at put time once the cap is exceeded.
+  private val clones = new java.util.LinkedHashMap[
+    SparkSession, SparkSession](MaxClones + 1, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[SparkSession, SparkSession]): Boolean =
+      size() > MaxClones
+  }
 
   /** Clone of `caller` with AQE disabled — the fit planning regime.
     * Reused per caller (see above). Every call re-syncs the caller's
@@ -78,7 +86,6 @@ object FitSession {
     val s = clones.synchronized {
       var c = clones.get(caller)
       if (c == null) {
-        if (clones.size >= MaxClones) clones.clear()
         c = org.apache.spark.sql.graft.SessionInterop.cloneSession(caller)
         clones.put(caller, c)
       }

@@ -380,7 +380,11 @@ object ScaleSmoke {
     // of kernel+distinct+collect the other SMOKE_ONLY selections skip)
     lazy val benchKeys = graft.streaming.CorpusIngest.benchShingleKeys(
       docs.filter(col("source") === "s0").limit(500), "text")
-    time(s"decontam flag, long_set_count kernel (${benchKeys.length} keys)") {
+    // NB: the tag must stay a static string — interpolating
+    // benchKeys.length into it would force the lazy val before the
+    // selection check inside time() runs (round-12 ADVICE)
+    time("decontam flag, long_set_count kernel") {
+      println(s"  [decontam] ${benchKeys.length} benchmark shingle keys")
       docs.select(col("doc_id"),
         graft.functions.LongSetCountExpr.longSetCount(spark,
           graft.functions.TokenKernelFns.ngramXx64Set(

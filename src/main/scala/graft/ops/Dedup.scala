@@ -36,7 +36,15 @@ object Dedup {
     * hashing of the x4 consumers moved into fused kernels that cost
     * milliseconds across the fixture corpus), so coalescing small
     * shuffles to few tasks removes whole 32-task stage floors, while at
-    * cluster scale the advisory partition size keeps real parallelism. */
+    * cluster scale the advisory partition size keeps real parallelism.
+    *
+    * Contract: `idCol` must be unique (the documents-table invariant
+    * every oracle here also assumes) — with duplicate ids, every row
+    * tied at the per-digest min survives, matching the oracles' literal
+    * `min(id) = id` semantics. The ingest boundary that CANNOT assume
+    * unique ids (a recurring crawl re-emitting the same doc id) is
+    * `streaming/CorpusIngest`, which uses a row_number keeper for a
+    * strict one-survivor-per-digest guarantee instead. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.withColumn("__digest", sha2(col(textCol), 256))
       .repartition(col("__digest"))

@@ -130,7 +130,7 @@ object VecDotRewrite extends Rule[LogicalPlan] {
           ZipWith(l, r, LambdaFunction(
             m @ Multiply(
               s1 @ Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
-              Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _), _),
+              s2 @ Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _), _),
             Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _)),
           Literal(0L, LongType),
           LambdaFunction(
@@ -143,6 +143,7 @@ object VecDotRewrite extends Rule[LogicalPlan] {
           isIdentity(finish) &&
           m.evalContext.evalMode == EvalMode.LEGACY &&
           s1.evalContext.evalMode == EvalMode.LEGACY &&
+          s2.evalContext.evalMode == EvalMode.LEGACY &&
           a.evalContext.evalMode == EvalMode.LEGACY =>
         (l.dataType, r.dataType) match {
           case (ArrayType(LongType, _), ArrayType(LongType, _)) =>

@@ -1048,28 +1048,35 @@ object TextOps {
               ORDER BY source""")),
 
     // P9 — the STREAMING ingest surface's batch twin
-    // (streaming/CorpusIngest.ingest): quality gate -> exact dedup ->
-    // benchmark decontamination FLAG, every stage a stateless row-local
-    // projection except the one digest-keyed dedup — the shape that
-    // runs unchanged under readStream with the dedup swapped to
-    // watermark-bounded state (CorpusIngestSpec gates the streaming
-    // run; THIS entry hash-gates the shared expressions). The bench
-    // shingle set rides as sorted plan state in the long_set_count
-    // kernel (eval-set-sized, the t_decontam_bloom bound); DuckDB
-    // re-derives every gate ratio, the min-id keeper, and each shared
-    // count from gram STRINGS — an xxhash64 collision would fail the
-    // gate loudly. Flagged, not dropped: the sink routes contaminated
-    // docs to quarantine without losing the audit trail.
+    // (streaming/CorpusIngest.ingest): quality gate -> digit REDACTION
+    // -> exact dedup -> benchmark decontamination FLAG, every stage a
+    // stateless row-local projection except the one digest-keyed dedup
+    // — the shape that runs unchanged under readStream with the dedup
+    // swapped to watermark-bounded state (CorpusIngestSpec gates the
+    // streaming run; THIS entry hash-gates the shared expressions for
+    // the FULL four-stage pipeline, round-13 verdict #6 — redaction
+    // runs after the gate, so dedup and shingling see redacted text,
+    // and the bench side redacts identically or digit-bearing shingles
+    // could never match). The bench shingle set rides as sorted plan
+    // state in the long_set_count kernel (eval-set-sized, the
+    // t_decontam_bloom bound); DuckDB re-derives every gate ratio, the
+    // redaction, the keeper, and each shared count from gram STRINGS —
+    // an xxhash64 collision would fail the gate loudly. Flagged, not
+    // dropped: the sink routes contaminated docs to quarantine without
+    // losing the audit trail.
     Entry("p9_stream_ingest",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val bench = graft.streaming.CorpusIngest.benchShingleKeys(
-          docs.filter(col("source") === "src0"), "text")
+          docs.filter(col("source") === "src0")
+            .withColumn("text",
+              regexp_replace(col("text"), "[0-9]+", "<NUM>")), "text")
         // tsCol is consulted only on streaming frames (watermark);
         // any existing column name satisfies the batch signature
         graft.streaming.CorpusIngest.ingest(
             docs.filter(col("source") =!= "src0"), "text", "doc_id",
-            tsCol = "n_chars", benchShingles = bench.toSeq)
+            tsCol = "n_chars", benchShingles = bench.toSeq,
+            redactDigits = true)
           .select(col("doc_id"), col("shared_shingles"),
             col("contaminated"))
           .orderBy("doc_id")
@@ -1085,7 +1092,11 @@ object TextOps {
                             t -> t IN $stopSql)) * 1.0
                           / greatest(len(string_split(text, ' ')), 1), 4)
                           <= 0.9),
-              keep AS (SELECT doc_id, text FROM q
+              red AS (SELECT doc_id,
+                             regexp_replace(text, '[0-9]+', '<NUM>', 'g')
+                               AS text
+                      FROM q),
+              keep AS (SELECT doc_id, text FROM red
                        QUALIFY min(doc_id) OVER (PARTITION BY text)
                          = doc_id),
               grams AS (SELECT DISTINCT doc_id,
@@ -1103,7 +1114,9 @@ object TextOps {
                                    greatest(len(toks) - 2, 1)),
                                  i -> array_to_string(toks[i:i+2], ' ')))
                                  AS tok
-                        FROM (SELECT string_split(text, ' ') AS toks
+                        FROM (SELECT string_split(
+                                regexp_replace(text, '[0-9]+', '<NUM>',
+                                  'g'), ' ') AS toks
                               FROM documents WHERE source = 'src0')),
               shr AS (SELECT doc_id, count(*) AS shared
                       FROM grams JOIN bench USING (tok) GROUP BY 1)

@@ -97,19 +97,22 @@ object CorpusIngest {
     val hashed = redacted.withColumn("content_hash", sha2(col(textCol), 256))
     // dropDuplicatesWithinWatermark is streaming-only (analysis rejects
     // it on batch frames); the batch twin keeps the DETERMINISTIC
-    // min-id row per digest (one digest-keyed window, the Dedup keeper
-    // shape) — first-arrival vs min-id is the one documented semantic
-    // difference between the two modes
+    // min-(id, ts) row per digest — first-arrival vs min-id is the one
+    // documented semantic difference between the two modes. row_number
+    // (not min(id) == id) so a corpus carrying DUPLICATE ids with
+    // identical text still yields exactly one survivor per digest, the
+    // contract the streaming side and the oracle both assume
+    // (round-12 ADVICE).
     val deduped =
       (if (hashed.isStreaming)
         hashed.withWatermark(tsCol, watermark)
           .dropDuplicatesWithinWatermark("content_hash")
       else {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("content_hash")
+          .partitionBy("content_hash").orderBy(col(idCol), col(tsCol))
         hashed
-          .withColumn("__keep", min(col(idCol)).over(w) === col(idCol))
-          .filter(col("__keep")).drop("__keep")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
       }).drop("content_hash")
     if (benchShingles.isEmpty)
       deduped.withColumn("shared_shingles", lit(0L))

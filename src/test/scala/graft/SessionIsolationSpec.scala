@@ -165,6 +165,28 @@ class SessionIsolationSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("clone-cache overflow evicts LRU only: a hot caller's clone " +
+      "survives churn from other sessions") {
+    // round-13 verdict #5: at cap overflow the round-12 cache cleared
+    // the WHOLE map, so every live session re-paid the ~1 s cold-
+    // SessionState warmup. The LRU cache must evict exactly the
+    // least-recently-fitting entry.
+    val hot = spark.newSession()
+    val hotClone = FitSession.aqeOff(hot)
+    val churn = (0 until 20).map(_ => spark.newSession())
+    val firstChurnClone = FitSession.aqeOff(churn.head)
+    churn.tail.foreach { s =>
+      FitSession.aqeOff(s)
+      // keep the hot caller most-recently-used, as a real concurrent
+      // fit workload would
+      assert(FitSession.aqeOff(hot) eq hotClone,
+        "hot caller lost its warmed clone to churn from other sessions")
+    }
+    // the eldest churn entry was evicted (gets a FRESH clone on return)
+    assert(!(FitSession.aqeOff(churn.head) eq firstChurnClone),
+      "cache never evicted despite exceeding the cap")
+  }
+
   test("caller conf changes AFTER the first fit reach later fits " +
       "(full re-sync, not just the scoped knobs)") {
     // warm the clone
