@@ -180,6 +180,27 @@ object GdTrainer {
         r.zip(gRow).map { case (x, gx) => x - lr * gx } },
       w.b2.zip(gr.b2).map { case (x, gx) => x - lr * gx })
 
+  /** Gradients flattened in (w1 row-major, b1, w2 row-major, b2) order —
+    * the layout [[applyOpt]] consumes deltas back in. */
+  private[ml] def flatGrads(gr: MlpGrads): Array[Double] =
+    (gr.w1.flatten ++ gr.b1 ++ gr.w2.flatten ++ gr.b2).toArray
+
+  /** One optimizer step: feed the flattened mean gradients through
+    * `opt` (which holds any moment state) and subtract the returned
+    * deltas position-for-position. applyOpt(w, gr, Optimizer.sgd(lr))
+    * == [[applyStep]](w, gr, lr) exactly (AdamSpec pins it). */
+  private[ml] def applyOpt(w: MlpWeights, gr: MlpGrads,
+      opt: TrainerCommon.Optimizer): MlpWeights = {
+    val dd = opt.deltas(flatGrads(gr))
+    var i = -1
+    def take(): Double = { i += 1; dd(i) }
+    MlpWeights(
+      w.w1.map(_.map(x => x - take())),
+      w.b1.map(x => x - take()),
+      w.w2.map(_.map(x => x - take())),
+      w.b2.map(x => x - take()))
+  }
+
   /** [[fit]] under Keras EarlyStopping(patience, restore_best_weights):
     * rows flagged by `isVal` form the monitored hold-out slice (never
     * trained on), and each epoch's single aggregation carries both the
@@ -194,6 +215,29 @@ object GdTrainer {
         dropout, isVal)
       (applyStep(w, gr, lr), gr.loss,
         vl.getOrElse(sys.error("fitEs: empty validation slice")))
+    }
+
+  /** [[fitEs]] generalized to the reference's actual `compile/fit`
+    * semantics (`models/mlp_model.py:10,28-34`): a pluggable optimizer
+    * (`TrainerCommon.Optimizer.adam(0.001)` for Keras parity, `sgd(lr)`
+    * for the historical step) and deterministic mini-batching —
+    * `nBatches` hash-drawn batches per epoch, membership re-drawn every
+    * epoch ([[TrainerCommon.batchOf]]), weights updated after EACH
+    * batch. nBatches = 1 with sgd reproduces [[fitEs]] bit-for-bit
+    * (AdamSpec pins it). Jobs per epoch = nBatches (val loss rides the
+    * first batch pass — [[TrainerCommon.batchedEpoch]]). */
+  def fitEsOpt(df: DataFrame, features: Seq[Column], label: Column,
+      rowKey: Column, w0: MlpWeights, maxEpochs: Int,
+      opt: TrainerCommon.Optimizer, dropout: Double, isVal: Column,
+      patience: Int = 5, batchKeys: Seq[Column] = Nil,
+      nBatches: Int = 1): TrainerCommon.EsResult[MlpWeights] =
+    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w) {
+        (dfb, ivb, wc) =>
+          val (gr, vl) = gradientsVal(dfb, features, label, rowKey, wc, e,
+            dropout, ivb)
+          (applyOpt(wc, gr, opt), gr.loss, vl)
+      }
     }
 
   /** Inference column: argmax class under `w`, NO dropout (inverted

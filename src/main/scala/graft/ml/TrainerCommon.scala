@@ -85,6 +85,146 @@ object TrainerCommon {
       s"${math.round(1000 * valFrac)}"
   }
 
+  /** First-order optimizer as O(params) DRIVER state — the missing
+    * Keras `compile(optimizer=...)` semantic (round-13 verdict #1).
+    * Gradients arrive as one flat array per step (the trainers'
+    * per-epoch/per-batch aggregation already reduces to exactly that
+    * row); the optimizer folds them into its moments and returns the
+    * deltas to SUBTRACT from the flattened weights. Stateful: construct
+    * ONE instance per fit. Nothing here touches the cluster — the
+    * distribution story (one O(params) aggregation per step, weights as
+    * broadcast/plan literals) is unchanged, which is why this closes
+    * the last reference training semantic at zero plan cost. */
+  trait Optimizer {
+    def deltas(g: Array[Double]): Array[Double]
+  }
+
+  object Optimizer {
+    /** Plain SGD: delta = lr * g — the trainers' historical step
+      * ([[graft.ml.GdTrainer.applyStep]] parity, spec-pinned). */
+    def sgd(lr: Double): Optimizer = new Optimizer {
+      def deltas(g: Array[Double]): Array[Double] = g.map(_ * lr)
+    }
+
+    /** Adam (Kingma & Ba 2015, Algorithm 1) with bias correction — the
+      * reference's actual optimizer on every model:
+      * `Adam(learning_rate=0.001)` (`models/mlp_model.py:28-34`, same
+      * in cnn/rnn/lstm; Keras defaults beta1=0.9, beta2=0.999,
+      * eps=1e-7).
+      *
+      *   m_t = b1 m + (1-b1) g;  v_t = b2 v + (1-b2) g^2
+      *   delta = lr * (m_t / (1-b1^t)) / (sqrt(v_t / (1-b2^t)) + eps)
+      *
+      * This is the paper form Keras documents (epsilon OUTSIDE the
+      * bias-corrected sqrt); Keras's fused `alpha_t` variant differs
+      * only in epsilon's scaling by sqrt(1-b2^t) — immaterial at 1e-7
+      * and irrelevant to the rows-only float trajectories. AdamSpec
+      * pins the first steps against hand-computed values, bias
+      * correction included. Moments are two O(params) driver arrays. */
+    def adam(lr: Double = 0.001, beta1: Double = 0.9,
+        beta2: Double = 0.999, eps: Double = 1e-7): Optimizer =
+      new Optimizer {
+        private var t = 0
+        private var m: Array[Double] = _
+        private var v: Array[Double] = _
+        def deltas(g: Array[Double]): Array[Double] = {
+          if (m == null) {
+            m = new Array[Double](g.length); v = new Array[Double](g.length)
+          }
+          require(m.length == g.length,
+            "Adam: gradient size changed mid-fit")
+          t += 1
+          val bc1 = 1.0 - math.pow(beta1, t)
+          val bc2 = 1.0 - math.pow(beta2, t)
+          val out = new Array[Double](g.length)
+          var i = 0
+          while (i < g.length) {
+            m(i) = beta1 * m(i) + (1.0 - beta1) * g(i)
+            v(i) = beta2 * v(i) + (1.0 - beta2) * g(i) * g(i)
+            out(i) = lr * (m(i) / bc1) / (math.sqrt(v(i) / bc2) + eps)
+            i += 1
+          }
+          out
+        }
+      }
+  }
+
+  /** Deterministic mini-batch index in [0, nBatches) for (row, epoch) —
+    * the Keras `fit(batch_size=...)` membership semantic
+    * (`models/mlp_model.py:10`: batch_size=64, shuffle=True re-draws
+    * batches every epoch) as the dropout-mask move: a HASH of (row
+    * keys, epoch), so membership is bit-reproducible under retries,
+    * speculative tasks, and any partitioning, and re-shuffles every
+    * epoch like Keras. On the md5-affine portable family (seed index
+    * 18; the val split holds 17) rather than xxhash64 so DuckDB can
+    * replay membership counts — q61b_batch_contract hash-gates exactly
+    * that. Production swap at scale: xxhash64(keys..., epoch) %
+    * nBatches is ~2.5x cheaper per row (the p6 md5-portability-tax
+    * note) with identical semantics, minus the external oracle. */
+  def batchOf(keys: Seq[Column], epoch: Int, nBatches: Int): Column =
+    graft.functions.PortableHash.h(
+      concat_ws("#",
+        keys.map(_.cast("string")) :+ lit(epoch).cast("string"): _*), 18) %
+      lit(nBatches.toLong)
+
+  /** DuckDB replay of [[batchOf]]; `epoch` is any SQL expression text
+    * (a literal or a column from an epoch axis). */
+  def batchOfSql(keys: Seq[String], epoch: String, nBatches: Int): String = {
+    val joined = (keys.map(k => s"CAST($k AS VARCHAR)") :+
+      s"CAST($epoch AS VARCHAR)").mkString("concat(", ", '#', ", ")")
+    s"(${graft.functions.PortableHash.hSql(joined, 18)} % $nBatches)"
+  }
+
+  /** One epoch of deterministic mini-batch passes for the ES loop: runs
+    * `pass` once per batch over the batch's train rows, threading the
+    * weights sequentially (the Keras per-batch update), and returns
+    * (end-of-epoch weights, mean batch loss, epoch-start val loss).
+    *
+    * The validation slice rides ONLY the first batch pass — its weights
+    * are the previous epoch's end, which is exactly the number
+    * [[earlyStop]] attributes — so an epoch costs nBatches jobs total,
+    * not nBatches + a val pass. Later batch passes see `!isVal &&
+    * batch = b` (val rows filtered OUT, not flagged: a flagged-but-
+    * present row would be averaged as train by a pass told isVal =
+    * false). nBatches = 1 short-circuits to the historical full-batch
+    * single pass with no filter in the plan.
+    *
+    * Scale note: each batch pass scans the source once, so an epoch
+    * reads the input nBatches times — at 100 TB you cache the (already
+    * projected, O(features)-wide) training frame once and keep nBatches
+    * small; the reference's batch_size=64 is a single-node Keras
+    * constant, not a distributed contract. Batch sizes here are
+    * hash-uniform (~n/nBatches ±√n), not exact — same as every split
+    * in this engine. */
+  def batchedEpoch[W](df: org.apache.spark.sql.DataFrame, isVal: Column,
+      batchKeys: Seq[Column], nBatches: Int, epoch: Int, w0: W)(
+      pass: (org.apache.spark.sql.DataFrame, Column, W) =>
+        (W, Double, Option[Double])): (W, Double, Double) = {
+    require(nBatches >= 1, "nBatches >= 1")
+    require(nBatches == 1 || batchKeys.nonEmpty,
+      "mini-batching needs batchKeys (the rows' identity columns)")
+    var w = w0
+    var lossSum = 0.0
+    var vl: Option[Double] = None
+    var b = 0
+    while (b < nBatches) {
+      val (dfb, ivb) =
+        if (nBatches == 1) (df, isVal)
+        else {
+          val bp = batchOf(batchKeys, epoch, nBatches) === b
+          if (b == 0) (df.filter(isVal || bp), isVal)
+          else (df.filter(!isVal && bp), lit(false))
+        }
+      val (w2, loss, v) = pass(dfb, ivb, w)
+      if (b == 0) vl = v
+      w = w2
+      lossSum += loss
+      b += 1
+    }
+    (w, lossSum / nBatches,
+      vl.getOrElse(sys.error("batchedEpoch: empty validation slice")))
+  }
+
   /** Outcome of [[earlyStop]]: weights restored to the best-val epoch,
     * per-epoch train losses (loss at start of epoch, the trainers'
     * existing convention), per-epoch END-of-epoch validation losses,

@@ -171,4 +171,22 @@ object WideMlp {
       (GdTrainer.applyStep(w, gr, lr), gr.loss,
         vl.getOrElse(sys.error("fitEs: empty validation slice")))
     }
+
+  /** [[GdTrainer.fitEsOpt]] on the treeAggregate path — pluggable
+    * optimizer (Adam for reference parity) + deterministic hash
+    * mini-batching; nBatches = 1 + sgd reproduces [[fitEs]]
+    * bit-for-bit (AdamSpec). */
+  def fitEsOpt(df: DataFrame, features: Seq[Column], label: Column,
+      rowKey: Column, w0: MlpWeights, maxEpochs: Int,
+      opt: TrainerCommon.Optimizer, dropout: Double, isVal: Column,
+      patience: Int = 5, batchKeys: Seq[Column] = Nil,
+      nBatches: Int = 1): TrainerCommon.EsResult[MlpWeights] =
+    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w) {
+        (dfb, ivb, wc) =>
+          val (gr, vl) = gradientsVal(dfb, features, label, rowKey, wc, e,
+            dropout, ivb)
+          (GdTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+      }
+    }
 }

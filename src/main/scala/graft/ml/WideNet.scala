@@ -401,4 +401,24 @@ object WideNet {
       (ConvNetTrainer.step(w, gr, lr), gr.loss,
         vl.getOrElse(sys.error("fitEs: empty validation slice")))
     }
+
+  /** [[fitEs]] with the reference's actual `compile/fit` semantics on
+    * the stacked net: pluggable optimizer
+    * (`TrainerCommon.Optimizer.adam(0.001)` = `cnn_model.py:34`) and
+    * deterministic hash mini-batching, weights updated after each
+    * batch ([[TrainerCommon.batchedEpoch]]). nBatches = 1 + sgd(lr)
+    * reproduces [[fitEs]] bit-for-bit (AdamSpec pins it). */
+  def fitEsOpt(df: DataFrame, xs: Seq[Column], label: Column,
+      w0: NetWeights, maxEpochs: Int, opt: TrainerCommon.Optimizer,
+      rowKey: Column, dropout: Double, isVal: Column,
+      patience: Int = 5, batchKeys: Seq[Column] = Nil,
+      nBatches: Int = 1): TrainerCommon.EsResult[NetWeights] =
+    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w) {
+        (dfb, ivb, wc) =>
+          val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
+            dropout, ivb)
+          (ConvNetTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+      }
+    }
 }

@@ -26,7 +26,7 @@ object CorpusOps {
     * detection) both read: one row per (doc_id, chunk_id) with the
     * window's token slice. Windows fully cover the doc: last start <=
     * n - stride. */
-  private def spanGrid(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def spanGrid(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val toks = split(col("text"), " ")
     Tables.spread(docs)
@@ -41,6 +41,34 @@ object CorpusOps {
       .select(col("doc_id"), col("chunk_id"),
         slice(col("toks"), col("chunk_id").cast("int") * S + 1, lit(W))
           .as("chunk"))
+  }
+
+  /** Content-defined chunks of `textCol` as a ROW-LOCAL array fold —
+    * the SAME chunking p6 derives through a per-doc prefix-sum window
+    * (boundary where `md5w(token) % 16 == 0`, the boundary token
+    * CLOSES its chunk; CorpusOpsSpec pins the two chunk sets equal),
+    * but with no doc-keyed exchange at all: the fold carries
+    * (closed chunks, open chunk) through one pass over the token
+    * array, so a consumer that doesn't need p6's per-doc chunk ids
+    * (p10 keys on chunk CONTENT) skips the window's shuffle + sort
+    * entirely — at 100 TB that removes the full-corpus exchange, the
+    * difference between one wide stage and two. */
+  private[graft] def cdcChunks(textCol: Column): Column = {
+    val isB = (w: Column) =>
+      graft.functions.PortableHash.md5w(w) % 16 === 0
+    aggregate(
+      split(textCol, " "),
+      struct(typedLit(Seq.empty[String]).as("chs"), lit("").as("cur")),
+      (acc, w) => {
+        val cur2 = when(acc.getField("cur") === "", w)
+          .otherwise(concat(acc.getField("cur"), lit(" "), w))
+        struct(
+          when(isB(w), array_append(acc.getField("chs"), cur2))
+            .otherwise(acc.getField("chs")).as("chs"),
+          when(isB(w), lit("")).otherwise(cur2).as("cur"))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("chs"))
+        .otherwise(array_append(acc.getField("chs"), acc.getField("cur"))))
   }
 
   /** SQL twin of [[spanGrid]]: CTEs `d` and `c`; downstream selects
@@ -258,6 +286,55 @@ object CorpusOps {
                      CAST(count(*) AS BIGINT) AS n_toks,
                      md5(string_agg(word, ' ' ORDER BY i)) AS h
               FROM ch GROUP BY doc_id, chunk_id""")),
+
+    // P10 — ALIGNMENT-ROBUST cross-document span dedup (round-13
+    // verdict #4): p6's content-defined chunks shared by >= 2 distinct
+    // docs. p4 only catches a duplicated span when it lands on p3's
+    // fixed 24-token stride grid in BOTH documents — boilerplate
+    // injected mid-page at arbitrary offset (the common case) never
+    // aligns, so p4 misses it (CorpusOpsSpec holds exactly that
+    // fixture: a span duplicated at a non-grid offset that p4 returns
+    // empty on and p10 catches). CDC boundaries cut on CONTENT, so the
+    // chunks inside a duplicated span are identical wherever the span
+    // sits. Chunking here is the ROW-LOCAL fold ([[cdcChunks]] —
+    // spec-pinned chunk-for-chunk to p6's window derivation), so the
+    // plan pays ONE exchange total (the p4 shape): chunk-content key
+    // for the rollup, no doc-keyed window shuffle; output is linear in
+    // distinct duplicated chunks. n_toks rides along so a consumer can
+    // threshold trivial short chunks without recomputing.
+    Entry("p10_cdc_dup_spans",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), explode(cdcChunks(col("text"))).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+          size(split(col("chunk"), " ")).cast("long").as("n_toks"))
+        .groupBy("h")
+        .agg(max("n_toks").as("n_toks"),
+          countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2),
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents),
+              pos AS (SELECT doc_id, i, ws[i] AS word
+                      FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
+              b AS (SELECT doc_id, i, word,
+                      CASE WHEN ${graft.functions.PortableHash
+                        .md5wSql("word")} % 16 = 0
+                        THEN 1 ELSE 0 END AS is_b
+                    FROM pos),
+              ch AS (SELECT doc_id, i, word,
+                       coalesce(sum(is_b) OVER (PARTITION BY doc_id
+                         ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk_id
+                     FROM b),
+              chunks AS (SELECT doc_id, chunk_id,
+                           CAST(count(*) AS BIGINT) AS n_toks,
+                           md5(string_agg(word, ' ' ORDER BY i)) AS h
+                         FROM ch GROUP BY doc_id, chunk_id)
+              SELECT h, max(n_toks) AS n_toks,
+                     count(DISTINCT doc_id) AS n_docs,
+                     count(*) AS n_occ
+              FROM chunks GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2 ORDER BY h""")),
 
     // P7 — length-bucketed batching report: docs grouped into
     // power-of-two token-length buckets with the PADDING WASTE each

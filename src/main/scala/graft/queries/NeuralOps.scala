@@ -684,10 +684,19 @@ object NeuralOps {
         // fit on the treeAggregate twin (WideMlp — WideSinglesSpec
         // pins gradients, dropout masks, and the ES trajectory to the
         // staged plan); GdTrainer.predict below keeps the staged
-        // forward expression exercised
-        val es = WideMlp.fitEs(emb, feats, col("y"), col("rk"),
-          w0, maxEpochs = 8, lr = 0.5, dropout = 0.3,
-          isVal = TrainerCommon.valSplitPortable(Seq(col("rk"))), patience = 5)
+        // forward expression exercised. Round 13: the reference's
+        // ACTUAL optimizer — Adam(learning_rate=0.001), bias-corrected
+        // moments as O(params) driver state (`models/mlp_model.py:
+        // 28-34`; AdamSpec pins the math to the paper recurrences) —
+        // at the same one-aggregation-per-epoch job count as the old
+        // sgd step. The batch_size=64 fit semantic runs in
+        // q40b_mlp_minibatch (membership itself is oracle-gated by
+        // q61b on this exact population).
+        val es = WideMlp.fitEsOpt(emb, feats, col("y"), col("rk"),
+          w0, maxEpochs = 8, opt = TrainerCommon.Optimizer.adam(0.001),
+          dropout = 0.3,
+          isVal = TrainerCommon.valSplitPortable(Seq(col("rk"))),
+          patience = 5)
         val (w, losses) = (es.weights, es.trainLosses)
         val acc = emb.select((GdTrainer.predict(feats, w) === col("y"))
           .cast("double").as("ok")).agg(avg("ok")).head().getDouble(0)
@@ -703,6 +712,51 @@ object NeuralOps {
           else Seq.empty[(Long, Double, Double, Long, Long, Double)]
         rows.toDF("epoch", "loss", "val_loss", "best_epoch",
           "stopped_epoch", "final_acc").orderBy("epoch")
+      },
+      None),
+
+    // Q40B — the Keras fit(batch_size=..., shuffle=True) semantic run
+    // END-TO-END (q40 closes the optimizer; this closes the batching):
+    // Adam updates after EACH deterministic hash mini-batch, membership
+    // re-drawn per epoch (TrainerCommon.batchOf — the exact population
+    // q61b hash-gates), val loss riding the first batch pass of each
+    // epoch (TrainerCommon.batchedEpoch: nBatches jobs/epoch, no extra
+    // val pass). Kept to 3 epochs x 4 batches: each batch pass is a
+    // full-source scan by design (membership is a row-local hash
+    // predicate — batches are views, never materialized copies), so
+    // jobs/epoch = nBatches; at 100 TB you persist the O(features)
+    // projected frame once and keep nBatches small — batch_size=64 is
+    // a single-node Keras constant, not a distributed contract.
+    // Rows-only like every float trajectory; AdamSpec owns batch
+    // semantics (disjoint/covering/epoch-redrawn/partitioning-
+    // invariant) and the twin parity under Adam + batches.
+    Entry("q40b_mlp_minibatch",
+      (s, dir) => {
+        import s.implicits._
+        val d = 6
+        val emb = t(s, dir, "embeddings").select(
+          (0 until d).map(i =>
+            element_at(col("embedding"), i + 1).cast("double").as(s"f$i")) ++
+            Seq((col("label") % 2).cast("int").as("y"),
+              col("vec_id").as("rk")): _*)
+        val feats = (0 until d).map(i => col(s"f$i"))
+        val w0 = GdTrainer.init(d, 6, 2, seed = 11L)
+        val es = WideMlp.fitEsOpt(emb, feats, col("y"), col("rk"),
+          w0, maxEpochs = 3, opt = TrainerCommon.Optimizer.adam(0.001),
+          dropout = 0.3,
+          isVal = TrainerCommon.valSplitPortable(Seq(col("rk"))),
+          patience = 5, batchKeys = Seq(col("rk")), nBatches = 4)
+        val losses = es.trainLosses
+        val rows =
+          if (losses.isEmpty || losses.last <= losses.head)
+            losses.zip(es.valLosses).zipWithIndex.map { case ((l, vl), e) =>
+              ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
+                math.rint(vl * 1e6) / 1e6, es.bestEpoch.toLong,
+                es.stoppedEpoch.toLong)
+            }
+          else Seq.empty[(Long, Double, Double, Long, Long)]
+        rows.toDF("epoch", "loss", "val_loss", "best_epoch",
+          "stopped_epoch").orderBy("epoch")
       },
       None),
 
@@ -752,6 +806,41 @@ object NeuralOps {
                CAST(sum(CASE WHEN $ivL THEN 1 ELSE 0 END) AS BIGINT)
             FROM lineitem WHERE l_orderkey % 4 = 0
             ORDER BY family"""
+      }),
+
+    // Q61B — the MINI-BATCH membership contract (round-13 verdict #1's
+    // oracle leg): the deterministic hash batches the Adam trainers
+    // draw (TrainerCommon.batchOf — md5-affine portable family, seed
+    // index 18, epoch folded into the key so membership re-draws every
+    // epoch like Keras fit(shuffle=True)), counted per (epoch, batch)
+    // over q40's actual training population (embeddings minus the q61
+    // val slice) and hash-compared against DuckDB replaying the same
+    // hash. Together with q61 this makes the whole data side of the
+    // Keras compile/fit semantics externally checkable: slice, split,
+    // AND batch membership; the float trajectories stay rows-only by
+    // design (AdamSpec owns the optimizer math — bias-corrected
+    // moments pinned to the paper recurrences).
+    Entry("q61b_batch_contract",
+      (s, dir) => {
+        val iv = TrainerCommon.valSplitPortable(Seq(col("vec_id")))
+        val nB = 4
+        val perEpoch = Seq(1, 2).map { e =>
+          t(s, dir, "embeddings").filter(!iv)
+            .groupBy(TrainerCommon.batchOf(Seq(col("vec_id")), e, nB)
+              .as("batch"))
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(e.toLong).as("epoch"), col("batch"), col("n_rows"))
+        }
+        perEpoch.reduce(_ unionAll _).orderBy("epoch", "batch")
+      },
+      Some {
+        val iv = TrainerCommon.valSplitPortableSql(Seq("vec_id"))
+        val b = TrainerCommon.batchOfSql(Seq("vec_id"), "epoch", 4)
+        s"""SELECT CAST(epoch AS BIGINT) AS epoch, $b AS batch,
+                   count(*) AS n_rows
+            FROM (SELECT vec_id FROM embeddings WHERE NOT ($iv))
+            CROSS JOIN (SELECT unnest([1, 2]) AS epoch)
+            GROUP BY 1, 2 ORDER BY 1, 2"""
       })
   )
 }

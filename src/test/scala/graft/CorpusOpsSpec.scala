@@ -218,6 +218,62 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(edited.head == "inserted" +: orig.head)
   }
 
+  test("p10: row-local CDC fold chunks match the sequential boundary " +
+      "fold (the p6 semantics, no window)") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq((1 to 120).map(i => s"w$i").mkString(" "),
+      "w1 w2 w3", "single")
+    val got = texts.toDF("text")
+      .select(CorpusOps.cdcChunks(col("text")).as("chs"))
+      .collect().map(_.getSeq[String](0).toList)
+    val want = texts.map(t => cdcChunks(t).map(_.mkString(" ")).toList)
+    assert(got.toList == want.toList)
+  }
+
+  test("p10 catches a span duplicated at a NON-grid offset that p4 " +
+      "misses (round-13 verdict #4)") {
+    import org.apache.spark.sql.functions._
+    // boundary words found on the SAME hash the chunker cuts on
+    def isB(w: String) = graft.functions.PortableHash
+      .md5wBytes(w.getBytes("UTF-8")) % 16 == 0
+    val cands = (1 to 300).map(i => s"s$i")
+    val b = cands.filter(isB)
+    val f = cands.filterNot(isB)
+    assert(b.length >= 2, "fixture needs two boundary words")
+    // 30-token span with interior boundaries at positions 11 and 21:
+    // the chunk BETWEEN them (f(10..18) + b(1), 10 tokens) sits fully
+    // inside the span, so it is byte-identical wherever the span lands
+    val span = (f.take(10) :+ b(0)) ++ (f.slice(10, 19) :+ b(1)) ++
+      f.slice(19, 28)
+    assert(span.length == 30)
+    val sharedChunk = (f.slice(10, 19) :+ b(1)).mkString(" ")
+    // same span injected at offsets 20 and 23 — neither a multiple of
+    // the p3/p4 stride (24), and different phases in the two docs
+    val docA = ((1 to 20).map(i => s"fa$i") ++ span ++
+      (1 to 12).map(i => s"ta$i")).mkString(" ")
+    val docB = ((1 to 23).map(i => s"fb$i") ++ span ++
+      (1 to 9).map(i => s"tb$i")).mkString(" ")
+    val dir = docsView(Seq((1L, docA, "a"), (2L, docB, "b")))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // p4's fixed-grid form: no 32-token window of either doc is shared
+    // (the span is shorter than a window and sits at different grid
+    // phases), so the grid detector returns NOTHING
+    val p4Style = CorpusOps.spanGrid(docs)
+      .select(col("doc_id"), md5(array_join(col("chunk"), " ")).as("h"))
+      .groupBy("h").agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    assert(p4Style.collect().isEmpty, "p4 should miss the non-grid span")
+    // p10's content-defined chunks align on content: the interior
+    // chunk is reported as shared by both docs
+    val p10 = entry("p10_cdc_dup_spans").run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wantH = md.digest(sharedChunk.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(p10.get(wantH).contains(2L),
+      s"p10 must report the interior span chunk shared by 2 docs; got $p10")
+  }
+
   test("x33_score_norm: per-source percentiles, tie ranks, " +
     "single-doc source kept") {
     // lengths engineered: source a has a tie (two 10-char docs),
