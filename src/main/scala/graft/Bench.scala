@@ -139,11 +139,51 @@ object Bench {
       (name, ok.minOption, attempts.flatMap(_._2).lastOption,
         ok.maxOption)
     }
-    val qs = results.collect { case (k, Some(v), _, _) => s"\"" + k + "\":" + v }
+    // Attempt-spread guard (round-13 verdict #3): the round-12 artifact
+    // passed the load guard AT START (0.87) yet its own 32-core attempt
+    // bursts heated the box to 6.93 by the end, and three
+    // single-hash-aggregate entries shipped at ~3 s that a quiet judge
+    // read at 0.2 s — the guard checked the wrong invariant. When a
+    // query's worst successful attempt exceeds K x its best (and the
+    // gap is non-trivial), the host was flapping WHILE that query ran,
+    // so its recorded best deserves no trust either. Give each flagged
+    // entry ONE more attempt at the very end of the run — the box is
+    // then running nothing else, the closest in-process approximation
+    // of a judge-style quiet read — fold the min in, and stamp the
+    // verdict into the artifact. If a quarter of the registry flagged,
+    // the whole run was hot: keep the number for the round driver but
+    // refuse the committed-artifact refresh like a hot start does.
+    val spreadK = 3.0
+    val flagged = results.collect { case (k, Some(mn), _, Some(mx))
+      if mx > mn * spreadK && mx - mn > 0.5 => k }
+    val fnByName = selected.toMap
+    val rerun: Map[String, Double] = flagged.flatMap { k =>
+      fnByName.get(k).flatMap { fn =>
+        val t0 = System.nanoTime()
+        try { exec(fn); Some(k -> (System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+    }.toMap
+    val settled = results.map {
+      case (k, Some(mn), e, mx) if rerun.contains(k) =>
+        (k, Some(math.min(mn, rerun(k))), e, mx)
+      case r => r
+    }
+    val dirtyRun = flagged.size * 4 > results.size && results.size >= 8
+    val spreadVerdict =
+      if (flagged.isEmpty) "clean"
+      else if (dirtyRun) s"dirty: ${flagged.size}/${results.size} entries " +
+        s"spread >${spreadK}x — artifact refresh refused"
+      else s"reran ${flagged.size} flagged entries cold, min folded in"
+    val rerunJson = rerun.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, None, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
+    val results2 = settled
+    val qs = results2.collect { case (k, Some(v), _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val flaky = results.collect { case (k, Some(_), Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = results2.collect { case (k, None, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val flaky = results2.collect { case (k, Some(_), Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     // Attempt spread (worst successful attempt per query, vs "queries"'
     // best): a contended host shows as max >> min across the board, so a
@@ -154,22 +194,24 @@ object Bench {
         if mx > mn * 1.5 && mx - mn > 0.25 =>
       s"\"" + k + "\":" + (math.rint(mx * 1000) / 1000)
     }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
-    val worstTotal = results.flatMap(_._4).sum
-    val nErr = results.count(r => r._2.isEmpty && r._3.isDefined)
-    val sinkTagged = results.collect {
+    val total = results2.flatMap(_._2).sum
+    val worstTotal = results2.flatMap(_._4).sum
+    val nErr = results2.count(r => r._2.isEmpty && r._3.isDefined)
+    val sinkTagged = results2.collect {
       case (k, Some(_), _, _) if SinkClass(k) => s"\"" + k + "\""
     }.mkString("[", ",", "]")
     val envEnd = envSnap()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"worst_total":$worstTotal,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"spread_rerun":$rerunJson,"spread_verdict":"$spreadVerdict","worst_total":$worstTotal,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r0N.json keeps only the tail of stdout, so the
     // first half of the per-query map is lost from the recorded artifact
     // every round. Persist the full line to a tracked file so per-query
     // round-over-round deltas survive without a judge re-run. Full runs
     // only — a SPARK_GRAFT_ONLY iteration must not clobber the artifact,
-    // and a hot-start run (quiet-window guard above) must not either.
-    if (only.isEmpty && quietStart)
+    // a hot-start run must not (quiet-window guard above), and neither
+    // must a run whose own attempt spread says the box flapped
+    // throughout (attempt-spread guard).
+    if (only.isEmpty && quietStart && !dirtyRun)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_latest.json"),
         (line + "\n").getBytes("UTF-8"))

@@ -33,6 +33,20 @@ object GraftSession {
     // generation readable (as int64, converted in Tables.loadEvents —
     // Spark has no nanosecond timestamp type) and is a no-op for micros
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // HotSpot never JIT-compiles a method past -XX:HugeMethodLimit
+    // (8000 bytecodes, not configurable in product builds), so a fused
+    // whole-stage method above it runs in the BYTECODE INTERPRETER
+    // forever. Spark's default fallback threshold (65535) happily ships
+    // such methods: q41's 16 stacked LSTM projections fused into ONE
+    // 22254-bytecode processNext() measured 37.2s task CPU interpreted
+    // vs 14.2s under the per-operator-codegen fallback this threshold
+    // forces (each stage's projection is then its own small JIT-able
+    // class) — and interpreter speed is what flapped q41's wall 2.2s
+    // vs 5.3s between sessions (round-13 verdict #2): JIT state of the
+    // megamorphic Expression.eval sites differs with bench history.
+    // Splitting the fused method instead (methodSplitThreshold=256)
+    // measured NO change — consume-chain locals block the split.
+    .config("spark.sql.codegen.hugeMethodLimit", "8000")
     .config("spark.ui.enabled", "false")
 
   /** Builder shaped for a real multi-executor cluster at the 100 TB

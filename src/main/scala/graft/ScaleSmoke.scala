@@ -277,6 +277,26 @@ object ScaleSmoke {
             x => x.getField("word")), " ")).as("h"))
         .write.format("noop").mode("overwrite").save()
     }
+    time("CDC dup spans (p10 shape: row-local chunk kernel, ONE exchange)") {
+      // the p10 plan: chunks from the row-local cdc_chunks kernel (no
+      // doc-keyed window shuffle — the p6 row above pays one), then a
+      // single chunk-content-keyed rollup. The PAIR (this row vs the
+      // p6 row) prices what the kernel saves: the full-corpus exchange
+      // + per-doc sort, at identical boundary semantics. (An
+      // aggregate() Column-fold first cut of the chunker measured
+      // SUPERLINEAR here — 4.4 s -> 38.3 s at 10x -> 50x — and was
+      // replaced by the kernel; this row is the regression guard.)
+      docs.select(col("doc_id"),
+          explode(graft.queries.CorpusOps.cdcChunks(spark, col("text")))
+            .as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+          size(split(col("chunk"), " ")).cast("long").as("n_toks"))
+        .groupBy("h")
+        .agg(max("n_toks").as("n_toks"),
+          countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("CDC chunking, xxhash64 hashes (production swap for md5)") {
       // same query as the row above with ONLY the hash swapped: the
       // portable md5 word is the ORACLE contract (DuckDB must replay

@@ -410,6 +410,39 @@ object TokenKernels {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunks of the space-split token stream: boundary
+    * where the portable md5 word of the token (PortableHash.md5wBytes,
+    * bit-identical to the Column `md5w`) % `mod` == 0, the boundary
+    * token CLOSING its chunk — exactly p6's prefix-sum window
+    * semantics — and each chunk emitted as the ' '-join of its tokens
+    * (string_agg parity, empty tokens included). ONE fused loop: the
+    * round-13 `aggregate()` Column fold this replaces rebuilt a
+    * struct(chunks array, open string) accumulator per TOKEN through
+    * interpreted lambda plumbing and went superlinear with corpus size
+    * (ScaleSmoke 10x/50x: 4.4 s -> 38.3 s for 5x the tokens — GC churn,
+    * not arithmetic). Split matches the builtin `split(text, ' ')`
+    * (regex, limit -1: trailing empty tokens kept). */
+  def cdcChunks(text: UTF8String, mod: Int): ArrayData = {
+    val toks = text.split(spaceSep, -1)
+    val out = new java.util.ArrayList[Any](toks.length / 8 + 4)
+    var start = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (java.lang.Math.floorMod(
+          PortableHash.md5wBytes(t.getBytes), mod.toLong) == 0L) {
+        out.add(UTF8String.concatWs(spaceSep,
+          java.util.Arrays.copyOfRange(toks, start, i + 1): _*))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < toks.length)
+      out.add(UTF8String.concatWs(spaceSep,
+        java.util.Arrays.copyOfRange(toks, start, toks.length): _*))
+    new GenericArrayData(out.toArray)
+  }
+
   /** (k12, k1) hash pairs of adjacent tokens: k1 = xxhash64(l),
     * k12 = xxhash64(l, r). Fewer than 2 tokens -> empty array (the
     * adjacentPairs guard). Null tokens skip their hash step, exactly
@@ -494,6 +527,25 @@ case class TokenXx64Set(child: Expression) extends TokenArrayExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TokenKernels.tokenXx64Set($c);")
   override protected def withNewChildInternal(newChild: Expression): TokenXx64Set =
+    copy(child = newChild)
+}
+
+/** `cdc_chunks(text, mod)` — content-defined chunks of the space-split
+  * token stream in one fused loop (see [[TokenKernels.cdcChunks]]);
+  * the P10 span-dedup chunker. */
+case class CdcChunks(child: Expression, mod: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TokenKernels.cdcChunks(v.asInstanceOf[UTF8String], mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenKernels.cdcChunks($c, $mod);")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
     copy(child = newChild)
 }
 
@@ -687,5 +739,16 @@ object TokenKernelFns {
   def textQualityCounts(spark: SparkSession, text: Column): Column = {
     reg(spark, "text_quality_counts", 1, args => TextQualityCounts(args.head))
     org.apache.spark.sql.functions.call_function("text_quality_counts", text)
+  }
+
+  def cdcChunks(spark: SparkSession, text: Column, mod: Int = 16): Column = {
+    reg(spark, "cdc_chunks", 2, args => CdcChunks(args.head,
+      args(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"cdc_chunks mod must be an int literal, got $other")
+      }))
+    org.apache.spark.sql.functions.call_function("cdc_chunks", text,
+      org.apache.spark.sql.functions.lit(mod))
   }
 }

@@ -43,33 +43,22 @@ object CorpusOps {
           .as("chunk"))
   }
 
-  /** Content-defined chunks of `textCol` as a ROW-LOCAL array fold —
-    * the SAME chunking p6 derives through a per-doc prefix-sum window
-    * (boundary where `md5w(token) % 16 == 0`, the boundary token
-    * CLOSES its chunk; CorpusOpsSpec pins the two chunk sets equal),
-    * but with no doc-keyed exchange at all: the fold carries
-    * (closed chunks, open chunk) through one pass over the token
-    * array, so a consumer that doesn't need p6's per-doc chunk ids
-    * (p10 keys on chunk CONTENT) skips the window's shuffle + sort
-    * entirely — at 100 TB that removes the full-corpus exchange, the
-    * difference between one wide stage and two. */
-  private[graft] def cdcChunks(textCol: Column): Column = {
-    val isB = (w: Column) =>
-      graft.functions.PortableHash.md5w(w) % 16 === 0
-    aggregate(
-      split(textCol, " "),
-      struct(typedLit(Seq.empty[String]).as("chs"), lit("").as("cur")),
-      (acc, w) => {
-        val cur2 = when(acc.getField("cur") === "", w)
-          .otherwise(concat(acc.getField("cur"), lit(" "), w))
-        struct(
-          when(isB(w), array_append(acc.getField("chs"), cur2))
-            .otherwise(acc.getField("chs")).as("chs"),
-          when(isB(w), lit("")).otherwise(cur2).as("cur"))
-      },
-      acc => when(acc.getField("cur") === "", acc.getField("chs"))
-        .otherwise(array_append(acc.getField("chs"), acc.getField("cur"))))
-  }
+  /** Content-defined chunks of `textCol`, ROW-LOCAL — the SAME
+    * chunking p6 derives through a per-doc prefix-sum window (boundary
+    * where `md5w(token) % 16 == 0`, the boundary token CLOSES its
+    * chunk; CorpusOpsSpec pins the two chunk sets equal), but with no
+    * doc-keyed exchange at all, so a consumer that doesn't need p6's
+    * per-doc chunk ids (p10 keys on chunk CONTENT) skips the window's
+    * shuffle + sort entirely — at 100 TB that removes the full-corpus
+    * exchange, the difference between one wide stage and two.
+    * Implemented as the fused `cdc_chunks` kernel: the first cut of
+    * this helper was an `aggregate()` Column fold, which ScaleSmoke
+    * caught going SUPERLINEAR at 50x corpus (4.4 s -> 38.3 s for 5x
+    * the tokens — per-token interpreted struct/array rebuilds, GC
+    * churn, not arithmetic; the kernel is one JVM loop). */
+  private[graft] def cdcChunks(spark: org.apache.spark.sql.SparkSession,
+      textCol: Column): Column =
+    graft.functions.TokenKernelFns.cdcChunks(spark, textCol)
 
   /** SQL twin of [[spanGrid]]: CTEs `d` and `c`; downstream selects
     * slice `toks[chunk_id*S+1 : chunk_id*S+W]`. */
@@ -296,7 +285,7 @@ object CorpusOps {
     // fixture: a span duplicated at a non-grid offset that p4 returns
     // empty on and p10 catches). CDC boundaries cut on CONTENT, so the
     // chunks inside a duplicated span are identical wherever the span
-    // sits. Chunking here is the ROW-LOCAL fold ([[cdcChunks]] —
+    // sits. Chunking here is the ROW-LOCAL kernel ([[cdcChunks]] —
     // spec-pinned chunk-for-chunk to p6's window derivation), so the
     // plan pays ONE exchange total (the p4 shape): chunk-content key
     // for the rollup, no doc-keyed window shuffle; output is linear in
@@ -304,7 +293,8 @@ object CorpusOps {
     // threshold trivial short chunks without recomputing.
     Entry("p10_cdc_dup_spans",
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), explode(cdcChunks(col("text"))).as("chunk"))
+        .select(col("doc_id"),
+          explode(cdcChunks(s, col("text"))).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("h"),
           size(split(col("chunk"), " ")).cast("long").as("n_toks"))
         .groupBy("h")

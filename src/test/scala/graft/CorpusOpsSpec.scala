@@ -218,16 +218,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(edited.head == "inserted" +: orig.head)
   }
 
-  test("p10: row-local CDC fold chunks match the sequential boundary " +
-      "fold (the p6 semantics, no window)") {
+  test("p10: row-local cdc_chunks kernel matches the sequential " +
+      "boundary fold (the p6 semantics, no window)") {
     import org.apache.spark.sql.functions._
     val texts = Seq((1 to 120).map(i => s"w$i").mkString(" "),
       "w1 w2 w3", "single")
     val got = texts.toDF("text")
-      .select(CorpusOps.cdcChunks(col("text")).as("chs"))
+      .select(CorpusOps.cdcChunks(spark, col("text")).as("chs"))
       .collect().map(_.getSeq[String](0).toList)
     val want = texts.map(t => cdcChunks(t).map(_.mkString(" ")).toList)
     assert(got.toList == want.toList)
+  }
+
+  test("cdc_chunks kernel matches p6's window derivation on empty-token " +
+      "edges (double/trailing spaces) and boundary-dense text") {
+    import org.apache.spark.sql.functions._
+    def isB(w: String) = graft.functions.PortableHash
+      .md5wBytes(w.getBytes("UTF-8")) % 16 == 0
+    val b = (1 to 300).map(i => s"s$i").filter(isB)
+    // double space, trailing space, leading space, boundary runs —
+    // every token the regex split emits (incl. empties) must land in
+    // exactly the chunk p6's prefix-sum window puts it in
+    val texts = Seq(
+      s"a  b ${b(0)} c", s"${b(0)} ${b(1)} x", s" lead", "tail ",
+      s"${b(0)}", "only plain words here")
+    val dir = docsView(texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "a") })
+    val fromP6 = entry("p6_cdc_chunk").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3).toList }
+    val fromKernel = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        CorpusOps.cdcChunks(spark, col("text")).as("chs"))
+      .collect().map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        r.getLong(0) -> r.getSeq[String](1).map(c =>
+          md.digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+          .toList
+      }.toMap
+    assert(fromKernel == fromP6)
   }
 
   test("p10 catches a span duplicated at a NON-grid offset that p4 " +
