@@ -335,6 +335,17 @@ object NeuralOps {
     // transcendental, so no exact-integer hash oracle exists (sub-ulp
     // libm differences); rows-only, with NeuralForwardSpec asserting the
     // staged form ≡ the HOF form ≡ a plain-Scala reference LSTM.
+    // Round-13 perf note: this entry's session-to-session wall
+    // bimodality (2.2 s vs 5.3 s at ~36 s "fixed" task CPU) was NOT
+    // arithmetic — the 16 staged projections fused into one
+    // 22254-bytecode whole-stage method, past HotSpot's 8000-byte
+    // compile ceiling, so the whole pass ran in the bytecode
+    // interpreter and its throughput tracked JIT profile state. Fixed
+    // globally (GraftSession hugeMethodLimit note): 37.2 s -> 14.2 s
+    // task CPU, wall 1.2-1.6 s stable across quiet sessions. The
+    // tanh(x) = 2*sigmoid(2x)-1 gate-sharing idea is moot at this
+    // width: the ~48M transcendentals cost ~2 s of the CPU; the rest
+    // was interpreter overhead, now per-operator codegen.
     Entry("q41_lstm_forward",
       (s, dir) => {
         val w = lstmW
