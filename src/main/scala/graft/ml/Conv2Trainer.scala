@@ -181,21 +181,33 @@ object Conv2Trainer {
 
   /** Full-batch GD: `epochs` steps from `w0`; returns final weights +
     * per-epoch pre-update mean loss. One Spark job per epoch. */
-  def fit(df: DataFrame, xs: Seq[Column], label: Column,
-      w0: Conv2Weights, epochs: Int,
-      lr: Double): (Conv2Weights, Seq[Double]) = {
+  private[ml] def applyStep(w: Conv2Weights, gr: Conv2Grads,
+      lr: Double): Conv2Weights = {
     def s1(a: Seq[Double], ga: Seq[Double]) =
       a.zip(ga).map { case (x, gx) => x - lr * gx }
     def s2(a: Seq[Seq[Double]], ga: Seq[Seq[Double]]) =
       a.zip(ga).map { case (r, gr) => s1(r, gr) }
     def s3(a: Seq[Seq[Seq[Double]]], ga: Seq[Seq[Seq[Double]]]) =
       a.zip(ga).map { case (m, gm) => s2(m, gm) }
+    Conv2Weights(s2(w.w1, gr.w1), s1(w.b1, gr.b1),
+      s3(w.w2, gr.w2), s1(w.b2, gr.b2),
+      s2(w.wh, gr.wh), s1(w.bh, gr.bh))
+  }
+
+  /** One optimizer step (Adam / sgd) —
+    * [[TrainerCommon.Tensors.applyOpt]]; OptimizerStepSpec pins
+    * sgd(lr) == [[applyStep]] bit-for-bit. */
+  private[ml] def applyOpt(w: Conv2Weights, gr: Conv2Grads,
+      opt: TrainerCommon.Optimizer): Conv2Weights =
+    TrainerCommon.Tensors.applyOpt(w, gr, opt)
+
+  def fit(df: DataFrame, xs: Seq[Column], label: Column,
+      w0: Conv2Weights, epochs: Int,
+      lr: Double): (Conv2Weights, Seq[Double]) = {
     var w = w0
     val losses = (1 to epochs).map { _ =>
       val gr = gradients(df, xs, label, w)
-      w = Conv2Weights(s2(w.w1, gr.w1), s1(w.b1, gr.b1),
-        s3(w.w2, gr.w2), s1(w.b2, gr.b2),
-        s2(w.wh, gr.wh), s1(w.bh, gr.bh))
+      w = applyStep(w, gr, lr)
       gr.loss
     }
     (w, losses)

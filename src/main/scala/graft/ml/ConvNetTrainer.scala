@@ -260,31 +260,13 @@ object ConvNetTrainer {
       s2(w.headW, gr.headW), s1(w.headB, gr.headB))
   }
 
-  /** Gradients flattened in (convW block/filter/pos/channel-major,
-    * convB, denseW row-major, denseB, headW row-major, headB) order —
-    * the layout [[applyOpt]] consumes deltas back in. */
-  private def flatGrads(gr: NetGrads): Array[Double] =
-    (gr.convW.flatMap(_.flatMap(_.flatten)) ++ gr.convB.flatten ++
-      gr.denseW.flatten ++ gr.denseB ++ gr.headW.flatten ++
-      gr.headB).toArray
-
-  /** One optimizer step (shared with [[WideNet]]): flattened mean
-    * gradients through `opt`, deltas subtracted position-for-position.
+  /** One optimizer step (shared with [[WideNet]]) via the structural
+    * walker [[TrainerCommon.Tensors.applyOpt]].
     * applyOpt(w, gr, Optimizer.sgd(lr)) == [[step]](w, gr, lr) exactly
-    * (AdamSpec pins it on the stacked shape too). */
+    * (AdamSpec + OptimizerStepSpec pin it on the stacked shape too). */
   private[ml] def applyOpt(w: NetWeights, gr: NetGrads,
-      opt: TrainerCommon.Optimizer): NetWeights = {
-    val dd = opt.deltas(flatGrads(gr))
-    var i = -1
-    def take(): Double = { i += 1; dd(i) }
-    NetWeights(
-      w.convW.map(_.map(_.map(_.map(x => x - take())))),
-      w.convB.map(_.map(x => x - take())),
-      w.denseW.map(_.map(x => x - take())),
-      w.denseB.map(x => x - take()),
-      w.headW.map(_.map(x => x - take())),
-      w.headB.map(x => x - take()))
-  }
+      opt: TrainerCommon.Optimizer): NetWeights =
+    TrainerCommon.Tensors.applyOpt(w, gr, opt)
 
   /** Full-batch GD: plain loop (mask epoch-varied when dropout > 0). */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: NetWeights,

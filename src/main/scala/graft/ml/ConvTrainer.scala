@@ -204,6 +204,13 @@ object ConvTrainer {
         r.zip(gr2).map { case (a, ga) => a - lr * ga } },
       w.b2.zip(gr.b2).map { case (a, ga) => a - lr * ga })
 
+  /** One optimizer step (Adam / sgd) —
+    * [[TrainerCommon.Tensors.applyOpt]]; OptimizerStepSpec pins
+    * sgd(lr) == [[applyStep]] bit-for-bit. */
+  private[ml] def applyOpt(w: ConvWeights, gr: ConvGrads,
+      opt: TrainerCommon.Optimizer): ConvWeights =
+    TrainerCommon.Tensors.applyOpt(w, gr, opt)
+
   /** [[fit]] under Keras EarlyStopping (patience on the `isVal` slice's
     * loss, restore-best) — see [[TrainerCommon.earlyStop]]. */
   def fitEs(df: DataFrame, xs: Seq[Column], label: Column,

@@ -180,26 +180,13 @@ object GdTrainer {
         r.zip(gRow).map { case (x, gx) => x - lr * gx } },
       w.b2.zip(gr.b2).map { case (x, gx) => x - lr * gx })
 
-  /** Gradients flattened in (w1 row-major, b1, w2 row-major, b2) order —
-    * the layout [[applyOpt]] consumes deltas back in. */
-  private[ml] def flatGrads(gr: MlpGrads): Array[Double] =
-    (gr.w1.flatten ++ gr.b1 ++ gr.w2.flatten ++ gr.b2).toArray
-
-  /** One optimizer step: feed the flattened mean gradients through
-    * `opt` (which holds any moment state) and subtract the returned
-    * deltas position-for-position. applyOpt(w, gr, Optimizer.sgd(lr))
-    * == [[applyStep]](w, gr, lr) exactly (AdamSpec pins it). */
+  /** One optimizer step ([[TrainerCommon.Tensors.applyOpt]] — the
+    * structural walker shared by every trainer family).
+    * applyOpt(w, gr, Optimizer.sgd(lr)) == [[applyStep]](w, gr, lr)
+    * exactly (AdamSpec + OptimizerStepSpec pin it). */
   private[ml] def applyOpt(w: MlpWeights, gr: MlpGrads,
-      opt: TrainerCommon.Optimizer): MlpWeights = {
-    val dd = opt.deltas(flatGrads(gr))
-    var i = -1
-    def take(): Double = { i += 1; dd(i) }
-    MlpWeights(
-      w.w1.map(_.map(x => x - take())),
-      w.b1.map(x => x - take()),
-      w.w2.map(_.map(x => x - take())),
-      w.b2.map(x => x - take()))
-  }
+      opt: TrainerCommon.Optimizer): MlpWeights =
+    TrainerCommon.Tensors.applyOpt(w, gr, opt)
 
   /** [[fit]] under Keras EarlyStopping(patience, restore_best_weights):
     * rows flagged by `isVal` form the monitored hold-out slice (never

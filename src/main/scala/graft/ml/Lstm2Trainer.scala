@@ -343,6 +343,14 @@ object Lstm2Trainer {
       s2(w.w3, gr.w3), s1(w.b3, gr.b3))
   }
 
+  /** One optimizer step (Adam / sgd) —
+    * [[TrainerCommon.Tensors.applyOpt]]; OptimizerStepSpec pins
+    * sgd(lr) == [[step]] bit-for-bit, the gate MAPS (l1/l2) walked in
+    * sorted-key order on both the flatten and rebuild sides. */
+  private[ml] def applyOpt(w: W, gr: G,
+      opt: TrainerCommon.Optimizer): W =
+    TrainerCommon.Tensors.applyOpt(w, gr, opt)
+
   /** Full-batch gated-BPTT GD: one job per epoch. */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
       epochs: Int, lr: Double, rowKey: Column = lit(0L),

@@ -234,6 +234,14 @@ object LstmTrainer {
       stepM(w.w2, gr.w2), step(w.b2, gr.b2))
   }
 
+  /** One optimizer step (Adam / sgd) —
+    * [[TrainerCommon.Tensors.applyOpt]]; OptimizerStepSpec pins
+    * sgd(lr) == [[applyStep]] bit-for-bit, the 14-tensor gate tree
+    * included. */
+  private[ml] def applyOpt(w: LstmWeights, gr: LstmGrads,
+      opt: TrainerCommon.Optimizer): LstmWeights =
+    TrainerCommon.Tensors.applyOpt(w, gr, opt)
+
   /** Staged inference: argmax class under `w` appended as `outCol`
     * (first index on ties); `carry` columns survive into the returned
     * frame. Same per-frontier staging as the forward pass. */

@@ -219,6 +219,13 @@ object Rnn2Trainer {
       s2(w.w3, gr.w3), s1(w.b3, gr.b3))
   }
 
+  /** One optimizer step (Adam / sgd) —
+    * [[TrainerCommon.Tensors.applyOpt]]; OptimizerStepSpec pins
+    * sgd(lr) == [[step]] bit-for-bit. */
+  private[ml] def applyOpt(w: W, gr: G,
+      opt: TrainerCommon.Optimizer): W =
+    TrainerCommon.Tensors.applyOpt(w, gr, opt)
+
   /** Full-batch GD: one job per epoch, per-epoch pre-update loss. */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
       epochs: Int, lr: Double, rowKey: Column = lit(0L),

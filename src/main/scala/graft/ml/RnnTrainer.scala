@@ -199,6 +199,13 @@ object RnnTrainer {
         r.zip(gRow).map { case (a, ga) => a - lr * ga } },
       w.b2.zip(gr.b2).map { case (a, ga) => a - lr * ga })
 
+  /** One optimizer step (the reference's Adam, or sgd for the
+    * historical fixed-lr step) — [[TrainerCommon.Tensors.applyOpt]];
+    * OptimizerStepSpec pins sgd(lr) == [[applyStep]] bit-for-bit. */
+  private[ml] def applyOpt(w: RnnWeights, gr: RnnGrads,
+      opt: TrainerCommon.Optimizer): RnnWeights =
+    TrainerCommon.Tensors.applyOpt(w, gr, opt)
+
   /** [[fit]] under Keras EarlyStopping (patience on the `isVal` slice's
     * loss, restore-best) — see [[TrainerCommon.earlyStop]]. */
   def fitEs(df: DataFrame, xs: Seq[Column], label: Column,

@@ -149,6 +149,91 @@ object TrainerCommon {
       }
   }
 
+  /** Generic structural algebra over the trainers' weight/gradient
+    * case classes — every family's parameters are a tree of
+    * `Seq[Double]` tensors and nested case classes (GateW etc.), and
+    * every grads class is its weights class plus a trailing `loss`
+    * field. One depth-first walker defines BOTH the flatten order and
+    * the rebuild order, so the per-family hand-written
+    * flatten/unflatten pairs (and their silent field-order bugs) are
+    * impossible by construction; OptimizerStepSpec still pins
+    * applyOpt(sgd(lr)) == the historical applyStep bit-for-bit on
+    * every family. Driver-side only, O(params). */
+  object Tensors {
+    /** Flatten `grads` following `shape`'s structure (the weights
+      * template drives the walk, so grads' trailing loss field is
+      * never touched). */
+    def flatLike(shape: Any, grads: Any): Array[Double] = {
+      val buf = Array.newBuilder[Double]
+      def walk(s: Any, g: Any): Unit = (s, g) match {
+        case (_: Double, gd: Double) => buf += gd
+        case (ss: Seq[_], gs: Seq[_]) =>
+          require(ss.length == gs.length, "tensor shape mismatch")
+          ss.lazyZip(gs).foreach(walk)
+        case (sm: Map[_, _], gm: Map[_, _]) =>
+          // gate maps (Lstm2's l1/l2): key-matched, walked in SORTED
+          // key order so flatten and rebuild agree regardless of map
+          // insertion order
+          val smA = sm.asInstanceOf[Map[Any, Any]]
+          val gmA = gm.asInstanceOf[Map[Any, Any]]
+          require(smA.keySet == gmA.keySet, "gate-map key mismatch")
+          smA.keys.toSeq.sortBy(_.toString)
+            .foreach(k => walk(smA(k), gmA(k)))
+        case (sp: Product, gp: Product) =>
+          require(gp.productArity >= sp.productArity,
+            s"gradient product ${gp.getClass.getSimpleName} narrower " +
+              s"than weights ${sp.getClass.getSimpleName}")
+          var i = 0
+          while (i < sp.productArity) {
+            walk(sp.productElement(i), gp.productElement(i)); i += 1
+          }
+        case other => throw new IllegalArgumentException(
+          s"unsupported tensor node: $other")
+      }
+      walk(shape, grads)
+      buf.result()
+    }
+
+    /** Rebuild `w` with every Double coordinate replaced by
+      * `value - dd(k)`, deltas consumed in [[flatLike]]'s depth-first
+      * order. Case classes are reconstructed through their primary
+      * constructor (arity-matched), so shape `require`s re-validate. */
+    def subDeltas[W0](w: W0, dd: Array[Double]): W0 = {
+      // upfront count check (w walked as its own grads) so a wrong-size
+      // delta array fails with a clear message, not an index error
+      require(dd.length == flatLike(w, w).length,
+        s"optimizer produced ${dd.length} deltas for a " +
+          s"${flatLike(w, w).length}-coordinate weights tree")
+      var i = -1
+      def rec(a: Any): Any = a match {
+        case d: Double => i += 1; d - dd(i)
+        case s: Seq[_] => s.map(rec)
+        case m: Map[_, _] =>
+          // same SORTED key order as flatLike's walk
+          val mA = m.asInstanceOf[Map[Any, Any]]
+          mA.keys.toSeq.sortBy(_.toString).map(k => k -> rec(mA(k))).toMap
+        case p: Product =>
+          val args = p.productIterator.map(rec)
+            .map(_.asInstanceOf[AnyRef]).toArray
+          val ctor = p.getClass.getConstructors
+            .find(_.getParameterCount == p.productArity)
+            .getOrElse(throw new IllegalStateException(
+              s"no arity-${p.productArity} constructor on " +
+                p.getClass.getName))
+          ctor.newInstance(args: _*)
+        case other => throw new IllegalArgumentException(
+          s"unsupported tensor node: $other")
+      }
+      rec(w).asInstanceOf[W0]
+    }
+
+    /** One optimizer step for ANY trainer family: flatten the mean
+      * gradients along the weights' structure, feed them through `opt`
+      * (which holds moment state), subtract the deltas in place. */
+    def applyOpt[W0](w: W0, grads: Any, opt: Optimizer): W0 =
+      subDeltas(w, opt.deltas(flatLike(w, grads)))
+  }
+
   /** Deterministic mini-batch index in [0, nBatches) for (row, epoch) —
     * the Keras `fit(batch_size=...)` membership semantic
     * (`models/mlp_model.py:10`: batch_size=64, shuffle=True re-draws

@@ -217,4 +217,22 @@ object WideConv {
       (ConvTrainer.applyStep(w, gr, lr), gr.loss,
         vl.getOrElse(sys.error("fitEs: empty validation slice")))
     }
+
+  /** [[fitEs]] with pluggable optimizer + hash mini-batching
+    * ([[TrainerCommon.batchedEpoch]]); sgd + nBatches=1 reproduces
+    * [[fitEs]]. */
+  def fitEsOpt(df: DataFrame, xs: Seq[Column], label: Column,
+      w0: ConvWeights, maxEpochs: Int, opt: TrainerCommon.Optimizer,
+      rowKey: Column, dropout: Double, isVal: Column,
+      pool: Pooling = AvgPool, patience: Int = 5,
+      batchKeys: Seq[Column] = Nil,
+      nBatches: Int = 1): TrainerCommon.EsResult[ConvWeights] =
+    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w) {
+        (dfb, ivb, wc) =>
+          val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
+            dropout, ivb, pool)
+          (ConvTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+      }
+    }
 }

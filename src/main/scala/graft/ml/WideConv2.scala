@@ -283,19 +283,37 @@ object WideConv2 {
   def fit(df: DataFrame, xs: Seq[Column], label: Column,
       w0: Conv2Weights, epochs: Int,
       lr: Double): (Conv2Weights, Seq[Double]) = {
-    def s1(a: Seq[Double], ga: Seq[Double]) =
-      a.zip(ga).map { case (x, gx) => x - lr * gx }
-    def s2(a: Seq[Seq[Double]], ga: Seq[Seq[Double]]) =
-      a.zip(ga).map { case (r, gr) => s1(r, gr) }
-    def s3(a: Seq[Seq[Seq[Double]]], ga: Seq[Seq[Seq[Double]]]) =
-      a.zip(ga).map { case (m, gm) => s2(m, gm) }
     var w = w0
     val losses = (1 to epochs).map { _ =>
       val gr = gradients(df, xs, label, w)
-      w = Conv2Weights(s2(w.w1, gr.w1), s1(w.b1, gr.b1),
-        s3(w.w2, gr.w2), s1(w.b2, gr.b2),
-        s2(w.wh, gr.wh), s1(w.bh, gr.bh))
+      w = Conv2Trainer.applyStep(w, gr, lr)
       gr.loss
+    }
+    (w, losses)
+  }
+
+  /** [[fit]] with pluggable optimizer (the reference's Adam) and
+    * optional deterministic hash mini-batching (no validation slice on
+    * this twin — batches are plain row-local filters); sgd +
+    * nBatches=1 reproduces [[fit]]. */
+  def fitOpt(df: DataFrame, xs: Seq[Column], label: Column,
+      w0: Conv2Weights, epochs: Int, opt: TrainerCommon.Optimizer,
+      batchKeys: Seq[Column] = Nil,
+      nBatches: Int = 1): (Conv2Weights, Seq[Double]) = {
+    require(nBatches == 1 || batchKeys.nonEmpty, "mini-batching needs keys")
+    var w = w0
+    val losses = (1 to epochs).map { e =>
+      var lossSum = 0.0
+      var b = 0
+      while (b < nBatches) {
+        val dfb = if (nBatches == 1) df else df.filter(
+          TrainerCommon.batchOf(batchKeys, e, nBatches) === b)
+        val gr = gradients(dfb, xs, label, w)
+        w = Conv2Trainer.applyOpt(w, gr, opt)
+        lossSum += gr.loss
+        b += 1
+      }
+      lossSum / nBatches
     }
     (w, losses)
   }

@@ -219,4 +219,30 @@ object WideLstm {
     }
     (w, losses)
   }
+
+  /** [[fit]] with pluggable optimizer (the reference's Adam) and
+    * optional deterministic hash mini-batching (no validation slice on
+    * this twin — batches are plain row-local filters); sgd +
+    * nBatches=1 reproduces [[fit]]. */
+  def fitOpt(df: DataFrame, xs: Seq[Column], label: Column,
+      w0: LstmWeights, epochs: Int, opt: TrainerCommon.Optimizer,
+      batchKeys: Seq[Column] = Nil,
+      nBatches: Int = 1): (LstmWeights, Seq[Double]) = {
+    require(nBatches == 1 || batchKeys.nonEmpty, "mini-batching needs keys")
+    var w = w0
+    val losses = (1 to epochs).map { e =>
+      var lossSum = 0.0
+      var b = 0
+      while (b < nBatches) {
+        val dfb = if (nBatches == 1) df else df.filter(
+          TrainerCommon.batchOf(batchKeys, e, nBatches) === b)
+        val gr = gradients(dfb, xs, label, w)
+        w = LstmTrainer.applyOpt(w, gr, opt)
+        lossSum += gr.loss
+        b += 1
+      }
+      lossSum / nBatches
+    }
+    (w, losses)
+  }
 }

@@ -203,4 +203,23 @@ object WideRnn {
       (RnnTrainer.applyStep(w, gr, lr), gr.loss,
         vl.getOrElse(sys.error("fitEs: empty validation slice")))
     }
+
+  /** [[fitEs]] with the reference's `compile/fit` semantics: pluggable
+    * optimizer (`TrainerCommon.Optimizer.adam(0.001)` =
+    * `rnn_model.py:28-34`) + deterministic hash mini-batching
+    * ([[TrainerCommon.batchedEpoch]]); sgd + nBatches=1 reproduces
+    * [[fitEs]] (OptimizerStepSpec / AdamSpec). */
+  def fitEsOpt(df: DataFrame, xs: Seq[Column], label: Column,
+      w0: RnnWeights, maxEpochs: Int, opt: TrainerCommon.Optimizer,
+      rowKey: Column, dropout: Double, isVal: Column,
+      patience: Int = 5, batchKeys: Seq[Column] = Nil,
+      nBatches: Int = 1): TrainerCommon.EsResult[RnnWeights] =
+    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w) {
+        (dfb, ivb, wc) =>
+          val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
+            dropout, ivb)
+          (RnnTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+      }
+    }
 }

@@ -268,4 +268,21 @@ object WideRnn2 {
       (Rnn2Trainer.step(w, gr, lr), gr.loss,
         vl.getOrElse(sys.error("fitEs: empty validation slice")))
     }
+
+  /** [[fitEs]] with pluggable optimizer + hash mini-batching
+    * ([[TrainerCommon.batchedEpoch]]); sgd + nBatches=1 reproduces
+    * [[fitEs]]. */
+  def fitEsOpt(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
+      maxEpochs: Int, opt: TrainerCommon.Optimizer, rowKey: Column,
+      dropout: Double, isVal: Column, patience: Int = 5,
+      batchKeys: Seq[Column] = Nil,
+      nBatches: Int = 1): TrainerCommon.EsResult[W] =
+    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w) {
+        (dfb, ivb, wc) =>
+          val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
+            dropout, ivb)
+          (Rnn2Trainer.applyOpt(wc, gr, opt), gr.loss, vl)
+      }
+    }
 }

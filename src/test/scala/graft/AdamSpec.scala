@@ -155,6 +155,42 @@ class AdamSpec extends AnyFunSuite {
       "staged-vs-wide train losses")
   }
 
+  test("recurrent twin (WideRnn): sgd path reproduces fitEs; Adam " +
+      "descends deterministically") {
+    import graft.ml.{RnnTrainer, WideRnn}
+    // order-sensitive 6-step task: ramp up vs ramp down
+    val seqDf = (0 until 48).map { i =>
+      val up = i % 2 == 0
+      val xs = (0 until 6).map(t =>
+        if (up) 0.15 * t else 0.75 - 0.15 * t)
+      (i.toLong, xs, if (up) 0 else 1)
+    }.toDF("rk", "xs", "y")
+      .select(Seq(col("rk"), col("y")) ++
+        (0 until 6).map(t => element_at(col("xs"), t + 1).as(s"x$t")): _*)
+    val xs = (0 until 6).map(t => col(s"x$t"))
+    val sIsVal = col("rk") % 5 === 0
+    val rw0i = RnnTrainer.init(units = 3, classes = 2, seed = 19L)
+    val rw0 = rw0i.copy(b = rw0i.b.map(_.abs + 0.1))
+    val es = WideRnn.fitEs(seqDf, xs, col("y"), rw0, maxEpochs = 2,
+      lr = 0.4, rowKey = col("rk"), dropout = 0.3, isVal = sIsVal,
+      patience = 5)
+    val eo = WideRnn.fitEsOpt(seqDf, xs, col("y"), rw0, maxEpochs = 2,
+      opt = Optimizer.sgd(0.4), rowKey = col("rk"), dropout = 0.3,
+      isVal = sIsVal, patience = 5)
+    closeSeq(eo.trainLosses, es.trainLosses, "rnn twin train losses")
+    closeSeq(eo.valLosses, es.valLosses, "rnn twin val losses")
+    def adamRun() = WideRnn.fitEsOpt(seqDf, xs, col("y"), rw0,
+      maxEpochs = 8, opt = Optimizer.adam(0.05), rowKey = col("rk"),
+      dropout = 0.0, isVal = sIsVal, patience = -1,
+      batchKeys = Seq(col("rk")), nBatches = 2)
+    val a = adamRun()
+    assert(a.trainLosses.last < a.trainLosses.head,
+      s"rnn loss must descend: ${a.trainLosses.head} -> " +
+        s"${a.trainLosses.last}")
+    val b = adamRun()
+    closeSeq(b.trainLosses, a.trainLosses, "rnn adam rerun")
+  }
+
   test("stacked WideNet: sgd path reproduces fitEs; Adam + batches " +
       "descends deterministically") {
     // ramp-direction task over a 10-step sequence (2 conv blocks)
