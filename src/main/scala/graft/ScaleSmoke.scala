@@ -547,6 +547,24 @@ object ScaleSmoke {
         graft.ml.GdTrainer.init(6, 6, 2, seed = 11L), epochs = 3,
         lr = 0.5, dropout = 0.3)
     }
+    // the q40b shape: same net under Adam with 4 hash mini-batches per
+    // epoch — batches are row-local predicate VIEWS over the source
+    // (never materialized copies), so an epoch costs nBatches scans of
+    // the O(features) projection + nBatches O(params) reductions; the
+    // PAIR with the row above prices exactly that multiplier, and the
+    // row stays scan-bandwidth-bound at any corpus size
+    time("MLP fit, Adam + 4 hash mini-batches, 3 epochs (q40b shape)") {
+      val feats = (0 until 6).map(i =>
+        element_at(col("embedding"), i + 1).cast("double"))
+      graft.ml.WideMlp.fitEsOpt(emb, feats,
+        pmod(col("vec_id"), lit(2L)).cast("int"), col("vec_id"),
+        graft.ml.GdTrainer.init(6, 6, 2, seed = 11L), maxEpochs = 3,
+        opt = graft.ml.TrainerCommon.Optimizer.adam(0.001),
+        dropout = 0.3,
+        isVal = graft.ml.TrainerCommon.valSplitPortable(
+          Seq(col("vec_id"))),
+        patience = -1, batchKeys = Seq(col("vec_id")), nBatches = 4)
+    }
     val fitRes = time(s"k-means init + 1 Lloyd update (k=$kClusters)") {
       // fit() runs init + the update's assignment/aggregation EAGERLY
       // (driver fit state); only the returned final-assignment frame is
