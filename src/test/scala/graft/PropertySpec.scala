@@ -23,6 +23,34 @@ class PropertySpec extends AnyFunSuite {
   private val wordsGen =
     Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
 
+  test("cdc_chunks kernel: chunks rejoin to the exact text, boundaries " +
+      "close chunks, all interior tokens non-boundary") {
+    import spark.implicits._
+    def isB(w: String) = graft.functions.PortableHash
+      .md5wBytes(w.getBytes("UTF-8")) % 16 == 0
+    // mod 16 rarely fires on a 6-word vocab; salt the generator with
+    // KNOWN boundary words so chunk structure is actually exercised
+    val bWords = (1 to 300).map(i => s"s$i").filter(isB).take(3)
+    val tokGen = Gen.nonEmptyListOf(
+      Gen.oneOf(Seq("a", "b", "cc", "ddd", "e", "f") ++ bWords))
+    check(Prop.forAll(tokGen) { toks =>
+      val text = toks.mkString(" ")
+      val chunks = Seq(text).toDF("text")
+        .select(graft.queries.CorpusOps.cdcChunks(spark, col("text")))
+        .head().getSeq[String](0)
+      // partition property: chunks joined with single spaces ARE the
+      // input (nothing dropped, nothing reordered, separators intact)
+      val rejoin = chunks.mkString(" ") == text
+      // boundary property: every chunk's interior tokens are
+      // non-boundary, and every chunk except possibly the last ENDS
+      // on a boundary token (the boundary closes its chunk)
+      val split = chunks.map(_.split(" ", -1).toSeq)
+      val closed = split.dropRight(1).forall(c => isB(c.last)) &&
+        split.forall(c => c.dropRight(1).forall(w => !isB(w)))
+      rejoin && closed
+    })
+  }
+
   test("union is positional UNION ALL: counts always add") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOf(Gen.chooseNum(-100L, 100L)),
