@@ -376,6 +376,22 @@ object WideLstm2 {
     (w, losses)
   }
 
+  /** [[fit]] with pluggable optimizer (the reference's Adam); sgd
+    * reproduces [[fit]]. */
+  def fitOpt(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
+      epochs: Int, opt: TrainerCommon.Optimizer,
+      rowKey: Column = lit(0L),
+      dropout: Double = 0.0): (W, Seq[Double]) = {
+    var w = w0
+    val losses = (1 to epochs).map { e =>
+      val (gr, _) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
+        lit(false))
+      w = Lstm2Trainer.applyOpt(w, gr, opt)
+      gr.loss
+    }
+    (w, losses)
+  }
+
   /** [[fit]] under Keras EarlyStopping ([[TrainerCommon.earlyStop]]). */
   def fitEs(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
       maxEpochs: Int, lr: Double, rowKey: Column, dropout: Double,
