@@ -326,6 +326,93 @@ object CorpusOps {
               FROM chunks GROUP BY h
               HAVING count(DISTINCT doc_id) >= 2 ORDER BY h""")),
 
+    // P11 — duplicate-span SCRUBBING: the transform p10's detection
+    // feeds (RefinedWeb-style). Every document is re-emitted with its
+    // duplicated CDC chunks REMOVED — a chunk whose content occurs in
+    // >= 2 distinct docs survives only at its canonical owner
+    // occurrence (global min (doc_id, chunk_idx)); every other
+    // occurrence is cut and the kept chunks are stitched back in
+    // position order. Scale contract: document TEXT never crosses the
+    // content-keyed exchange — `occ` ships (doc_id, chunk_idx, digest)
+    // only, ownership resolves on digests, and the rebuild re-chunks
+    // the original row LOCALLY (cdcChunks is deterministic, so
+    // re-deriving chunks costs CPU instead of shuffling the corpus by
+    // content hash). The per-doc drop-list frame is linear in
+    // *scrubbed occurrences* — usually tiny next to the corpus, so the
+    // final join broadcasts under AQE; worst case it degrades to the
+    // one doc_id-keyed text exchange any corpus rewrite must pay.
+    // No-dup corpora round-trip byte-identically (split/join on single
+    // spaces preserves even empty tokens — CorpusOpsSpec pins both the
+    // identity and a non-grid-offset scrub).
+    Entry("p11_span_scrub",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val occ = docs
+          .select(col("doc_id"), posexplode(cdcChunks(s, col("text"))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+            md5(col("col")).as("h"),
+            size(split(col("col"), " ")).cast("long").as("n_toks"))
+        val owners = occ.groupBy("h")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            min(struct(col("doc_id"), col("chunk_idx"))).as("own"))
+          .filter(col("n_docs") >= 2)
+          .select(col("h"), col("own").getField("doc_id").as("o_doc"),
+            col("own").getField("chunk_idx").as("o_idx"))
+        val drops = occ.join(owners, "h")
+          .filter(!(col("doc_id") === col("o_doc") &&
+            col("chunk_idx") === col("o_idx")))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("chunk_idx"))).as("drop_idx"),
+            sum("n_toks").as("n_scr"))
+        docs.join(drops, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            array_join(filter(cdcChunks(s, col("text")),
+              (_, i) => !array_contains(
+                coalesce(col("drop_idx"),
+                  array().cast("array<bigint>")), i.cast("long"))),
+              " ").as("text_scrubbed"),
+            coalesce(col("n_scr"), lit(0L)).as("n_toks_scrubbed"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents),
+              pos AS (SELECT doc_id, i, ws[i] AS word
+                      FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
+              b AS (SELECT doc_id, i, word,
+                      CASE WHEN ${graft.functions.PortableHash
+                        .md5wSql("word")} % 16 = 0
+                        THEN 1 ELSE 0 END AS is_b
+                    FROM pos),
+              ch AS (SELECT doc_id, i, word,
+                       coalesce(sum(is_b) OVER (PARTITION BY doc_id
+                         ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk_id
+                     FROM b),
+              chunks AS (SELECT doc_id, chunk_id,
+                           CAST(count(*) AS BIGINT) AS n_toks,
+                           md5(string_agg(word, ' ' ORDER BY i)) AS h,
+                           string_agg(word, ' ' ORDER BY i) AS ctext
+                         FROM ch GROUP BY doc_id, chunk_id),
+              dup AS (SELECT h FROM chunks GROUP BY h
+                      HAVING count(DISTINCT doc_id) >= 2),
+              rk AS (SELECT c.*, (d2.h IS NOT NULL) AS is_dup,
+                       row_number() OVER (PARTITION BY c.h
+                         ORDER BY c.doc_id, c.chunk_id) AS rn
+                     FROM chunks c LEFT JOIN dup d2 USING (h)),
+              kept AS (SELECT * FROM rk WHERE NOT is_dup OR rn = 1),
+              stitched AS (SELECT doc_id,
+                             string_agg(ctext, ' ' ORDER BY chunk_id)
+                               AS text_scrubbed
+                           FROM kept GROUP BY doc_id),
+              scr AS (SELECT doc_id,
+                        CAST(sum(n_toks) AS BIGINT) AS n_toks_scrubbed
+                      FROM rk WHERE is_dup AND rn > 1 GROUP BY doc_id)
+              SELECT d0.doc_id,
+                     coalesce(st.text_scrubbed, '') AS text_scrubbed,
+                     coalesce(s2.n_toks_scrubbed, 0) AS n_toks_scrubbed
+              FROM documents d0
+              LEFT JOIN stitched st USING (doc_id)
+              LEFT JOIN scr s2 USING (doc_id)""")),
+
     // P7 — length-bucketed batching report: docs grouped into
     // power-of-two token-length buckets with the PADDING WASTE each
     // bucket pays (slots = bucket cap per doc; waste = cap - len) —

@@ -304,6 +304,49 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"p10 must report the interior span chunk shared by 2 docs; got $p10")
   }
 
+  test("p11_span_scrub removes the duplicated chunk from the non-owner " +
+      "only; the owner round-trips byte-identically") {
+    // same non-grid-offset fixture as the p10 test: a 30-token span
+    // injected at offsets 20 and 23 of two otherwise-unique docs
+    def isB(w: String) = graft.functions.PortableHash
+      .md5wBytes(w.getBytes("UTF-8")) % 16 == 0
+    val cands = (1 to 300).map(i => s"s$i")
+    val b = cands.filter(isB)
+    val f = cands.filterNot(isB)
+    val span = (f.take(10) :+ b(0)) ++ (f.slice(10, 19) :+ b(1)) ++
+      f.slice(19, 28)
+    val docA = ((1 to 20).map(i => s"fa$i") ++ span ++
+      (1 to 12).map(i => s"ta$i")).mkString(" ")
+    val docB = ((1 to 23).map(i => s"fb$i") ++ span ++
+      (1 to 9).map(i => s"tb$i")).mkString(" ")
+    val dir = docsView(Seq((1L, docA, "a"), (2L, docB, "b")))
+    val out = entry("p11_span_scrub").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val chunksA = cdcChunks(docA).map(_.mkString(" "))
+    val chunksB = cdcChunks(docB).map(_.mkString(" "))
+    val shared = chunksA.toSet intersect chunksB.toSet
+    assert(shared.nonEmpty, "fixture must share at least one CDC chunk")
+    // doc 1 owns every shared chunk (smaller doc_id): unchanged
+    assert(out(1L) == ((docA, 0L)))
+    // doc 2 loses EXACTLY the shared chunks, stitched in order
+    val keptB = chunksB.filterNot(shared)
+    val scrToks = chunksB.filter(shared)
+      .map(_.split(" ").length.toLong).sum
+    assert(out(2L) == ((keptB.mkString(" "), scrToks)))
+  }
+
+  test("p11_span_scrub is the identity on a dup-free corpus, " +
+      "including empty-token edges") {
+    val texts = Seq("a  b c ", " lead x", "only plain words here")
+    val dir = docsView(texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "a") })
+    val out = entry("p11_span_scrub").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(out(i.toLong) == ((t, 0L)),
+        s"doc $i must round-trip byte-identically") }
+  }
+
   test("x33_score_norm: per-source percentiles, tie ranks, " +
     "single-doc source kept") {
     // lengths engineered: source a has a tie (two 10-char docs),
