@@ -104,6 +104,55 @@ object TextOps {
         JOIN sizes s2 ON s2.doc_id = k.d2
         ORDER BY k.d1, k.d2"""
 
+  // DuckDB replay of the streaming near-dup gate's batch twin: every
+  // signature component re-derived independently, keeper = min doc_id
+  // per (band, bucket), verdict = estimated Jaccard (matching
+  // components // 32, e6) at >= 0.5. No reps pre-pass: the gate sees
+  // raw arrivals (exact dups simply estimate 1.0). An inner join on
+  // the match counts is safe: a polynomial bucket collision with zero
+  // matching components would drop the row, but est 0 fails the
+  // threshold on both sides anyway.
+  private def neardupGateSql: String = {
+    import graft.functions.PortableHash
+    val k = 32
+    val aList = (0 until k).map(PortableHash.a).mkString("[", ",", "]")
+    val bList = (0 until k).map(PortableHash.b).mkString("[", ",", "]")
+    s"""WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(string_split(text, ' ')) AS tok FROM documents),
+        tw AS (
+          SELECT doc_id,
+                 ${PortableHash.md5wSql("tok")} % ${PortableHash.M} AS w
+          FROM toks),
+        sig AS (
+          SELECT doc_id, i,
+                 min(($aList[i + 1] * w + $bList[i + 1])
+                     % ${PortableHash.P}) AS sv
+          FROM tw CROSS JOIN range(0, $k) s(i) GROUP BY doc_id, i),
+        bkt AS (
+          SELECT doc_id, i // 4 AS band,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list(sv ORDER BY i)),
+                   (acc, x) -> (acc * 1000003 + x) % 1000000007) AS bucket
+          FROM sig GROUP BY doc_id, i // 4),
+        keep AS (SELECT band, bucket, min(doc_id) AS d1
+                 FROM bkt GROUP BY 1, 2),
+        cand AS (
+          SELECT k2.d1, b.doc_id AS d2, b.band
+          FROM bkt b JOIN keep k2 USING (band, bucket)
+          WHERE b.doc_id <> k2.d1),
+        pairs AS (SELECT DISTINCT d1, d2 FROM cand),
+        mt AS (
+          SELECT p.d1, p.d2, count(*) AS eq
+          FROM pairs p JOIN sig s1 ON s1.doc_id = p.d1
+                       JOIN sig s2 ON s2.doc_id = p.d2 AND s2.i = s1.i
+          WHERE s1.sv = s2.sv GROUP BY p.d1, p.d2)
+        SELECT c.d1, c.d2, c.band, 1000000 * m.eq // $k AS est_e6
+        FROM cand c JOIN mt m ON m.d1 = c.d1 AND m.d2 = c.d2
+        WHERE 1000000 * m.eq // $k >= 500000
+        ORDER BY c.d1, c.d2, c.band"""
+  }
+
   // DuckDB replay of the portable SimHash pair query: rebuild both
   // 32-bit planes from md5 words, then check ALL pairs at hamming <= 6 —
   // the quadratic form the Spark side's pigeonhole banding provably
@@ -320,6 +369,46 @@ object TextOps {
       (s, dir) => Dedup.minhashCalibration(t(s, dir, "documents"),
         "text", "doc_id", 32, 8),
       Some(lshCalibrationSql)),
+
+    // P12 — streaming near-dup gate, batch twin: the declarative
+    // reduction of streaming/NearDupGate (LSH near-dup admission for
+    // recurring crawls, where re-fetched pages mutate slightly and
+    // never collide on p9's content digest). Keeper per (band, bucket)
+    // = min doc_id (the stream's first arrival when event time follows
+    // id — NearDupGateSpec pins the three-way agreement: MemoryStream
+    // run == flatMapGroupsWithState batch run == this plan); verdicts
+    // = the SIGNATURE-estimated Jaccard at >= 0.5 (state stays
+    // numHashes longs per bucket — exact verification would put
+    // document-sized token sets in a state store; x34 calibrates this
+    // estimator against exact Jaccard on the same corpus). Plan: both
+    // kernels row-local, then ONE (band, bucket) exchange that the
+    // min-struct window and the estimator both ride — the keeper's
+    // signature travels WITH the min (no join back), so bucket-sized
+    // state never re-shuffles.
+    Entry("p12_neardup_gate",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TokenKernelFns
+              .minhashSig(s, toks, 32).as("sig"),
+            posexplode(graft.functions.TokenKernelFns
+              .minhashBandBuckets(s, toks, 32, 8)))
+          .select(col("doc_id"), col("sig"),
+            col("pos").cast("long").as("band"), col("col").as("bucket"))
+        val w = Window.partitionBy("band", "bucket")
+        rows
+          .withColumn("keep", min(struct(col("doc_id"), col("sig"))).over(w))
+          .filter(col("doc_id") =!= col("keep").getField("doc_id"))
+          .withColumn("eq", size(filter(
+            zip_with(col("sig"), col("keep").getField("sig"),
+              (a, b) => a === b), x => x)))
+          .select(col("keep").getField("doc_id").as("d1"),
+            col("doc_id").as("d2"), col("band"),
+            expr("1000000L * eq DIV 32").as("est_e6"))
+          .filter(col("est_e6") >= 500000L)
+      },
+      Some(neardupGateSql)),
 
     // SimHash signatures + hamming-close pairs (<= 6 of 64 bits) via
     // exact pigeonhole banding — equi-join candidates, no O(n^2) loop.
