@@ -297,6 +297,24 @@ object ScaleSmoke {
         .filter(col("n_docs") >= 2)
         .write.format("noop").mode("overwrite").save()
     }
+    time("span scrub (p11 shape: digest-only ownership, row-local rebuild)") {
+      // the corpus-rewrite transform: digests through the h exchange,
+      // drop lists back by doc, text re-chunked row-locally — the wall
+      // here should track the p10 row plus one small join, NOT a
+      // text-sized shuffle (the plan never exchanges text by content
+      // hash; sparse corpus => tiny drop frame, broadcast under AQE)
+      graft.ops.Dedup.scrubDupSpans(docs, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("near-dup gate (p12 shape: row-local sigs, one band-bucket window)") {
+      // the streaming gate's batch twin: both MinHash kernels
+      // row-local (no token exchange), verdicts off ONE (band, bucket)
+      // window exchange carrying (id, sig) pairs — linear in docs x
+      // bands at any scale; the estimator replaces exact-Jaccard
+      // verification, so no token set ever shuffles
+      graft.streaming.NearDupGate.batchVerdicts(docs, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
     time("CDC chunking, xxhash64 hashes (production swap for md5)") {
       // same query as the row above with ONLY the hash swapped: the
       // portable md5 word is the ORACLE contract (DuckDB must replay

@@ -848,4 +848,51 @@ object Dedup {
       .select(col("d1"), col("d2"),
         hamming(col("h1"), col("h2")).cast("long").as("dist"))
   }
+
+  /** Duplicate-span SCRUBBING (RefinedWeb-style; the p11 entry and the
+    * ScaleSmoke row share this plan): re-emit every document with its
+    * duplicated content-defined chunks removed — a chunk occurring in
+    * >= 2 distinct docs survives only at its global canonical owner
+    * (min (id, chunk_idx)); kept chunks are stitched back in position
+    * order, with the scrubbed token count reported. Document TEXT
+    * never crosses the content-keyed exchange: the occurrence frame
+    * ships (id, idx, 32-byte digest) only, ownership resolves on
+    * digests, and the rebuild re-chunks the original row LOCALLY (the
+    * `cdc_chunks` kernel is deterministic — re-deriving chunks trades
+    * CPU for never shuffling the corpus by content hash). The per-doc
+    * drop list is linear in scrubbed occurrences (broadcasts under
+    * AQE; worst case ONE id-keyed text exchange — the floor any
+    * corpus rewrite pays). Output: (idCol, text_scrubbed,
+    * n_toks_scrubbed); dup-free corpora round-trip byte-identically. */
+  def scrubDupSpans(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    def chunks = graft.functions.TokenKernelFns
+      .cdcChunks(spark, col(textCol))
+    val docs = df.select(col(idCol), col(textCol))
+    val occ = docs
+      .select(col(idCol), posexplode(chunks))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        md5(col("col")).as("h"),
+        size(split(col("col"), " ")).cast("long").as("n_toks"))
+    val owners = occ.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        min(struct(col(idCol), col("chunk_idx"))).as("own"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), col("own").getField(idCol).as("o_doc"),
+        col("own").getField("chunk_idx").as("o_idx"))
+    val drops = occ.join(owners, "h")
+      .filter(!(col(idCol) === col("o_doc") &&
+        col("chunk_idx") === col("o_idx")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("chunk_idx"))).as("drop_idx"),
+        sum("n_toks").as("n_scr"))
+    docs.join(drops, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(chunks,
+          (_, i) => !array_contains(
+            coalesce(col("drop_idx"), array().cast("array<bigint>")),
+            i.cast("long"))), " ").as("text_scrubbed"),
+        coalesce(col("n_scr"), lit(0L)).as("n_toks_scrubbed"))
+  }
 }

@@ -345,34 +345,8 @@ object CorpusOps {
     // spaces preserves even empty tokens — CorpusOpsSpec pins both the
     // identity and a non-grid-offset scrub).
     Entry("p11_span_scrub",
-      (s, dir) => {
-        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val occ = docs
-          .select(col("doc_id"), posexplode(cdcChunks(s, col("text"))))
-          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-            md5(col("col")).as("h"),
-            size(split(col("col"), " ")).cast("long").as("n_toks"))
-        val owners = occ.groupBy("h")
-          .agg(countDistinct("doc_id").as("n_docs"),
-            min(struct(col("doc_id"), col("chunk_idx"))).as("own"))
-          .filter(col("n_docs") >= 2)
-          .select(col("h"), col("own").getField("doc_id").as("o_doc"),
-            col("own").getField("chunk_idx").as("o_idx"))
-        val drops = occ.join(owners, "h")
-          .filter(!(col("doc_id") === col("o_doc") &&
-            col("chunk_idx") === col("o_idx")))
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(col("chunk_idx"))).as("drop_idx"),
-            sum("n_toks").as("n_scr"))
-        docs.join(drops, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            array_join(filter(cdcChunks(s, col("text")),
-              (_, i) => !array_contains(
-                coalesce(col("drop_idx"),
-                  array().cast("array<bigint>")), i.cast("long"))),
-              " ").as("text_scrubbed"),
-            coalesce(col("n_scr"), lit(0L)).as("n_toks_scrubbed"))
-      },
+      (s, dir) => Dedup.scrubDupSpans(t(s, dir, "documents"),
+        "text", "doc_id"),
       Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
                           FROM documents),
               pos AS (SELECT doc_id, i, ws[i] AS word

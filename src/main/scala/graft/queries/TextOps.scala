@@ -386,28 +386,8 @@ object TextOps {
     // signature travels WITH the min (no join back), so bucket-sized
     // state never re-shuffles.
     Entry("p12_neardup_gate",
-      (s, dir) => {
-        val toks = split(col("text"), " ")
-        val rows = t(s, dir, "documents")
-          .select(col("doc_id"),
-            graft.functions.TokenKernelFns
-              .minhashSig(s, toks, 32).as("sig"),
-            posexplode(graft.functions.TokenKernelFns
-              .minhashBandBuckets(s, toks, 32, 8)))
-          .select(col("doc_id"), col("sig"),
-            col("pos").cast("long").as("band"), col("col").as("bucket"))
-        val w = Window.partitionBy("band", "bucket")
-        rows
-          .withColumn("keep", min(struct(col("doc_id"), col("sig"))).over(w))
-          .filter(col("doc_id") =!= col("keep").getField("doc_id"))
-          .withColumn("eq", size(filter(
-            zip_with(col("sig"), col("keep").getField("sig"),
-              (a, b) => a === b), x => x)))
-          .select(col("keep").getField("doc_id").as("d1"),
-            col("doc_id").as("d2"), col("band"),
-            expr("1000000L * eq DIV 32").as("est_e6"))
-          .filter(col("est_e6") >= 500000L)
-      },
+      (s, dir) => graft.streaming.NearDupGate.batchVerdicts(
+        t(s, dir, "documents"), "text", "doc_id"),
       Some(neardupGateSql)),
 
     // SimHash signatures + hamming-close pairs (<= 6 of 64 bits) via

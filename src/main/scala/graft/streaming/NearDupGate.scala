@@ -133,4 +133,37 @@ object NearDupGate {
       .flatMapGroupsWithState(OM.Append(),
         GroupStateTimeout.EventTimeTimeout())(gate)
   }
+
+  /** Declarative batch reduction of [[verdicts]] (the hash-gated
+    * `p12_neardup_gate` plan; the ScaleSmoke row shares it): keeper per
+    * (band, bucket) = min id, verified by the signature estimator.
+    * Both kernels row-local, then ONE (band, bucket) exchange — the
+    * min-struct window carries the keeper's signature WITH the min, so
+    * no join back. */
+  def batchVerdicts(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      minEstE6: Long = 500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val toks = split(col(textCol), " ")
+    val rows = docs
+      .select(col(idCol),
+        graft.functions.TokenKernelFns
+          .minhashSig(spark, toks, numHashes).as("sig"),
+        posexplode(graft.functions.TokenKernelFns
+          .minhashBandBuckets(spark, toks, numHashes, bands)))
+      .select(col(idCol), col("sig"),
+        col("pos").cast("long").as("band"), col("col").as("bucket"))
+    val w = Window.partitionBy("band", "bucket")
+    rows
+      .withColumn("keep", min(struct(col(idCol), col("sig"))).over(w))
+      .filter(col(idCol) =!= col("keep").getField(idCol))
+      .withColumn("eq", size(filter(
+        zip_with(col("sig"), col("keep").getField("sig"),
+          (a, b) => a === b), x => x)))
+      .select(col("keep").getField(idCol).as("d1"),
+        col(idCol).as("d2"), col("band"),
+        expr(s"1000000L * eq DIV $numHashes").as("est_e6"))
+      .filter(col("est_e6") >= minEstE6)
+  }
 }
