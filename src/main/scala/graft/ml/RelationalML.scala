@@ -183,7 +183,7 @@ object RelationalML {
     * component matrix — a stateless codegen'd map, streaming-safe. */
   def pcaTransform(df: DataFrame, cols: Seq[String],
       components: Array[Array[Double]], out: String): DataFrame = {
-    val projections = components.map { comp =>
+    val projections = components.toIndexedSeq.map { comp =>
       cols.zipWithIndex.map { case (c, i) => col(c) * lit(comp(i)) }
         .reduce(_ + _)
     }

@@ -667,4 +667,100 @@ class PropertySpec extends AnyFunSuite {
         exact.forall { case (k, c) => c <= bound || got.contains(k) }
     })
   }
+
+  // reference CDC fold (the CorpusOpsSpec helper): boundary token
+  // (md5w % 16 == 0) CLOSES its chunk
+  private def cdcFold(text: String): Seq[String] = {
+    val words = text.split(" ").toSeq
+    words.foldLeft((Vector.empty[Vector[String]], Vector.empty[String])) {
+      case ((done, cur), w) =>
+        val nxt = cur :+ w
+        if (graft.functions.PortableHash
+          .md5wBytes(w.getBytes("UTF-8")) % 16 == 0) (done :+ nxt, Vector())
+        else (done, nxt)
+    } match {
+      case (done, cur) => (done ++ (if (cur.nonEmpty) Seq(cur) else Nil))
+        .map(_.mkString(" "))
+    }
+  }
+
+  test("span scrub equals the set-theoretic brute force on random " +
+      "dup-heavy corpora (ownership, stitching, scrub counts)") {
+    import spark.implicits._
+    def isB(w: String) = graft.functions.PortableHash
+      .md5wBytes(w.getBytes("UTF-8")) % 16 == 0
+    val bWords = (1 to 300).map(i => s"s$i").filter(isB).take(3)
+    // tiny salted vocab => heavy cross-doc chunk collisions, within-doc
+    // repeats, and occasionally fully-scrubbed docs
+    val docGen = Gen.nonEmptyListOf(
+      Gen.oneOf(Seq("a", "b", "cc", "e") ++ bWords)).map(_.mkString(" "))
+    check(Prop.forAll(Gen.chooseNum(2, 7).flatMap(n =>
+        Gen.listOfN(n, docGen))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val occ = docs.flatMap { case (id, t) =>
+        cdcFold(t).zipWithIndex.map { case (c, i) => (id, i.toLong, c) } }
+      val byContent = occ.groupBy(_._3)
+      val dup = byContent.filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val owner = byContent.view.filterKeys(dup)
+        .mapValues(_.map(o => (o._1, o._2)).min).toMap
+      val want = docs.map { case (id, t) =>
+        val ch = cdcFold(t).zipWithIndex
+        val (kept, dropped) = ch.partition { case (c, i) =>
+          !dup(c) || owner(c) == ((id, i.toLong)) }
+        id -> ((kept.map(_._1).mkString(" "),
+          dropped.map(_._1.split(" ").length.toLong).sum))
+      }.toMap
+      val got = Dedup.scrubDupSpans(
+          docs.toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      got == want
+    })
+  }
+
+  test("near-dup gate batch twin equals the per-bucket brute force " +
+      "(portable signature family re-derived locally)") {
+    import spark.implicits._
+    import graft.functions.PortableHash
+    val k = 32
+    val bands = 8
+    val r = k / bands
+    def sigOf(text: String): IndexedSeq[Long] = {
+      val ws = text.split(" ").distinct.toIndexedSeq
+        .map(w => PortableHash.md5wBytes(w.getBytes("UTF-8")) % PortableHash.M)
+      (0 until k).map(i =>
+        ws.map(w => (PortableHash.a(i) * w + PortableHash.b(i))
+          % PortableHash.P).min)
+    }
+    def bucketsOf(sig: IndexedSeq[Long]): IndexedSeq[Long] =
+      (0 until bands).map(b =>
+        sig.slice(b * r, b * r + r)
+          .foldLeft(0L)((acc, x) => (acc * 1000003L + x) % 1000000007L))
+    // overlapping word pools => real near-dups AND real non-matches
+    val docGen = Gen.nonEmptyListOf(
+      Gen.oneOf("a", "b", "cc", "e", "zz", "q")).map(_.mkString(" "))
+    check(Prop.forAll(Gen.chooseNum(2, 6).flatMap(n =>
+        Gen.listOfN(n, docGen))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val sigs = docs.map { case (id, t) => id -> sigOf(t) }.toMap
+      val rows = docs.flatMap { case (id, t) =>
+        bucketsOf(sigs(id)).zipWithIndex.map { case (bk, b) =>
+          (b.toLong, bk, id) } }
+      val want = rows.groupBy(x => (x._1, x._2)).toSeq.flatMap {
+        case ((band, _), members) =>
+          val keeper = members.map(_._3).min
+          members.map(_._3).distinct.filter(_ != keeper).flatMap { d =>
+            val eq = sigs(keeper).zip(sigs(d)).count(p => p._1 == p._2)
+            val est = 1000000L * eq / k
+            if (est >= 500000L) Some((keeper, d, band, est)) else None
+          }
+      }.sorted
+      val got = graft.streaming.NearDupGate.batchVerdicts(
+          docs.toDF("doc_id", "text"), "text", "doc_id")
+        .collect()
+        .map(v => (v.getLong(0), v.getLong(1), v.getLong(2), v.getLong(3)))
+        .toSeq.sorted
+      got == want
+    })
+  }
 }
