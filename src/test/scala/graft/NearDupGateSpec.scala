@@ -110,4 +110,29 @@ class NearDupGateSpec extends AnyFunSuite {
       Seq(Doc(4, ts(30), base))))
     assert(got.nonEmpty && got.forall(v => v._1 == 1L && v._2 == 4L))
   }
+
+  test("gate runs unchanged under the RocksDB state store") {
+    // the 100 TB state backend for the per-bucket signature store:
+    // same verdicts, disk-backed state
+    import spark.implicits._
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Doc](spark)
+      val got = runStream(stream, Seq(
+        Seq(Doc(1, ts(1), base), Doc(2, ts(2), otherY)),
+        Seq(Doc(3, ts(3), variant), Doc(4, ts(4), base))))
+      val flagged = got.map(_._2).distinct
+      assert(flagged.toSet == Set(3L, 4L),
+        s"RocksDB run must flag the same docs, got $flagged")
+      assert(got.filter(_._2 == 4L).forall(_._4 == 1000000L))
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
