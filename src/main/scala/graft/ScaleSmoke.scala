@@ -460,6 +460,22 @@ object ScaleSmoke {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    time("near-dup gate, REAL file stream (AvailableNow micro-batches)") {
+      // the p12 gate as a genuine readStream: parquet file source,
+      // constant event time (no eviction fires, so the per-bucket
+      // signature state covers the whole corpus — worst-case state:
+      // active buckets x 32 longs). Measures micro-batch overhead +
+      // the flatMapGroupsWithState store at 300k/1.5M docs.
+      import org.apache.spark.sql.streaming.Trigger
+      val src = spark.readStream.schema(docs.schema).parquet(s"$base/docs")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      val q = graft.streaming.NearDupGate.verdicts(src, "text", "doc_id",
+          "ts")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/neardup_ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     time("vocab overlap matrix (x39 shape, one (source, token) distinct)") {
       // the redundancy census: per-doc distinct token hashes row-local
       // (fused kernel), ONE (source, k) distinct exchange, pair

@@ -137,32 +137,44 @@ object NearDupGate {
   /** Declarative batch reduction of [[verdicts]] (the hash-gated
     * `p12_neardup_gate` plan; the ScaleSmoke row shares it): keeper per
     * (band, bucket) = min id, verified by the signature estimator.
-    * Both kernels row-local, then ONE (band, bucket) exchange — the
-    * min-struct window carries the keeper's signature WITH the min, so
-    * no join back. */
+    *
+    * Shape: NARROW band rows (band, bucket, id — no signature) feed the
+    * bucket-min aggregate; the keeper and candidate signatures join
+    * back from a per-doc signature frame. The first cut carried the
+    * full signature through a (band, bucket) window instead ("the
+    * keeper's sig travels with the min, no join back") — measured 1.0 s
+    * vs this form's 0.65 s at sf0.1, and the volume argument holds at
+    * every scale: the window form duplicates the 32-long signature
+    * through the exchange ONCE PER BAND (~2 KB/doc); this form ships
+    * ~24 B/doc/band of band rows plus the signature exactly once
+    * (~0.7 KB/doc total), the d1-side sig join is verdict-sized, and
+    * at fixture scale AQE broadcasts both small sides so the wide side
+    * never exchanges at all. Null-text docs (null bucket array) are
+    * filtered like the stream side — they carry nothing to collide on
+    * (and the oracle's unnest drops them identically). */
   def batchVerdicts(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8,
       minEstE6: Long = 500000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val toks = split(col(textCol), " ")
     val rows = docs
-      .select(col(idCol),
-        graft.functions.TokenKernelFns
-          .minhashSig(spark, toks, numHashes).as("sig"),
-        posexplode(graft.functions.TokenKernelFns
-          .minhashBandBuckets(spark, toks, numHashes, bands)))
-      .select(col(idCol), col("sig"),
-        col("pos").cast("long").as("band"), col("col").as("bucket"))
-    val w = Window.partitionBy("band", "bucket")
-    rows
-      .withColumn("keep", min(struct(col(idCol), col("sig"))).over(w))
-      .filter(col(idCol) =!= col("keep").getField(idCol))
+      .select(col(idCol), posexplode(graft.functions.TokenKernelFns
+        .minhashBandBuckets(spark, toks, numHashes, bands)))
+      .filter(col("col").isNotNull)
+      .select(col(idCol), col("pos").cast("long").as("band"),
+        col("col").as("bucket"))
+    val bucketMin = rows.groupBy("band", "bucket")
+      .agg(min(col(idCol)).as("d1"))
+    val sigs = docs.select(col(idCol),
+      graft.functions.TokenKernelFns
+        .minhashSig(spark, toks, numHashes).as("__s"))
+    rows.join(bucketMin, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("d1"))
+      .join(sigs.select(col(idCol), col("__s").as("sig2")), idCol)
+      .join(sigs.select(col(idCol).as("d1"), col("__s").as("sig1")), "d1")
       .withColumn("eq", size(filter(
-        zip_with(col("sig"), col("keep").getField("sig"),
-          (a, b) => a === b), x => x)))
-      .select(col("keep").getField(idCol).as("d1"),
-        col(idCol).as("d2"), col("band"),
+        zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x)))
+      .select(col("d1"), col(idCol).as("d2"), col("band"),
         expr(s"1000000L * eq DIV $numHashes").as("est_e6"))
       .filter(col("est_e6") >= minEstE6)
   }
