@@ -306,12 +306,14 @@ object ScaleSmoke {
       graft.ops.Dedup.scrubDupSpans(docs, "text", "doc_id")
         .write.format("noop").mode("overwrite").save()
     }
-    time("near-dup gate (p12 shape: row-local sigs, one band-bucket window)") {
+    time("near-dup gate (p12 shape: narrow band rows + sig join-backs)") {
       // the streaming gate's batch twin: both MinHash kernels
-      // row-local (no token exchange), verdicts off ONE (band, bucket)
-      // window exchange carrying (id, sig) pairs — linear in docs x
-      // bands at any scale; the estimator replaces exact-Jaccard
-      // verification, so no token set ever shuffles
+      // row-local (no token exchange), bucket-min over narrow
+      // (band, bucket, id) rows, signatures joined back ONCE (the
+      // first-cut window form shipped the sig once per band through
+      // its exchange and measured ~2.5x this row at 10x); the
+      // estimator replaces exact-Jaccard verification, so no token
+      // set ever shuffles
       graft.streaming.NearDupGate.batchVerdicts(docs, "text", "doc_id")
         .write.format("noop").mode("overwrite").save()
     }
