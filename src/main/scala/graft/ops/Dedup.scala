@@ -875,19 +875,26 @@ object Dedup {
       .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
         md5(col("col")).as("h"),
         size(split(col("col"), " ")).cast("long").as("n_toks"))
-    // owner + dup-flag as THREE window aggs over ONE h-keyed exchange:
-    // the groupBy(h)+join-back form computed occ (scan + chunk kernel +
-    // md5) twice and paid a countDistinct two-phase agg plus a
-    // broadcast materialization — profiled 12 single-task AQE jobs at
-    // fixture scale for the same answer. min(id) != max(id) over the
-    // partition is exactly ">= 2 distinct docs" without any set state.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val drops = occ
-      .withColumn("own", min(struct(col(idCol), col("chunk_idx"))).over(w))
-      .withColumn("is_dup", min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
-      .filter(col("is_dup") &&
-        !(col(idCol) === col("own").getField(idCol) &&
-          col("chunk_idx") === col("own").getField("chunk_idx")))
+    // Owners ride a PARTIAL-AGGREGATED h exchange (map-side combine on
+    // the digest, so only per-partition aggregates shuffle) and come
+    // back as a broadcast; the occurrence frame itself NEVER shuffles —
+    // re-deriving occ for the join side costs one more linear kernel
+    // pass, which is the right trade at scale (a windowed single-pass
+    // variant that shuffled the full occurrence frame by h measured
+    // 6.5 s vs this shape's ~5 s at 10x but REGRESSED 17 -> 31 s at
+    // 50x — the occ shuffle+sort grows with the corpus; the kernel
+    // recompute stays scan-bandwidth-bound). min(id) != max(id) is
+    // exactly ">= 2 distinct docs" without countDistinct's two-phase
+    // expand (profiled: the expand added ~4 AQE stage floors here).
+    val owners = occ.groupBy("h")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("own"),
+        min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("h"), col("own").getField(idCol).as("o_doc"),
+        col("own").getField("chunk_idx").as("o_idx"))
+    val drops = occ.join(owners, "h")
+      .filter(!(col(idCol) === col("o_doc") &&
+        col("chunk_idx") === col("o_idx")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("chunk_idx"))).as("drop_idx"),
         sum("n_toks").as("n_scr"))
