@@ -219,7 +219,8 @@ object GdTrainer {
       patience: Int = 5, batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[MlpWeights] =
     TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
-      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w) {
+      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
+          evalOnly = e > maxEpochs) {
         (dfb, ivb, wc) =>
           val (gr, vl) = gradientsVal(dfb, features, label, rowKey, wc, e,
             dropout, ivb)

@@ -282,17 +282,23 @@ object TrainerCommon {
     * hash-uniform (~n/nBatches ±√n), not exact — same as every split
     * in this engine. */
   def batchedEpoch[W](df: org.apache.spark.sql.DataFrame, isVal: Column,
-      batchKeys: Seq[Column], nBatches: Int, epoch: Int, w0: W)(
+      batchKeys: Seq[Column], nBatches: Int, epoch: Int, w0: W,
+      evalOnly: Boolean = false)(
       pass: (org.apache.spark.sql.DataFrame, Column, W) =>
         (W, Double, Option[Double])): (W, Double, Double) = {
     require(nBatches >= 1, "nBatches >= 1")
     require(nBatches == 1 || batchKeys.nonEmpty,
       "mini-batching needs batchKeys (the rows' identity columns)")
+    // evalOnly (the earlyStop trailing pass, e = maxEpochs + 1): only
+    // the FIRST batch pass is consumed — its val number — so batches
+    // 1..n-1 would be nBatches-1 discarded full scans + optimizer
+    // mutations on state that is about to be dropped. Run batch 0 only.
+    val nRun = if (evalOnly) 1 else nBatches
     var w = w0
     var lossSum = 0.0
     var vl: Option[Double] = None
     var b = 0
-    while (b < nBatches) {
+    while (b < nRun) {
       val (dfb, ivb) =
         if (nBatches == 1) (df, isVal)
         else {
@@ -306,8 +312,37 @@ object TrainerCommon {
       lossSum += loss
       b += 1
     }
-    (w, lossSum / nBatches,
+    (w, lossSum / nRun,
       vl.getOrElse(sys.error("batchedEpoch: empty validation slice")))
+  }
+
+  /** Fixed-epoch batched fit loop for the no-validation twins
+    * (`fitOpt` on families without an ES variant): epochs × nBatches
+    * optimizer steps over row-local hash-batch predicate views
+    * ([[batchOf]]); nBatches = 1 short-circuits to the historical
+    * full-batch pass with no filter in the plan. Returns per-epoch
+    * mean batch loss. Kept here so batch semantics live in ONE place
+    * beside [[batchedEpoch]] — per-family copies diverge silently. */
+  def fitLoop[W](df: org.apache.spark.sql.DataFrame, epochs: Int,
+      batchKeys: Seq[Column], nBatches: Int, w0: W)(
+      step: (org.apache.spark.sql.DataFrame, W) => (W, Double))
+      : (W, Seq[Double]) = {
+    require(nBatches == 1 || batchKeys.nonEmpty, "mini-batching needs keys")
+    var w = w0
+    val losses = (1 to epochs).map { e =>
+      var lossSum = 0.0
+      var b = 0
+      while (b < nBatches) {
+        val dfb = if (nBatches == 1) df else df.filter(
+          batchOf(batchKeys, e, nBatches) === b)
+        val (w2, loss) = step(dfb, w)
+        w = w2
+        lossSum += loss
+        b += 1
+      }
+      lossSum / nBatches
+    }
+    (w, losses)
   }
 
   /** Outcome of [[earlyStop]]: weights restored to the best-val epoch,

@@ -299,22 +299,9 @@ object WideConv2 {
   def fitOpt(df: DataFrame, xs: Seq[Column], label: Column,
       w0: Conv2Weights, epochs: Int, opt: TrainerCommon.Optimizer,
       batchKeys: Seq[Column] = Nil,
-      nBatches: Int = 1): (Conv2Weights, Seq[Double]) = {
-    require(nBatches == 1 || batchKeys.nonEmpty, "mini-batching needs keys")
-    var w = w0
-    val losses = (1 to epochs).map { e =>
-      var lossSum = 0.0
-      var b = 0
-      while (b < nBatches) {
-        val dfb = if (nBatches == 1) df else df.filter(
-          TrainerCommon.batchOf(batchKeys, e, nBatches) === b)
-        val gr = gradients(dfb, xs, label, w)
-        w = Conv2Trainer.applyOpt(w, gr, opt)
-        lossSum += gr.loss
-        b += 1
-      }
-      lossSum / nBatches
+      nBatches: Int = 1): (Conv2Weights, Seq[Double]) =
+    TrainerCommon.fitLoop(df, epochs, batchKeys, nBatches, w0) { (dfb, w) =>
+      val gr = gradients(dfb, xs, label, w)
+      (Conv2Trainer.applyOpt(w, gr, opt), gr.loss)
     }
-    (w, losses)
-  }
 }

@@ -227,22 +227,9 @@ object WideLstm {
   def fitOpt(df: DataFrame, xs: Seq[Column], label: Column,
       w0: LstmWeights, epochs: Int, opt: TrainerCommon.Optimizer,
       batchKeys: Seq[Column] = Nil,
-      nBatches: Int = 1): (LstmWeights, Seq[Double]) = {
-    require(nBatches == 1 || batchKeys.nonEmpty, "mini-batching needs keys")
-    var w = w0
-    val losses = (1 to epochs).map { e =>
-      var lossSum = 0.0
-      var b = 0
-      while (b < nBatches) {
-        val dfb = if (nBatches == 1) df else df.filter(
-          TrainerCommon.batchOf(batchKeys, e, nBatches) === b)
-        val gr = gradients(dfb, xs, label, w)
-        w = LstmTrainer.applyOpt(w, gr, opt)
-        lossSum += gr.loss
-        b += 1
-      }
-      lossSum / nBatches
+      nBatches: Int = 1): (LstmWeights, Seq[Double]) =
+    TrainerCommon.fitLoop(df, epochs, batchKeys, nBatches, w0) { (dfb, w) =>
+      val gr = gradients(dfb, xs, label, w)
+      (LstmTrainer.applyOpt(w, gr, opt), gr.loss)
     }
-    (w, losses)
-  }
 }

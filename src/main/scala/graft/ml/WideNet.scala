@@ -414,7 +414,8 @@ object WideNet {
       patience: Int = 5, batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[NetWeights] =
     TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
-      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w) {
+      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
+          evalOnly = e > maxEpochs) {
         (dfb, ivb, wc) =>
           val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
             dropout, ivb)

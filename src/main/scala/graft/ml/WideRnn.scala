@@ -215,7 +215,8 @@ object WideRnn {
       patience: Int = 5, batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[RnnWeights] =
     TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
-      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w) {
+      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
+          evalOnly = e > maxEpochs) {
         (dfb, ivb, wc) =>
           val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
             dropout, ivb)

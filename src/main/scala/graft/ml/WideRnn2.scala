@@ -278,7 +278,8 @@ object WideRnn2 {
       batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[W] =
     TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
-      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w) {
+      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
+          evalOnly = e > maxEpochs) {
         (dfb, ivb, wc) =>
           val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
             dropout, ivb)

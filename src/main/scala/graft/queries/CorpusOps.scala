@@ -385,7 +385,8 @@ object CorpusOps {
                      coalesce(s2.n_toks_scrubbed, 0) AS n_toks_scrubbed
               FROM documents d0
               LEFT JOIN stitched st USING (doc_id)
-              LEFT JOIN scr s2 USING (doc_id)""")),
+              LEFT JOIN scr s2 USING (doc_id)
+              ORDER BY d0.doc_id""")),
 
     // P7 — length-bucketed batching report: docs grouped into
     // power-of-two token-length buckets with the PADDING WASTE each

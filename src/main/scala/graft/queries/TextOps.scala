@@ -381,10 +381,11 @@ object TextOps {
     // numHashes longs per bucket — exact verification would put
     // document-sized token sets in a state store; x34 calibrates this
     // estimator against exact Jaccard on the same corpus). Plan: both
-    // kernels row-local, then ONE (band, bucket) exchange that the
-    // min-struct window and the estimator both ride — the keeper's
-    // signature travels WITH the min (no join back), so bucket-sized
-    // state never re-shuffles.
+    // kernels row-local, bucket-min over NARROW (band, bucket, id)
+    // rows, then the two signatures join back by id — the first-cut
+    // window form shipped the 32-long signature once per band THROUGH
+    // the bucket exchange and measured ~2.5x this plan's smoke rows at
+    // both 10x and 50x (see NearDupGate.batchVerdicts).
     Entry("p12_neardup_gate",
       (s, dir) => graft.streaming.NearDupGate.batchVerdicts(
         t(s, dir, "documents"), "text", "doc_id"),

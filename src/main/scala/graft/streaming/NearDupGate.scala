@@ -108,7 +108,14 @@ object NearDupGate {
         rep match {
           case None =>
             rep = Some(RepSig(d.doc_id, d.sig, d.ts.getTime))
-          case Some(r) if r.doc_id == d.doc_id => // same doc re-keyed
+          case Some(r) if r.doc_id == d.doc_id =>
+            // same doc re-fetched: no verdict, but the bucket is ACTIVE
+            // — refresh last_ms, else the timeout below could be set
+            // from a stale arrival time already behind the watermark
+            // (Spark rejects timeouts below the watermark and kills
+            // the query) and an actively re-crawled bucket would evict
+            // at original-arrival + TTL, silently un-gating later dups
+            rep = Some(r.copy(last_ms = math.max(r.last_ms, d.ts.getTime)))
           case Some(r) =>
             var eq = 0
             var i = 0
@@ -123,7 +130,12 @@ object NearDupGate {
       }
       rep.foreach { r =>
         state.update(r)
-        if (streaming) state.setTimeoutTimestamp(r.last_ms + ttlMs)
+        // clamp above the current watermark: a group whose only
+        // arrivals this batch were allowed-lateness stragglers can
+        // still carry last_ms + ttl at-or-below the watermark, which
+        // setTimeoutTimestamp rejects (query-fatal)
+        if (streaming) state.setTimeoutTimestamp(
+          math.max(r.last_ms + ttlMs, state.getCurrentWatermarkMs() + 1L))
       }
       out.result().iterator
     }

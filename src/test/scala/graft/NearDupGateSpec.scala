@@ -111,6 +111,32 @@ class NearDupGateSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(v => v._1 == 1L && v._2 == 4L))
   }
 
+  test("a same-doc re-fetch refreshes the representative's activity " +
+      "time: no watermark-violating timeout, bucket stays alive") {
+    // regression: the same-doc branch used to leave last_ms at the
+    // ORIGINAL arrival, so once the watermark passed last_ms + ttl the
+    // re-fetch's setTimeoutTimestamp fell below the watermark — a
+    // query-fatal IllegalArgumentException — and an actively
+    // re-crawled bucket would otherwise evict at original + TTL
+    import spark.implicits._
+    val stream = MemoryStream[Doc](spark)
+    val got = runStream(stream, Seq(
+      Seq(Doc(1, ts(0), base)),
+      // advances the watermark to 200 - 60 = 140 min, past doc 1's
+      // original 60-min timeout (but doc 1's buckets see no data, and
+      // timeouts only fire from the NEXT batch on)
+      Seq(Doc(2, ts(200), otherY)),
+      // the re-fetch: same doc_id, same buckets, processed while the
+      // watermark (140) is already past the stale last_ms + ttl (60) —
+      // crashes without the refresh; with it, last_ms moves to 202
+      Seq(Doc(1, ts(202), base)),
+      // near-dup probe: the bucket must still be alive (timeout now
+      // 262 > watermark 142), so this flags against representative 1
+      Seq(Doc(5, ts(210), variant))))
+    assert(got.nonEmpty && got.forall(v => v._1 == 1L && v._2 == 5L),
+      s"probe must flag against the refreshed representative, got $got")
+  }
+
   test("gate runs unchanged under the RocksDB state store") {
     // the 100 TB state backend for the per-bucket signature store:
     // same verdicts, disk-backed state
