@@ -149,7 +149,13 @@ object GraphLayout {
     // once. The oracle replays all 3 steps as chained CTEs.
     Entry("q45_pagerank",
       (s, dir) => {
-        val edges = t(s, dir, "orders")
+        // broadcast the orders side: projected to two longs it is
+        // node-count-sized (~2.4 MB at sf0.1), and the fit session
+        // runs AQE-off so the static planner would otherwise
+        // sort-merge the edge fill — the single most expensive stage
+        // of the whole fit (profiled ~7 s task CPU at sf0.1)
+        val edges = broadcast(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")))
           .join(t(s, dir, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
           .select((col("o_custkey") * 4).cast("long").as("src"),
