@@ -64,6 +64,18 @@ case class MinHashAgg(
         if (h < buffer(i)) buffer(i) = h
         i += 1
       }
+    } else {
+      // declarative parity: xxhash64 SKIPS null children, so
+      // min(xxhash64(lit(i), tok)) sees a null token as the bare seed
+      // chain — hashInt(i, 42) = seeds(i) — not as an absent row.
+      // Dropping nulls here silently diverged the signature (and the
+      // LSH candidate set) from the documented equivalent on any
+      // nullable token column; TokenKernels preserves the same rule.
+      var i = 0
+      while (i < numHashes) {
+        if (seeds(i) < buffer(i)) buffer(i) = seeds(i)
+        i += 1
+      }
     }
     buffer
   }

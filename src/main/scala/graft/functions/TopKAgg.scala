@@ -106,14 +106,21 @@ object TopKAgg {
     * entries. Simple sorted-insert on small k — k is single digits in
     * every top-k-per-group workload, so O(k) insert beats heap
     * constant factors. Ordering: (s1, id1) beats (s2, id2) iff
-    * s1 > s2 || (s1 == s2 && id1 < id2). */
+    * s1 > s2 || (s1 == s2 && id1 < id2), under SPARK'S double total
+    * order (java.lang.Double.compare: NaN greatest, -0.0 < 0.0) — IEEE
+    * `>`/`==` are both false against NaN, which made the buffer
+    * arrival-order dependent (a NaN in the last slot rejected every
+    * later real score) and diverged from the row_number-over-desc
+    * window form this aggregate documents bit-parity with. */
   final class Heap(k: Int) {
     private var scores = new Array[Double](k)
     private var ids = new Array[Long](k)
     private var n = 0
 
-    private def beats(s1: Double, id1: Long, s2: Double, id2: Long) =
-      s1 > s2 || (s1 == s2 && id1 < id2)
+    private def beats(s1: Double, id1: Long, s2: Double, id2: Long) = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && id1 < id2)
+    }
 
     def offer(s: Double, id: Long): Unit = {
       if (n < k || beats(s, id, scores(n - 1), ids(n - 1))) {

@@ -24,8 +24,14 @@ object Bucketing {
       .saveAsTable(table)
   }
 
-  /** True when the executed plan of `df` contains no shuffle exchange —
-    * the property bucketing buys. */
+  /** True when the executed plan of `df` contains no SHUFFLE exchange —
+    * the property bucketing buys. Matches the shuffle node name at a
+    * word boundary, so `BroadcastExchange` (which moves no shuffle
+    * data) no longer misreports a broadcast-probed bucketed join as
+    * shuffling (review find). String-based on purpose: the plan's
+    * toString includes the inner plan of AdaptiveSparkPlanExec, which
+    * a tree walk misses (AQE's wrapper is a leaf node). */
   def isExchangeFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange ")
+    """\bExchange """.r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isEmpty
 }

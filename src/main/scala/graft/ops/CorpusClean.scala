@@ -184,16 +184,20 @@ object CorpusClean {
 
     val (cleaned, nearRow) =
       if (config.nearDedup) {
-        val assignments = Dedup.minhashLshDedup(exact, textCol, idCol,
+        // minhashLshDedupReps: `exact` is already one row per distinct
+        // content — the public entry point would re-run the digest
+        // exchange + window as an idempotent no-op. The drop set is
+        // the assignment's d2 column directly: every verified doc has
+        // exactly one (keeper, doc) row, and the transitive-root chase
+        // (resolveClusters) changes only the root column, which nothing
+        // here reads — running it cost a FitSession clone plus
+        // per-iteration join/persist/count jobs for an identical kept
+        // frame (review find).
+        val assignments = Dedup.minhashLshDedupReps(exact, textCol, idCol,
           config.minHashes, config.bands, config.jaccardThreshold)
-        // resolveClusters returns its final iteration persisted; release
-        // it once the keep-count is materialized (same no-leak discipline
-        // as the decontamination cache below)
-        val roots = Dedup.resolveClusters(assignments)
-        val kept = exact.join(roots.select(col("doc").as(idCol)),
+        val kept = exact.join(assignments.select(col("d2").as(idCol)),
           Seq(idCol), "left_anti")
         val n3 = kept.count()
-        roots.unpersist()
         (kept, Seq(("near_dedup", n2, n3)))
       } else (exact, Nil)
     // All audit counts are materialized; release the stage caches so

@@ -454,21 +454,33 @@ object Dedup {
   }
 
   def minhashLshDedup(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val reps = exact(df, textCol, idCol)
+      numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    minhashLshDedupReps(exact(df, textCol, idCol), textCol, idCol,
+      numHashes, bands, threshold)
+
+  /** [[minhashLshDedup]] minus the exact pre-pass, for callers whose
+    * input is ALREADY one row per distinct content (CorpusClean runs
+    * [[exact]] as its own audited stage — re-running it here paid a
+    * second corpus-wide sha2 + digest exchange + window for an
+    * idempotent no-op). */
+  private[graft] def minhashLshDedupReps(reps: DataFrame, textCol: String,
+      idCol: String, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     val sets = reps.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
-    // ONE aggregation computes BOTH per-doc artifacts the pipeline
-    // needs — the MinHash signature (banding input) and the hashed
-    // token set (exact-Jaccard verify input). The previous shape ran
-    // two independent groupBy(id) passes over the token long-form (the
-    // largest frame in the pipeline); sharing the exchange halves the
-    // token-frame shuffle volume at any scale.
+    // One WRITTEN aggregation yields both per-doc artifacts — the
+    // MinHash signature (banding input) and the hashed token set
+    // (exact-Jaccard verify input). NOTE the plan does not fully share
+    // it: Catalyst column pruning splits the aggregate into a sig-only
+    // copy and a sig+toks copy, so the token long-form still crosses
+    // the wire twice (profiled at sf0.1 — the finding that motivated
+    // [[minhashLshDedupPortable]]'s expression-form redesign, where
+    // every consumer prunes ONE digest-keyed exchange instead).
     val perDoc = sets
       .select(col(idCol), col("tok"), xxhash64(col("tok")).as("tk"))
       .groupBy(col(idCol))
       .agg(graft.functions.MinHashAgg
-          .minhashAgg(df.sparkSession, col("tok"), numHashes).as("sig"),
+          .minhashAgg(reps.sparkSession, col("tok"), numHashes).as("sig"),
         collect_set(col("tk")).as("toks"))
     val buckets = bucketRows(perDoc.select(col(idCol), col("sig")),
       idCol, bands, numHashes)

@@ -34,7 +34,10 @@ object RangeJoin {
     l.join(r, col(key) === col("__rk") && col("__probe") === col("__rbin") &&
         col("__rts") >= col(ts) - expr(s"INTERVAL $bandSeconds SECONDS") &&
         col("__rts") < col(ts))
-      .drop("__bin", "__probe", "__rbin", "__rk")
+      // __rts included: leaking the internal right-timestamp column
+      // violated the "left columns + right valueCols" contract (and
+      // collided with any left frame owning a __rts of its own)
+      .drop("__bin", "__probe", "__rbin", "__rk", "__rts")
   }
 
   /** Banded INTERVAL-OVERLAP join — both sides are [start, end)

@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join where `left` carries skewed join keys. Every left row
-    * gets a deterministic salt in [0, saltFactor) (hashed from the full
-    * row, so re-runs agree); the right side is replicated saltFactor
+    * gets a salt in [0, saltFactor) by per-partition round-robin
+    * (`monotonically_increasing_id % saltFactor`) — NOT a row-content
+    * hash: byte-identical hot rows (exactly what a duplicate-heavy
+    * pre-dedup corpus produces) would all hash to ONE salt, paying the
+    * full replication cost for zero skew relief (review find). Salt
+    * values are partitioning-only state; the join's ROW SET is
+    * identical for any salt assignment, so retries/re-runs stay
+    * semantically stable. The right side is replicated saltFactor
     * times; the join key becomes (key, salt). A hot key's rows now land
     * on saltFactor different reducers instead of one. Cost: right side
     * shuffles saltFactor x — use for big-left / modest-right joins.
@@ -37,8 +43,7 @@ object Skew {
     val leftBytes = left.queryExecution.optimizedPlan.stats.sizeInBytes
     if (leftBytes < minLeftBytes)
       return left.join(right, left(leftKey) === right(rightKey))
-    val salt = pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*),
-      lit(saltFactor))
+    val salt = pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
     val saltedLeft = left.withColumn("__salt", salt)
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<long>")))
@@ -56,8 +61,9 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
       saltFactor: Int): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
-      lit(saltFactor))
+    // round-robin, not a row-content hash: identical hot rows must
+    // split across salts too (same rationale as [[saltedJoin]])
+    val salt = pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
     df.withColumn("__salt", salt)
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))

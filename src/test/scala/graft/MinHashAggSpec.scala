@@ -33,6 +33,23 @@ class MinHashAggSpec extends AnyFunSuite {
     assert(whole == split)
   }
 
+  test("null tokens keep declarative parity (xxhash64 skips null " +
+      "children: a null contributes the bare seed, not an absent row)") {
+    // regression: update() used to DROP null tokens, while
+    // min(xxhash64(lit(i), tok)) sees them as hashInt(i, 42) — a
+    // non-null min candidate — so signatures (and LSH candidates)
+    // silently diverged on nullable token columns
+    import spark.implicits._
+    val df = Seq((1L, Option("a")), (1L, Option("b")), (1L, None),
+      (2L, None)).toDF("doc_id", "tok")
+    val declarative = Dedup.minhashSignatures(df, "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val imperative = Dedup.minhashSignaturesAgg(df, "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(imperative == declarative,
+      s"null-token signatures diverge: $imperative vs $declarative")
+  }
+
   test("minhash_agg is SQL-callable after registration") {
     graft.functions.MinHashAgg.register(spark)
     import spark.implicits._

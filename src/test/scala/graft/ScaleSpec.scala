@@ -27,6 +27,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoin stays exact on byte-identical hot rows (the salt " +
+      "is round-robin, not a row-content hash)") {
+    import spark.implicits._
+    // 500 identical rows on one hot key: a full-row-hash salt put all
+    // of them on ONE (key, salt) reducer — zero skew relief (review
+    // find); round-robin spreads them while the row set stays exact
+    val left = Seq.fill(500)((1L, "dup")).toDF("k", "v")
+    val right = Seq((1L, "r1"), (2L, "r2")).toDF("rk", "rv")
+    val got = Skew.saltedJoin(left, right, "k", "rk", 4, minLeftBytes = 0L)
+      .groupBy("rv").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("r1", 500L)))
+  }
+
   test("salted join key includes the salt in the join condition") {
     val li = Tables.load(spark, dir, "lineitem").select("l_orderkey")
     val o = Tables.load(spark, dir, "orders").select("o_orderkey")

@@ -40,6 +40,32 @@ class TopKAggSpec extends AnyFunSuite {
     assert(run(df) == run(df.repartition(13)))
   }
 
+  test("NaN scores follow Spark's total order (NaN greatest) and keep " +
+      "the result arrival-order independent") {
+    // regression: IEEE > / == are both false against NaN, so the heap
+    // rejected a NaN against any buffer AND any real score against a
+    // buffered NaN — output depended on partition/merge order and
+    // diverged from the row_number-over-desc window form (NaN first)
+    import spark.implicits._
+    val rows = Seq((1L, 5.0, 10L), (1L, Double.NaN, 20L), (1L, 7.0, 30L))
+    def run(data: Seq[(Long, Double, Long)], parts: Int) =
+      data.toDF("g", "score", "id").repartition(parts).groupBy("g")
+        .agg(TopKAgg.topkAgg(spark, col("score"), col("id"), 2).as("t"))
+        .select(explode(col("t"))).select("col.id")
+        .collect().map(_.getLong(0)).toSeq
+    // NaN ranks first (Spark total order), then 7.0 — for every
+    // arrival order and partitioning
+    for (perm <- rows.permutations; p <- Seq(1, 3))
+      assert(run(perm, p) == Seq(20L, 30L),
+        s"order-dependent top-k for $perm at $p partitions")
+    // parity with the window form on the same data
+    val w = Window.partitionBy("g").orderBy(desc("score"), asc("id"))
+    val viaWindow = rows.toDF("g", "score", "id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .orderBy("rn").select("id").collect().map(_.getLong(0)).toSeq
+    assert(viaWindow == Seq(20L, 30L), s"window form read $viaWindow")
+  }
+
   test("score ties break toward the smaller id") {
     import spark.implicits._
     val df = Seq((1L, 5.0, 30L), (1L, 5.0, 10L), (1L, 5.0, 20L))
