@@ -45,7 +45,10 @@ object Pipelines {
   /** Raw-path pipeline (reference `main.py:47-66`): label indexer +
     * assembler over numeric columns, nothing else. */
   def rawPipeline(df: DataFrame, labelCol: String): Pipeline = {
-    val (numeric, _) = featureColumns(df, Set(labelCol, "label"))
+    // same exclusion set as preprocessPipeline's default: a numeric
+    // "Label" column is the exact leak the class doc calls fixed —
+    // omitting it here left the leak alive on the raw path
+    val (numeric, _) = featureColumns(df, Set(labelCol, "label", "Label"))
     new Pipeline().setStages(Array(
       new StringIndexer().setInputCol(labelCol).setOutputCol("label"),
       new VectorAssembler().setInputCols(numeric.toArray)

@@ -96,7 +96,15 @@ object RelationalML {
   def scalerFit(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
     val aggs = cols.map(c => stddev_samp(col(c)).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+    cols.zipWithIndex.map { case (c, i) =>
+      // explicit error over getDouble's opaque NPE (the imputerFit
+      // guard): stddev_samp is NULL on an empty frame or all-null
+      // column, and a single-row column yields NaN — scalerTransform's
+      // zero-variance guard handles the NaN downstream
+      require(!row.isNullAt(i),
+        s"scalerFit: column '$c' has no non-null values")
+      c -> row.getDouble(i)
+    }.toMap
   }
 
   /** StandardScaler transform: x / std; zero-variance columns pass
@@ -161,11 +169,17 @@ object RelationalML {
     val d = cols.length
     require(k <= d, s"k=$k > d=$d")
     val pairs = for (i <- 0 until d; j <- i until d) yield (i, j)
+    // cast to double INSIDE the sums: integer feature columns would
+    // otherwise aggregate as LongType and getDouble below would throw
+    // ClassCastException (avg already returns double for any numeric)
     val aggs = cols.map(c => avg(col(c)).as(s"m_$c")) ++
       pairs.map { case (i, j) =>
-        sum(col(cols(i)) * col(cols(j))).as(s"s_${i}_$j") } ++
+        sum(col(cols(i)).cast("double") * col(cols(j)).cast("double"))
+          .as(s"s_${i}_$j") } ++
       Seq(count(lit(1)).as("n"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(0),
+      "pcaFit: empty input frame (no rows to fit on)")
     val means = (0 until d).map(row.getDouble(_)).toArray
     val n = row.getLong(row.length - 1).toDouble
     val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)

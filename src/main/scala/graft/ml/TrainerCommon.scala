@@ -15,12 +15,23 @@ object TrainerCommon {
   /** Stable log-softmax cross-entropy head over staged logit columns
     * `zc` with int label column `y`: returns (dzo_o columns aliased
     * `dzo_$o`, loss column aliased `loss`) where dzo_o = p_o - 1[y=o]
-    * and loss = logsumexp(z) - z_y (max-shifted). */
+    * and loss = logsumexp(z) - z_y (max-shifted). A null or
+    * out-of-range label FAILS the job (Keras parity: it raises on
+    * out-of-range sparse labels): the when(y === o) sum is never true
+    * for such a label, so without the guard the z_y term silently
+    * dropped to 0 and every class was pushed down — corrupted
+    * training with no error. stringIndexerTransform emits null for
+    * unseen labels, so the case is reachable from public plumbing. */
   def softmaxHead(zc: Seq[Column], y: Column): (Seq[Column], Column) = {
     val m = zc.reduce(greatest(_, _))
     val denom = zc.map(z => exp(z - m)).reduce(_ + _)
-    val loss = (log(denom) + m - zc.zipWithIndex.map { case (z, o) =>
-      when(y === o, z).otherwise(lit(0.0)) }.reduce(_ + _)).as("loss")
+    val guard = assert_true(y.isNotNull && y >= 0 && y < zc.length,
+      concat(lit(s"softmaxHead: label outside 0..${zc.length - 1}: "),
+        coalesce(y.cast("string"), lit("null"))))
+    val loss = (when(guard.isNull,
+      log(denom) + m - zc.zipWithIndex.map { case (z, o) =>
+        when(y === o, z).otherwise(lit(0.0)) }.reduce(_ + _)))
+      .as("loss")
     val dzo = zc.zipWithIndex.map { case (z, o) =>
       (exp(z - m) / denom - when(y === o, 1.0).otherwise(0.0)).as(s"dzo_$o")
     }
@@ -280,7 +291,14 @@ object TrainerCommon {
     * small; the reference's batch_size=64 is a single-node Keras
     * constant, not a distributed contract. Batch sizes here are
     * hash-uniform (~n/nBatches ±√n), not exact — same as every split
-    * in this engine. */
+    * in this engine. Corollary: a batch CAN draw empty when nBatches
+    * is comparable to the row count (P ≈ (1−1/nB)^n per batch-epoch;
+    * astronomically small in any real regime — e.g. ~e⁻⁶⁴ at the
+    * reference's mean batch size — but ~0.2% per draw at nB=10 over
+    * 60 rows), and an empty draw fails fast in the trainer's
+    * empty-input require rather than silently skipping an update —
+    * keep nBatches ≪ n, unlike Keras partitioning which cannot draw
+    * empty. */
   def batchedEpoch[W](df: org.apache.spark.sql.DataFrame, isVal: Column,
       batchKeys: Seq[Column], nBatches: Int, epoch: Int, w0: W,
       evalOnly: Boolean = false)(

@@ -13,13 +13,14 @@ import javax.imageio.ImageIO
   * this renderer the engine does too, closing the S4 format delta —
   * [[PlotSink]]'s entry points write both `.svg` and `.png`.
   *
-  * Geometry, palette, annotation rules (per-bar value labels, the
-  * heatmap's >half-max contrast flip) are shared constants with the SVG
-  * sink so the two outputs depict identical charts.
+  * Geometry, palette, and annotation rules (per-bar value labels, the
+  * heatmap's >half-max contrast flip) are SHARED CODE with the SVG
+  * sink ([[PlotSink.Geom]] — constants and scale formulas both), so
+  * the two outputs depict identical charts by construction.
   */
 object PlotPng {
 
-  import PlotSink.{H, MB, ML, MR, MT, W, palette}
+  import PlotSink.{Geom, H, MB, ML, MR, MT, W, palette}
 
   private def awt(hex: String): Color = Color.decode(hex)
 
@@ -68,13 +69,9 @@ object PlotPng {
   def lineChart(series: Seq[(String, Seq[Double])], chartTitle: String,
       xLabel: String = "Epoch", yLabel: String = "Value"): BufferedImage = {
     require(series.nonEmpty && series.forall(_._2.nonEmpty), "empty series")
-    val all = series.flatMap(_._2)
-    val (lo, hi0) = (all.min, all.max)
-    val hi = if (hi0 == lo) lo + 1.0 else hi0
-    val n = series.map(_._2.length).max
-    def x(i: Int): Double =
-      ML + (W - ML - MR) * (if (n == 1) 0.5 else i.toDouble / (n - 1))
-    def y(v: Double): Double = (H - MB) - (H - MB - MT) * (v - lo) / (hi - lo)
+    val (lo, hi, n) = Geom.lineScales(series)
+    def x(i: Int): Double = Geom.lineX(n, i)
+    def y(v: Double): Double = Geom.lineY(lo, hi, v)
     val (img, g) = canvas()
     title(g, chartTitle)
     axes(g, xLabel, yLabel)
@@ -102,16 +99,16 @@ object PlotPng {
       yMax: Option[Double] = None): BufferedImage = {
     require(labels.length == values.length && labels.nonEmpty, "bad bars")
     require(values.forall(_ >= 0), "barChart requires non-negative values")
-    val hi = yMax.getOrElse(math.max(values.max, 1e-12) * 1.1)
+    val hi = Geom.barHi(values, yMax)
     val n = labels.length
-    val bw = (W - ML - MR) / (n * 2.0)
-    def y(v: Double): Double = (H - MB) - (H - MB - MT) * (v / hi)
+    val bw = Geom.barWidth(n)
+    def y(v: Double): Double = Geom.barY(hi, v)
     val (img, g) = canvas()
     title(g, chartTitle)
     axes(g, xLabel, yLabel)
     g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 11))
     labels.indices.foreach { i =>
-      val cx = ML + (W - ML - MR) * (i + 0.5) / n
+      val cx = Geom.barCx(n, i)
       val top = y(values(i))
       g.setColor(awt(palette(i % palette.length)))
       g.fillRect((cx - bw / 2).toInt, top.toInt, bw.toInt,
@@ -131,14 +128,14 @@ object PlotPng {
     require(cm.nonEmpty && cm.forall(_.length == cm.head.length), "ragged cm")
     val k = cm.length
     val hi = math.max(cm.map(_.max).max, 1L)
-    val cell = math.min((W - ML - MR) / k, (H - MB - MT) / k)
+    val cell = Geom.heatCell(k)
     require(cell >= 1, s"confusion matrix too large to render: $k classes")
     val (img, g) = canvas()
     title(g, chartTitle)
     g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 11))
     for (i <- 0 until k; j <- 0 until k) {
       val v = cm(i)(j)
-      val shade = (255 - v.toDouble / hi * 180).toInt
+      val shade = Geom.heatShade(v, hi)
       val (cx, cy) = (ML + j * cell, MT + i * cell)
       g.setColor(new Color(shade, shade, 255))
       g.fillRect(cx, cy, cell, cell)

@@ -50,23 +50,59 @@ object PlotSink {
   private[sources] val palette = Seq("#1f77b4", "#2ca02c", "#d62728",
     "#ff7f0e", "#9467bd", "#8c564b")
 
+  /** Chart geometry shared by the SVG and PNG renderers — ONE set of
+    * scale formulas, so the two outputs cannot drift (the constants
+    * were shared but the lo/hi/x/y/bar/cell math was copy-pasted,
+    * and the copies had already diverged on single-point series:
+    * the PNG drew a dot where the SVG polyline rendered nothing). */
+  private[sources] object Geom {
+    /** (lo, hi, n) for a line chart: y spans [min, max] (degenerate
+      * flat series get a unit span), x spans the longest series. */
+    def lineScales(series: Seq[(String, Seq[Double])])
+        : (Double, Double, Int) = {
+      val all = series.flatMap(_._2)
+      val lo = all.min
+      val hi0 = all.max
+      (lo, if (hi0 == lo) lo + 1.0 else hi0, series.map(_._2.length).max)
+    }
+    def lineX(n: Int, i: Int): Double =
+      ML + (W - ML - MR) * (if (n == 1) 0.5 else i.toDouble / (n - 1))
+    def lineY(lo: Double, hi: Double, v: Double): Double =
+      (H - MB) - (H - MB - MT) * (v - lo) / (hi - lo)
+    def barHi(values: Seq[Double], yMax: Option[Double]): Double =
+      yMax.getOrElse(math.max(values.max, 1e-12) * 1.1)
+    def barWidth(n: Int): Double = (W - ML - MR) / (n * 2.0)
+    def barCx(n: Int, i: Int): Double = ML + (W - ML - MR) * (i + 0.5) / n
+    def barY(hi: Double, v: Double): Double =
+      (H - MB) - (H - MB - MT) * (v / hi)
+    def heatCell(k: Int): Int =
+      math.min((W - ML - MR) / k, (H - MB - MT) / k)
+    /** white -> blue shade channel; >half-max cells flip to white text. */
+    def heatShade(v: Long, hi: Long): Int =
+      (255 - v.toDouble / hi * 180).toInt
+  }
+
   /** Multi-series line chart (the accuracy/loss curve shape): series =
     * (name, per-epoch values). Y spans [min, max] of the data, X is the
     * epoch index. */
   def lineChart(series: Seq[(String, Seq[Double])], title: String,
       xLabel: String = "Epoch", yLabel: String = "Value"): String = {
     require(series.nonEmpty && series.forall(_._2.nonEmpty), "empty series")
-    val all = series.flatMap(_._2)
-    val (lo, hi0) = (all.min, all.max)
-    val hi = if (hi0 == lo) lo + 1.0 else hi0
-    val n = series.map(_._2.length).max
-    def x(i: Int) = ML + (W - ML - MR) * (if (n == 1) 0.5 else i.toDouble / (n - 1))
-    def y(v: Double) = (H - MB) - (H - MB - MT) * (v - lo) / (hi - lo)
+    val (lo, hi, n) = Geom.lineScales(series)
+    def x(i: Int) = Geom.lineX(n, i)
+    def y(v: Double) = Geom.lineY(lo, hi, v)
     val lines = series.zipWithIndex.map { case ((name, vs), si) =>
       val pts = vs.zipWithIndex
         .map { case (v, i) => f"${x(i)}%.1f,${y(v)}%.1f" }.mkString(" ")
       val legendY = MT + 16 * si
-      s"""<polyline fill="none" stroke="${palette(si % palette.length)}" stroke-width="2" points="$pts"/>
+      // single-point series: a polyline with one point renders nothing
+      // — draw the same dot the PNG renderer draws
+      val mark =
+        if (vs.length == 1)
+          f"""<circle cx="${x(0)}%.1f" cy="${y(vs.head)}%.1f" r="2" fill="${palette(si % palette.length)}"/>"""
+        else
+          s"""<polyline fill="none" stroke="${palette(si % palette.length)}" stroke-width="2" points="$pts"/>"""
+      s"""$mark
          |<text x="${W - MR - 120}" y="$legendY" font-size="12" fill="${palette(si % palette.length)}">${esc(name)}</text>""".stripMargin
     }
     val yTicks = Seq(lo, (lo + hi) / 2, hi).map(v =>
@@ -87,12 +123,12 @@ object PlotSink {
     // renders (accuracy, training seconds) are non-negative by construction;
     // make that contract explicit rather than silently clamping.
     require(values.forall(_ >= 0), "barChart requires non-negative values")
-    val hi = yMax.getOrElse(math.max(values.max, 1e-12) * 1.1)
+    val hi = Geom.barHi(values, yMax)
     val n = labels.length
-    val bw = (W - ML - MR) / (n * 2.0) // bar width = half the slot
-    def y(v: Double) = (H - MB) - (H - MB - MT) * (v / hi)
+    val bw = Geom.barWidth(n) // bar width = half the slot
+    def y(v: Double) = Geom.barY(hi, v)
     val bars = labels.indices.map { i =>
-      val cx = ML + (W - ML - MR) * (i + 0.5) / n
+      val cx = Geom.barCx(n, i)
       val top = y(values(i))
       s"""<rect class="bar" x="${cx - bw / 2}" y="$top" width="$bw" height="${(H - MB) - top}" fill="${palette(i % palette.length)}"/>
          |<text x="$cx" y="${top - 5}" text-anchor="middle" font-size="11">${esc(fmt(values(i)))}</text>
@@ -108,15 +144,14 @@ object PlotSink {
     require(cm.nonEmpty && cm.forall(_.length == cm.head.length), "ragged cm")
     val k = cm.length
     val hi = math.max(cm.map(_.max).max, 1L)
-    val cell = math.min((W - ML - MR) / k, (H - MB - MT) / k)
+    val cell = Geom.heatCell(k)
     // Integer division: past ~320 classes the per-cell size truncates to 0
     // and every rect degenerates. The sink is documented O(k²) driver-side,
     // so failing loudly on oversized matrices is the consistent contract.
     require(cell >= 1, s"confusion matrix too large to render: $k classes")
     val cells = for (i <- 0 until k; j <- 0 until k) yield {
       val v = cm(i)(j)
-      val frac = v.toDouble / hi
-      val shade = (255 - frac * 180).toInt // white -> blue
+      val shade = Geom.heatShade(v, hi) // white -> blue
       val (cx, cy) = (ML + j * cell, MT + i * cell)
       val textFill = if (v > hi / 2) "white" else "black"
       s"""<rect class="cell" x="$cx" y="$cy" width="$cell" height="$cell" fill="rgb($shade,$shade,255)" stroke="#ccc"/>
@@ -191,15 +226,26 @@ object PlotSink {
     * `Pipelines.confusionMatrix` emits). O(k²) collect. */
   def plotConfusionMatrix(cm: DataFrame, modelName: String,
       dataType: String, dir: String): String = {
-    val preds = cm.columns.filter(_ != "label")
+    val preds = cm.columns.filter(_ != "label").toSet
     val rows = cm.orderBy("label").collect()
-    val classes = rows.map(_.get(0).toString).toSeq
-    val matrix = rows.map(r =>
-      preds.map(p => r.getAs[Any](p) match {
-        case l: Long => l
-        case i: Int => i.toLong
-        case null => 0L
-      }).toSeq).toSeq
+    // square the matrix over the UNION of label values and predicted
+    // classes: the pivot only emits columns for classes the model
+    // actually predicted, so indexing rows by pivot position crashed
+    // (row length < k) when some class was never predicted, and a
+    // prediction absent from the labels mislabeled the ticks. Missing
+    // cells are true zeros.
+    val classes = (rows.map(_.get(0).toString) ++ preds).distinct.sorted.toSeq
+    val byLabel = rows.map(r => r.get(0).toString -> r).toMap
+    val matrix = classes.map { lc =>
+      classes.map { pc =>
+        byLabel.get(lc).filter(_ => preds.contains(pc))
+          .map(_.getAs[Any](pc)) match {
+          case Some(l: Long) => l
+          case Some(i: Int) => i.toLong
+          case _ => 0L
+        }
+      }
+    }
     val chartTitle = s"Confusion matrix - $modelName ($dataType data)"
     PlotPng.write(dir, s"${modelName}_${dataType}_confusion_matrix.png",
       PlotPng.heatmap(matrix, classes, chartTitle))

@@ -105,6 +105,8 @@ object EventStreams {
     import spark.implicits._
 
     val gapMs = gapMinutes * 60000L
+    // captured as a Boolean: the closure must not reference the Dataset
+    val streaming = events.isStreaming
 
     def close(uid: Long, s: SessionState, why: String): SessionOut =
       SessionOut(uid, new java.sql.Timestamp(s.start),
@@ -153,8 +155,17 @@ object EventStreams {
       cur match {
         case Some(s) =>
           state.update(s)
-          // evict this user once the watermark passes last-ts + gap
-          state.setTimeoutTimestamp(s.last + gapMs)
+          // evict this user once the watermark passes last-ts + gap —
+          // clamped above the current watermark in streaming runs: an
+          // allowed-lateness straggler can put last + gap at-or-below
+          // it, and Spark rejects such timeouts with a query-fatal
+          // exception (the NearDupGate clamp, same failure class).
+          // Batch runs have no watermark (getCurrentWatermarkMs throws)
+          // and their timeouts never fire — no clamp needed.
+          state.setTimeoutTimestamp(
+            if (streaming) math.max(s.last + gapMs,
+              state.getCurrentWatermarkMs() + 1L)
+            else s.last + gapMs)
         case None => state.remove()
       }
       closedOut.iterator
@@ -275,9 +286,15 @@ object EventStreams {
 
   /** foreachBatch scoring sink (SURVEY §2.8): score each micro-batch
     * with the fitted indexer map and append it as parquet, plus a tiny
-    * per-batch metrics row — the pattern for "model scoring + metrics"
-    * where the sink needs batch-level transactionality that row-level
-    * sinks can't give. Returns the started query (caller stops it). */
+    * per-batch metrics row — the pattern for coordinating two sinks
+    * from one micro-batch. The batch is persisted so the scoring plan
+    * runs ONCE (write + count previously each recomputed it), and the
+    * `batch_id` column in BOTH outputs is the replay key: plain
+    * append-mode parquet is NOT transactional across the two writes,
+    * so a failure between them followed by a foreachBatch retry can
+    * re-append the same batch — downstream readers deduplicate on
+    * batch_id (checkpointed batch ids are stable across retries).
+    * Returns the started query (caller stops it). */
   def scoreToParquet(events: DataFrame, indexerModel: DataFrame,
       outDir: String, metricsDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -286,11 +303,15 @@ object EventStreams {
     events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val scored = graft.ml.RelationalML.stringIndexerTransform(
-          batch.toDF(), "event_type", indexerModel, "event_type_idx")
-        scored.write.mode("append").parquet(outDir)
-        Seq((batchId, scored.count()))
-          .toDF("batch_id", "n_scored")
-          .write.mode("append").parquet(metricsDir)
+            batch.toDF(), "event_type", indexerModel, "event_type_idx")
+          .withColumn("batch_id", lit(batchId))
+          .persist()
+        try {
+          scored.write.mode("append").parquet(outDir)
+          Seq((batchId, scored.count()))
+            .toDF("batch_id", "n_scored")
+            .write.mode("append").parquet(metricsDir)
+        } finally scored.unpersist()
         ()
       }
       .start()

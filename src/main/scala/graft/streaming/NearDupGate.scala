@@ -39,11 +39,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * as the dup signal, the same any-bucket semantics the batch
   * `lshKeepers` min realizes. Cross-micro-batch arrival order decides
   * first-arrival (within a batch, (ts, doc_id) order makes it
-  * deterministic); the batch twin — the SAME function on a bounded
-  * frame, where flatMapGroupsWithState sees each group once with empty
-  * state — reduces to the min-(ts, id) representative, which is what
-  * the hash-gated `p12_neardup_gate` entry pins declaratively against
-  * DuckDB re-deriving every signature component.
+  * deterministic); this SAME function on a bounded frame — where
+  * flatMapGroupsWithState sees each group once with empty state —
+  * reduces to the min-(ts, id) representative per bucket.
+  * [[batchVerdicts]], the declarative twin the hash-gated
+  * `p12_neardup_gate` entry pins against DuckDB, keys its keeper on
+  * min(id) ALONE (the documents table carries no event time), so the
+  * three surfaces agree exactly when arrival order follows id order —
+  * the spec's precondition ("when arrival follows id order") and the
+  * fixture's construction. A corpus whose ids are not arrival-ordered
+  * should feed batchVerdicts an arrival-rank id or expect d1/d2 pairs
+  * inverted relative to the stream on out-of-order buckets.
   */
 object NearDupGate {
 
