@@ -101,7 +101,7 @@ object Bench {
     // min of two runs measures the query, not the machine's worst moment.
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Each attempt records success/failure; a query's time is the min over
@@ -174,10 +174,16 @@ object Bench {
       if (flagged.isEmpty) "clean"
       else if (dirtyRun) s"dirty: ${flagged.size}/${results.size} entries " +
         s"spread >${spreadK}x — artifact refresh refused"
+      else if (rerun.size < flagged.size)
+        s"reran ${rerun.size}/${flagged.size} flagged entries cold " +
+          s"(min folded in); ${flagged.size - rerun.size} rerun(s) FAILED"
       else s"reran ${flagged.size} flagged entries cold, min folded in"
     val rerunJson = rerun.toSeq.sortBy(_._1).map { case (k, v) =>
       s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
+    // `settled` folds the cold-rerun minimums into "queries"; the
+    // worst_attempt map below stays on pre-rerun `results` ON PURPOSE —
+    // it documents the original run's spread, which is what flags heat.
     val results2 = settled
     val qs = results2.collect { case (k, Some(v), _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -74,7 +74,11 @@ object GraphLayout {
     val nNodes = adj.count()
     // edges + wedges in ONE cached-scan aggregation
     val scal = adj.agg(
-      expr("sum(size(hi))").as("n_edges"),
+      // coalesce: the oracle's n_edges is COUNT(*) over the edges CTE
+      // (0 on an empty graph), while sum over zero rows is NULL — the
+      // degenerate fixture would hash-mismatch as a phantom engine bug
+      // (n_wedges stays a sum on BOTH sides: NULL/NULL agrees)
+      expr("coalesce(sum(size(hi)), 0L)").as("n_edges"),
       expr("sum(size(os) * (size(os) - 1) DIV 2)").as("n_wedges"))
     val edgeList = adj.select(col("v").as("a"),
       explode(col("hi")).as("b"))

@@ -164,7 +164,16 @@ object TimeWindows {
         // run forward over the tiny day axis, broadcast onto the grid
         val perDay = agg
           .groupBy(date_trunc("day", col("m")).as("day"))
-          .agg(max(col("m")).as("dlm"), max_by(col("sm"), col("m")).as("dsm"))
+          // dsm = the day's last NON-NULL sm, not sm at the day's last
+          // minute: a trailing minute whose value column is all NULL
+          // has sm NULL, and carrying that NULL skipped the whole day
+          // where the oracle's last_value(sm IGNORE NULLS) carries the
+          // day's earlier non-null sum (latent on the fixture — no
+          // NULL values — but the contract is any regenerated data).
+          // max-over-struct skips the NULL-sm rows null-safely.
+          .agg(max(col("m")).as("dlm"),
+            max(when(col("sm").isNotNull, struct(col("m"), col("sm"))))
+              .getField("sm").as("dsm"))
         val wDays = Window.orderBy("day")
           .rowsBetween(Window.unboundedPreceding, -1)
         val carry = days.select("day").join(perDay, Seq("day"), "left")
