@@ -38,9 +38,15 @@ object AsOf {
           lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))) ++
         payload.map(col): _*)
     // right rows sort BEFORE left rows at an equal timestamp: a state
-    // change at exactly t is visible to a lookup at t (ASOF >= semantics)
+    // change at exactly t is visible to a lookup at t (ASOF >= semantics).
+    // Among right rows TIED on ts, the largest value tuple wins (values
+    // ascending, nulls first, so the running last() lands on the max):
+    // without the tie-break, last() picked a partition-order-dependent
+    // row — nondeterministic across runs, and unpinnable against any
+    // oracle (DuckDB ASOF is equally unspecified on duplicate r.ts).
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("__is_r").desc)
+      .orderBy((col(ts).asc +: col("__is_r").desc +:
+        valueCols.map(c => col(s"__r_$c").asc_nulls_first)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(lTagged.unionByName(rTagged)) {
       (d, c) => d.withColumn(s"asof_$c",

@@ -53,7 +53,14 @@ object Analytics {
     * build their own bucketed copy instead of racing on one directory —
     * within a session the write still happens exactly once. */
   def q35Tables(s: SparkSession, dir: String): (String, String, String) = {
-    val sfx = new java.io.File(dir).getName.replace(".", "_")
+    // suffix carries a hash of the FULL fixture path, not just the
+    // basename: /a/sf0.1 and /b/sf0.1 share a basename, and keying on
+    // it alone made the second invocation's tableExists check reuse the
+    // FIRST fixture's bucketed copy — a silent wrong-corpus join
+    // (review find). The readable basename stays for debuggability.
+    val canon = new java.io.File(dir).getCanonicalPath
+    val sfx = new java.io.File(dir).getName.replace(".", "_") + "_" +
+      java.lang.Integer.toHexString(canon.hashCode)
     (s"q35_li_$sfx", s"q35_o_$sfx",
       s"${scratch(s, "q35_buckets", dir)}")
   }

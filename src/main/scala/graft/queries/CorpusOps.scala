@@ -60,6 +60,46 @@ object CorpusOps {
       textCol: Column): Column =
     graft.functions.TokenKernelFns.cdcChunks(spark, textCol)
 
+  /** Portable md5 hex->int fold bridge shared by x8 (per-doc) and x28
+    * (per-source): first two hex digits of md5(col) as an int in
+    * [0, 256) taken mod k — ONE definition plus its SQL twin, so the
+    * two split entries cannot drift apart (ops.DataSplit holds the
+    * xxhash64 engine-side variant of the same decision). */
+  private def md5FoldExpr(column: String, k: Int): Column = {
+    val hexAlphabet = "0123456789abcdef"
+    def hexAt(i: Int) =
+      expr(s"locate(substring(md5($column), $i, 1), '$hexAlphabet') - 1")
+    ((hexAt(1) * 16 + hexAt(2)) % k).cast("long")
+  }
+
+  private def md5FoldSql(column: String, k: Int): String =
+    s"""((strpos('0123456789abcdef',
+                       substring(md5($column), 1, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef',
+                       substring(md5($column), 2, 1)) - 1)) % $k"""
+
+  /** SQL twin of the `cdc_chunks` kernel's boundary derivation, shared
+    * by the p6 / p10 / p11 oracles (CTEs `d`/`pos`/`b`/`ch`; downstream
+    * groups `ch` by (doc_id, chunk_id)). ONE copy on purpose: a
+    * boundary-rule change (the mod-16 mask, the md5w bridge) edited in
+    * one oracle but not the others would silently gate two entries
+    * against different chunkings. */
+  private val cdcChunkSql: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents),
+              pos AS (SELECT doc_id, i, ws[i] AS word
+                      FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
+              b AS (SELECT doc_id, i, word,
+                      CASE WHEN ${graft.functions.PortableHash
+                        .md5wSql("word")} % 16 = 0
+                        THEN 1 ELSE 0 END AS is_b
+                    FROM pos),
+              ch AS (SELECT doc_id, i, word,
+                       coalesce(sum(is_b) OVER (PARTITION BY doc_id
+                         ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk_id
+                     FROM b)"""
+
   /** SQL twin of [[spanGrid]]: CTEs `d` and `c`; downstream selects
     * slice `toks[chunk_id*S+1 : chunk_id*S+W]`. */
   private val spanGridSql: String =
@@ -133,6 +173,42 @@ object CorpusOps {
     s"$w0,\n${iters.mkString(",\n")}"
   }
 
+  /** [[bpeChainSql]] plus an UNCAPPED encode chain e0..e$steps: the
+    * same per-step fuses applied to EVERY distinct corpus word. The
+    * fit's vocab cap (w-chain QUALIFY) is part of the TRAINING
+    * contract — pair statistics come from the capped table — but the
+    * engine ENCODES above-cap words via the merge-replay fold
+    * (BpeTrain coalesce fallback), so an oracle that inner-joins the
+    * capped w-table drops exactly those words and diverges at
+    * >MaxFitWords distinct-word scale. Encode-family oracles join
+    * e$steps instead; at gate scale (cap never binds) the chains are
+    * identical modulo the freq column, so the hash gate re-verifies
+    * the swap directly. */
+  private def bpeEncodeChainSql(steps: Int, minCount: Long): String = {
+    def fuseSql(syms: String): String =
+      s"""list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+            list_transform($syms, s -> [s])),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l
+                            AND x[1] = m.r
+                      THEN acc[:-2] || [m.l || m.r]
+                      ELSE acc || x END)"""
+    val e0 = s"""e0 AS MATERIALIZED (
+        SELECT word,
+               string_split(word, '') || ['${BpeTrain.EndOfWord}'] AS syms
+        FROM (SELECT DISTINCT word FROM
+                (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+              WHERE length(word) > 0))"""
+    val eIters = (1 to steps).map { i =>
+      s"""e$i AS MATERIALIZED (
+            SELECT word,
+                   CASE WHEN m.l IS NULL THEN e.syms
+                        ELSE ${fuseSql("e.syms")} END AS syms
+            FROM e${i - 1} e LEFT JOIN m$i m ON TRUE)"""
+    }
+    s"${bpeChainSql(steps, minCount)},\n$e0,\n${eIters.mkString(",\n")}"
+  }
+
   private def bpeTrainSql(steps: Int, minCount: Long): String = {
     val out = (1 to steps).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS step, l AS "left", r AS "right", n
@@ -147,15 +223,15 @@ object CorpusOps {
     * replays), so encoding = positional word explode + join on the
     * fused vocabulary + ordered reassembly of the token stream. */
   private def bpeEncodeSql(steps: Int, minCount: Long): String =
-    s"""WITH ${bpeChainSql(steps, minCount)},
+    s"""WITH ${bpeEncodeChainSql(steps, minCount)},
         d AS (SELECT doc_id,
                 list_filter(string_split(text, ' '),
                   w -> length(w) > 0) AS ws
               FROM documents),
         pos AS (SELECT doc_id, i, ws[i] AS word
                 FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
-        tok AS (SELECT p.doc_id, p.i, w$steps.syms
-                FROM pos p JOIN w$steps ON w$steps.word = p.word),
+        tok AS (SELECT p.doc_id, p.i, e$steps.syms
+                FROM pos p JOIN e$steps ON e$steps.word = p.word),
         agg AS (SELECT doc_id,
                  CAST(count(*) AS BIGINT) AS n_words,
                  CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
@@ -257,20 +333,7 @@ object CorpusOps {
               sort_array(collect_list(struct(col("pos"), col("word")))),
               x => x.getField("word")), " ")).as("h"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-                          FROM documents),
-              pos AS (SELECT doc_id, i, ws[i] AS word
-                      FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
-              b AS (SELECT doc_id, i, word,
-                      CASE WHEN ${graft.functions.PortableHash
-                        .md5wSql("word")} % 16 = 0
-                        THEN 1 ELSE 0 END AS is_b
-                    FROM pos),
-              ch AS (SELECT doc_id, i, word,
-                       coalesce(sum(is_b) OVER (PARTITION BY doc_id
-                         ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING), 0) AS chunk_id
-                     FROM b)
+      Some(s"""WITH $cdcChunkSql
               SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
                      CAST(count(*) AS BIGINT) AS n_toks,
                      md5(string_agg(word, ' ' ORDER BY i)) AS h
@@ -302,20 +365,7 @@ object CorpusOps {
           countDistinct("doc_id").as("n_docs"),
           count(lit(1)).as("n_occ"))
         .filter(col("n_docs") >= 2),
-      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-                          FROM documents),
-              pos AS (SELECT doc_id, i, ws[i] AS word
-                      FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
-              b AS (SELECT doc_id, i, word,
-                      CASE WHEN ${graft.functions.PortableHash
-                        .md5wSql("word")} % 16 = 0
-                        THEN 1 ELSE 0 END AS is_b
-                    FROM pos),
-              ch AS (SELECT doc_id, i, word,
-                       coalesce(sum(is_b) OVER (PARTITION BY doc_id
-                         ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING), 0) AS chunk_id
-                     FROM b),
+      Some(s"""WITH $cdcChunkSql,
               chunks AS (SELECT doc_id, chunk_id,
                            CAST(count(*) AS BIGINT) AS n_toks,
                            md5(string_agg(word, ' ' ORDER BY i)) AS h
@@ -347,20 +397,7 @@ object CorpusOps {
     Entry("p11_span_scrub",
       (s, dir) => Dedup.scrubDupSpans(t(s, dir, "documents"),
         "text", "doc_id"),
-      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-                          FROM documents),
-              pos AS (SELECT doc_id, i, ws[i] AS word
-                      FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
-              b AS (SELECT doc_id, i, word,
-                      CASE WHEN ${graft.functions.PortableHash
-                        .md5wSql("word")} % 16 = 0
-                        THEN 1 ELSE 0 END AS is_b
-                    FROM pos),
-              ch AS (SELECT doc_id, i, word,
-                       coalesce(sum(is_b) OVER (PARTITION BY doc_id
-                         ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING), 0) AS chunk_id
-                     FROM b),
+      Some(s"""WITH $cdcChunkSql,
               chunks AS (SELECT doc_id, chunk_id,
                            CAST(count(*) AS BIGINT) AS n_toks,
                            md5(string_agg(word, ' ' ORDER BY i)) AS h,
@@ -715,14 +752,14 @@ object CorpusOps {
             expr("1000000 * n_tokens DIV n_words").as("fertility_e6"))
           .orderBy("source")
       },
-      Some(s"""WITH ${bpeChainSql(steps = 8, minCount = 2L)},
+      Some(s"""WITH ${bpeEncodeChainSql(steps = 8, minCount = 2L)},
               d AS (SELECT source,
                       list_filter(string_split(text, ' '),
                         w -> length(w) > 0) AS ws
                     FROM documents),
               pos AS (SELECT source, unnest(ws) AS word FROM d),
-              tok AS (SELECT p.source, len(w8.syms) AS nt
-                      FROM pos p JOIN w8 ON w8.word = p.word)
+              tok AS (SELECT p.source, len(e8.syms) AS nt
+                      FROM pos p JOIN e8 ON e8.word = p.word)
               SELECT source, CAST(count(*) AS BIGINT) AS n_words,
                      CAST(sum(nt) AS BIGINT) AS n_tokens,
                      CAST(1000000 * sum(nt) // count(*) AS BIGINT)
@@ -904,21 +941,14 @@ object CorpusOps {
     // this is its oracle-checkable form. One shuffle (the fold/lang agg).
     Entry("x8_fold_split",
       (s, dir) => {
-        val hexAlphabet = "0123456789abcdef"
-        def hexAt(i: Int) =
-          expr(s"locate(substring(md5(text), $i, 1), '$hexAlphabet') - 1")
-        val fold = ((hexAt(1) * 16 + hexAt(2)) % 5).cast("long")
         t(s, dir, "documents")
-          .select(fold.as("fold"), col("lang"),
+          .select(md5FoldExpr("text", 5).as("fold"), col("lang"),
             size(split(col("text"), " ")).cast("long").as("tk"))
           .groupBy("fold", "lang")
           .agg(count(lit(1)).as("n_docs"), sum("tk").as("tokens"))
           .orderBy("fold", "lang")
       },
-      Some("""SELECT ((strpos('0123456789abcdef',
-                       substring(md5(text), 1, 1)) - 1) * 16 +
-                     (strpos('0123456789abcdef',
-                       substring(md5(text), 2, 1)) - 1)) % 5 AS fold,
+      Some(s"""SELECT ${md5FoldSql("text", 5)} AS fold,
                      lang, count(*) AS n_docs,
                      CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                        AS tokens
@@ -937,21 +967,14 @@ object CorpusOps {
     // hash gate loudly. One shuffle (the fold/source agg).
     Entry("x28_group_split",
       (s, dir) => {
-        val hexAlphabet = "0123456789abcdef"
-        def hexAt(i: Int) =
-          expr(s"locate(substring(md5(source), $i, 1), '$hexAlphabet') - 1")
-        val fold = ((hexAt(1) * 16 + hexAt(2)) % 3).cast("long")
         t(s, dir, "documents")
-          .select(fold.as("fold"), col("source"),
+          .select(md5FoldExpr("source", 3).as("fold"), col("source"),
             size(split(col("text"), " ")).cast("long").as("tk"))
           .groupBy("fold", "source")
           .agg(count(lit(1)).as("n_docs"), sum("tk").as("tokens"))
           .orderBy("fold", "source")
       },
-      Some("""SELECT ((strpos('0123456789abcdef',
-                       substring(md5(source), 1, 1)) - 1) * 16 +
-                     (strpos('0123456789abcdef',
-                       substring(md5(source), 2, 1)) - 1)) % 3 AS fold,
+      Some(s"""SELECT ${md5FoldSql("source", 3)} AS fold,
                      source, count(*) AS n_docs,
                      CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                        AS tokens

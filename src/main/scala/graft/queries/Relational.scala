@@ -337,8 +337,13 @@ object Relational {
                      round(r.value, 4) AS last_purchase
               FROM (SELECT user_id, ts, event_id FROM events
                     WHERE event_type = 'click') l
-              ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                    WHERE event_type = 'purchase') r
+              ASOF LEFT JOIN (
+                    -- dedupe tied purchase timestamps to the max value:
+                    -- the engine's as-of window breaks right-row ts ties
+                    -- toward the largest value tuple, and ASOF on
+                    -- duplicate r.ts is unspecified — this pins both
+                    SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2) r
                 ON l.user_id = r.user_id AND l.ts >= r.ts
               ORDER BY l.user_id, l.event_id""")),
 

@@ -34,6 +34,25 @@ class AsOfSpec extends AnyFunSuite {
       200L -> Some(4.0)))
   }
 
+  test("right rows tied on ts resolve to the max value tuple, " +
+      "independent of partitioning (review find: the untied window " +
+      "picked a partition-order-dependent row)") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, t("2024-01-01 10:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+    val tied = Seq(
+      (1L, t("2024-01-01 09:00:00"), 3.0),
+      (1L, t("2024-01-01 09:00:00"), 9.0),
+      (1L, t("2024-01-01 09:00:00"), 5.0))
+    for (perm <- tied.permutations.toSeq; parts <- Seq(1, 3)) {
+      val right = perm.toDF("user_id", "ts", "value").repartition(parts)
+      val got = AsOf.asofJoin(left, right, "user_id", "ts", Seq("value"))
+        .select("asof_value").head().getDouble(0)
+      assert(got == 9.0, s"tie broke to $got for $perm at $parts parts")
+    }
+  }
+
   test("asofJoin plan is one shuffle + window, not a pair join") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
