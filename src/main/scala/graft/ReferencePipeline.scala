@@ -26,35 +26,46 @@ object ReferencePipeline {
       .select("event_id", "user_id", "value", "event_type")
     val Array(train, test) = data.randomSplit(Array(0.75, 0.25), seed = 42)
 
-    def evalVariant(tag: String, trainF: DataFrame, testF: DataFrame,
-        inputDim: Int): Seq[(String, Double, Double)] =
-      Seq("mlp", "cnn").map { arch =>
+    // inputDim derived from the transformed frame, not hardcoded: a
+    // change to the select list above or to pcaK below would otherwise
+    // silently disagree with the MLP's layers(0) and fail at fit()
+    def dimOf(df: DataFrame): Int =
+      df.head().getAs[org.apache.spark.ml.linalg.Vector]("features").size
+
+    // returns the fitted models keyed by arch so downstream consumers
+    // (the confusion matrix) reuse them instead of re-fitting — the
+    // fit is the single most expensive step in this driver
+    def evalVariant(tag: String, trainF: DataFrame, testF: DataFrame)
+        : (Seq[(String, Double, Double)],
+           Map[String, org.apache.spark.ml.Transformer]) = {
+      val fitted = Seq("mlp", "cnn").map { arch =>
         val t0 = System.nanoTime()
-        val model = Pipelines.classifier(arch, inputDim, numClasses = 5,
-          maxIter = maxIter).fit(trainF)
+        val model = Pipelines.classifier(arch, dimOf(trainF),
+          numClasses = 5, maxIter = maxIter).fit(trainF)
         val secs = (System.nanoTime() - t0) / 1e9
         val acc = Pipelines.accuracy(model.transform(testF))
         println(f"[$tag/$arch] accuracy=$acc%.4f train=${secs}%.1f s")
-        (s"$tag/$arch", acc, secs)
+        (arch, model, (s"$tag/$arch", acc, secs))
       }
+      (fitted.map(_._3), fitted.map(f => f._1 -> f._2).toMap)
+    }
 
     // raw path (main.py prepare_raw_data)
     val rawModel = Pipelines.rawPipeline(train, "event_type").fit(train)
     def raw(df: DataFrame) = rawModel.transform(df).select("features", "label")
-    val rawMetrics = evalVariant("raw", raw(train), raw(test), inputDim = 3)
+    val (rawMetrics, _) = evalVariant("raw", raw(train), raw(test))
 
     // processed path (data_preprocessing.preprocess_data, PCA k=2)
     val (_, procTrain, procTest) = Pipelines.fitTransform(
       Pipelines.preprocessPipeline(train, "event_type", pcaK = 2),
       train, test)
-    val procMetrics = evalVariant("processed", procTrain, procTest,
-      inputDim = 2)
+    val (procMetrics, procModels) =
+      evalVariant("processed", procTrain, procTest)
 
     val metrics = Pipelines.metricsFrame(spark, rawMetrics ++ procMetrics)
     metrics.show(truncate = false)
     val confusion = Pipelines.confusionMatrix(
-      Pipelines.classifier("mlp", 2, 5, maxIter).fit(procTrain)
-        .transform(procTest))
+      procModels("mlp").transform(procTest))
     confusion.show(truncate = false)
     spark.stop()
   }

@@ -38,11 +38,20 @@ object Multimodal {
     * function of (bytes, dims) so tests are reproducible. */
   object StubCodec {
     /** STUB decode: fake pixel plane seeded by a rolling byte hash. */
-    def decode(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    def decode(bytes: Array[Byte], width: Int, height: Int): Array[Byte] =
+      decodeSeeded(bytes, width, height, None)
+
+    /** [[decode]] of `bytes :+ seed` WITHOUT materializing the copy:
+      * the rolling hash folds the trailing seed byte after the payload
+      * loop — bit-identical output, and the frame-sampling generator
+      * no longer allocates a payload-sized array per emitted frame. */
+    def decodeSeeded(bytes: Array[Byte], width: Int, height: Int,
+        seed: Option[Byte]): Array[Byte] = {
       val out = new Array[Byte](width * height)
       var h = 1125899906842597L
       var i = 0
       while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      seed.foreach(b => h = 31 * h + b)
       i = 0
       while (i < out.length) { h = h * 6364136223846793005L + 1442695040888963407L
         out(i) = (h >>> 56).toByte; i += 1 }
@@ -123,7 +132,8 @@ object Multimodal {
     media.flatMap { m =>
       (0 until math.min(m.n_frames, maxFrames)).iterator.map(f =>
         Frame(m.media_id, f, m.width, m.height,
-          StubCodec.decode(m.bytes :+ f.toByte, m.width, m.height)))
+          StubCodec.decodeSeeded(m.bytes, m.width, m.height,
+            Some(f.toByte))))
     }
   }
 

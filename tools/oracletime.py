@@ -54,17 +54,17 @@ def main(sfdir, outdir, benchjson=None, emitjson=None):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     bench = {}
     if benchjson:
-        bench = json.loads(open(benchjson).readlines()[0])["queries"]
+        bench = json.load(open(benchjson))["queries"]
     rows = []
     for name, sql in sorted(oracle.items()):
         best = None
-        for _ in range(2):
+        for attempt in range(2):
             t0 = time.time()
             try:
                 con.sql(sql).fetchall()
             except Exception as e:
-                best = None
-                print(f"ERR {name}: {e}")
+                # keep a valid first-run timing if the retry fails
+                print(f"ERR {name} (attempt {attempt + 1}): {e}")
                 break
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
@@ -72,7 +72,7 @@ def main(sfdir, outdir, benchjson=None, emitjson=None):
             rows.append((name, best, bench.get(name)))
     # ratio over the MATCHED set only (a query timed in the oracle but
     # absent/errored in bench must not inflate the denominator)
-    both = [r for r in rows if r[2]]
+    both = [r for r in rows if r[2] is not None]
     tot_o = sum(r[1] for r in both)
     tot_s = sum(r[2] for r in both)
     if both and tot_o > 0:

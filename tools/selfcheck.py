@@ -2,9 +2,22 @@
 """Local stand-in for the driver's correctness gate: for each query dumped
 by graft.Verify, run the oracle SQL in DuckDB over the same fixture
 tables and compare (columns sorted by name, rows sorted, values
-stringified). Usage: selfcheck.py <sfdir> <verify_outdir>"""
+stringified). Usage: selfcheck.py <sfdir> <verify_outdir>
+
+Gate-integrity rules (review finds):
+ - a registry query with oracle SQL but NO dumped directory is a FAIL,
+   not an omission — Verify catches per-query exceptions, so a crashed
+   query would otherwise vanish from a green gate;
+ - an oracle-less (rows-only) query with ZERO rows is a FAIL, mirroring
+   the driver's rows>0 check;
+ - canon() normalizes numpy floating scalars and Decimals like Python
+   floats (np.float32 is not a `float`, and str(Decimal('3.20')) is not
+   '3.2000'), and uses DataFrame.map (applymap is removed in pandas 3).
+"""
 import sys, json, glob, os
+import decimal
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -13,12 +26,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     def cell(v):
-        if v is None or (isinstance(v, float) and pd.isna(v)):
+        if v is None:
             return "NULL"
-        if isinstance(v, float):
-            return f"{v:.4f}"
+        if isinstance(v, (float, np.floating)):
+            if pd.isna(v):
+                return "NULL"
+            return f"{float(v):.4f}"
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.4f}"
         return str(v)
-    out = df.applymap(cell)
+    mapper = getattr(df, "map", None) or df.applymap
+    out = mapper(cell)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 def main(sfdir, outdir):
@@ -27,16 +45,26 @@ def main(sfdir, outdir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
-    for name in sorted(os.listdir(outdir)):
+    dumped = {d for d in os.listdir(outdir)
+              if os.path.isdir(os.path.join(outdir, d))}
+    # SPARK_GRAFT_ONLY restricted dumps only check the dumped subset;
+    # a FULL dump must cover every oracle key
+    for name in sorted(set(oracle) - dumped):
+        print(f"FAIL  {name}: oracle present but no dump "
+              f"(query crashed in Verify?)")
+        n_fail += 1
+    for name in sorted(dumped):
         path = os.path.join(outdir, name)
-        if not os.path.isdir(path):
-            continue
         files = glob.glob(f"{path}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files \
             else pd.DataFrame()
         if name not in oracle:
-            print(f"SKIP  {name}: no oracle ({len(got)} rows)")
-            n_skip += 1
+            if len(got) == 0:
+                print(f"FAIL  {name}: rows-only query returned 0 rows")
+                n_fail += 1
+            else:
+                print(f"SKIP  {name}: no oracle ({len(got)} rows)")
+                n_skip += 1
             continue
         try:
             want = con.sql(oracle[name]).df()
