@@ -24,6 +24,20 @@ object Bench {
   private val SinkClass = Set("s1_csv_roundtrip", "s2_jsonl_roundtrip",
     "s3_orc_roundtrip", "w1_partitioned_sink", "q62_merge_upsert")
 
+  /** The ten rows-only-by-design trainer entries (float GD fits + the
+    * transcendental LSTM forward — SURVEY §5). Their bench time is
+    * scheduler floor x epochs by construction (each epoch is one
+    * O(params) aggregation whose arithmetic is microseconds at fixture
+    * scale), and they have NO DuckDB oracle, so they are absent from
+    * every matched-ratio read anyway. Tagged so ratio consumers can
+    * slice the trainer wall out of the total without re-deriving the
+    * set (round-13 verdict #5).
+    */
+  private val TrainerClass = Set("q40_mlp_train", "q40b_mlp_minibatch",
+    "q41_lstm_forward", "q42_rnn_train", "q43_conv_train",
+    "q56_lstm_train", "q57_conv2_train", "q58_conv3_train",
+    "q59_rnn2_train", "q60_lstm2_train")
+
   /** One-line run-environment snapshot: loadavg + available memory.
     * A driver-vs-builder total discrepancy (round 9: 151.7s recorded
     * vs 89.5s same-code) must be diagnosable from the artifact alone. */
@@ -81,12 +95,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Per-attempt Spark JOB counts, keyed by job group (round-13
+    // verdict #1: the sub-second tail's cost is driver round-trips per
+    // AQE-materialized micro-stage, so the artifact must carry the job
+    // count that explains each entry's floor, not just its wall).
+    // Counted in a listener on the jobGroup property — jobGroup is
+    // captured into the submitting thread's properties and preserved
+    // by AQE's stage-materialization futures, and counting in the
+    // listener sidesteps the status store's retained-jobs cap.
+    val jobCounts =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val g = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+            .getOrElse("")
+          if (g.nonEmpty)
+            jobCounts.merge(g, 1, (a, b) => Int.box(a + b))
+        }
+      })
+
+    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        group: String = ""): Unit =
+      try {
+        if (group.nonEmpty)
+          spark.sparkContext.setJobGroup(group, group)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
       // Entries may persist() internally (iterative dedup resolution, the
       // IVF probe reuse); release between queries so one query's cache
       // neither leaks for the session nor distorts the next timing.
-      finally spark.catalog.clearCache()
+      finally {
+        spark.sparkContext.clearJobGroup()
+        spark.catalog.clearCache()
+      }
 
     // warmup: flagship agg + one scan over each heavy input table
     try {
@@ -94,6 +138,7 @@ object Bench {
       exec(SparkEntry.queries("q16_indexer_events"))
       exec(SparkEntry.queries("t_token_count"))
     } catch { case _: Throwable => () }
+    jobCounts.clear()
 
     // Best of 2 runs per query: a single run is at the mercy of one
     // transient IO stall / GC pause (round-2 driver bench recorded a
@@ -108,9 +153,12 @@ object Bench {
     // SUCCESSFUL attempts only. A failing query must surface as an "err"
     // entry, never as a fast time-to-exception masquerading as a result.
     val results = selected.map { case (name, fn) =>
-      def attempt(): (Double, Option[String]) = {
+      var attemptNo = 0
+      def attempt(): (Double, Option[String], String) = {
+        attemptNo += 1
+        val group = s"$name#$attemptNo"
         val t0 = System.nanoTime()
-        val err = try { exec(fn); None } catch {
+        val err = try { exec(fn, group); None } catch {
           case e: Throwable =>
             // blank ALL JSON-breaking chars: quote, backslash, and every
             // control char < 0x20 (not just \n\r\t — a \f or NUL in a
@@ -119,7 +167,7 @@ object Bench {
               Option(e.getMessage).getOrElse("")).take(120)
               .map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c))
         }
-        ((System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9, err, group)
       }
       val two = Vector(attempt(), attempt())
       // Transient host stalls (IO hiccup, GC wall) occasionally cover
@@ -128,16 +176,18 @@ object Bench {
       // third attempt only when best-of-2 still looks slow keeps the
       // reported min honest at bounded extra wall cost.
       val attempts =
-        if (two.collect { case (t, None) => t }.minOption.exists(_ > 1.5))
+        if (two.collect { case (t, None, _) => t }.minOption.exists(_ > 1.5))
           two :+ attempt()
         else two
-      val ok = attempts.collect { case (t, None) => t }
+      val ok = attempts.collect { case (t, None, _) => t }
+      val bestGroup = attempts.collect { case (t, None, g) => (t, g) }
+        .minByOption(_._1).map(_._2)
       // Keep the last error even when one attempt succeeded: a query that
       // fails intermittently must not look healthy just because the min is
       // taken over successful attempts. Fully-failed queries land in
       // "errors"; mixed outcomes land in "flaky" with the same message.
       (name, ok.minOption, attempts.flatMap(_._2).lastOption,
-        ok.maxOption)
+        ok.maxOption, bestGroup)
     }
     // Attempt-spread guard (round-13 verdict #3): the round-12 artifact
     // passed the load guard AT START (0.87) yet its own 32-core attempt
@@ -154,19 +204,20 @@ object Bench {
     // the whole run was hot: keep the number for the round driver but
     // refuse the committed-artifact refresh like a hot start does.
     val spreadK = 3.0
-    val flagged = results.collect { case (k, Some(mn), _, Some(mx))
+    val flagged = results.collect { case (k, Some(mn), _, Some(mx), _)
       if mx > mn * spreadK && mx - mn > 0.5 => k }
     val fnByName = selected.toMap
     val rerun: Map[String, Double] = flagged.flatMap { k =>
       fnByName.get(k).flatMap { fn =>
         val t0 = System.nanoTime()
-        try { exec(fn); Some(k -> (System.nanoTime() - t0) / 1e9) }
+        try { exec(fn, s"$k#r"); Some(k -> (System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
     }.toMap
     val settled = results.map {
-      case (k, Some(mn), e, mx) if rerun.contains(k) =>
-        (k, Some(math.min(mn, rerun(k))), e, mx)
+      case (k, Some(mn), e, mx, g) if rerun.contains(k) =>
+        if (rerun(k) < mn) (k, Some(rerun(k)), e, mx, Some(s"$k#r"))
+        else (k, Some(mn), e, mx, g)
       case r => r
     }
     val dirtyRun = flagged.size * 4 > results.size && results.size >= 8
@@ -185,18 +236,26 @@ object Bench {
     // worst_attempt map below stays on pre-rerun `results` ON PURPOSE —
     // it documents the original run's spread, which is what flags heat.
     val results2 = settled
-    val qs = results2.collect { case (k, Some(v), _, _) => s"\"" + k + "\":" + v }
+    val qs = results2.collect { case (k, Some(v), _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results2.collect { case (k, None, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = results2.collect { case (k, None, Some(e), _, _) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val flaky = results2.collect { case (k, Some(_), Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
+    val flaky = results2.collect { case (k, Some(_), Some(e), _, _) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
+    // Per-query Spark JOB count for the attempt whose time is reported
+    // in "queries" — the scheduler-floor diagnostic (see jobCounts).
+    // Listener-bus lag: the bus is async, so give it a moment to drain
+    // before reading; a missing group reads as 0 rather than blocking.
+    Thread.sleep(1500)
+    val jobsJson = results2.collect { case (k, Some(_), _, _, Some(g)) =>
+      s"\"" + k + "\":" + Option(jobCounts.get(g)).fold(0)(_.intValue)
+    }.mkString("{", ",", "}")
     // Attempt spread (worst successful attempt per query, vs "queries"'
     // best): a contended host shows as max >> min across the board, so a
     // slow recorded round is distinguishable from a plan regression
     // without a re-run — the round-7 bench recorded 3x r6's total purely
     // from host noise and the artifact itself couldn't show it.
-    val spread = results.collect { case (k, Some(mn), _, Some(mx))
+    val spread = results.collect { case (k, Some(mn), _, Some(mx), _)
         if mx > mn * 1.5 && mx - mn > 0.25 =>
       s"\"" + k + "\":" + (math.rint(mx * 1000) / 1000)
     }.mkString("{", ",", "}")
@@ -204,10 +263,13 @@ object Bench {
     val worstTotal = results2.flatMap(_._4).sum
     val nErr = results2.count(r => r._2.isEmpty && r._3.isDefined)
     val sinkTagged = results2.collect {
-      case (k, Some(_), _, _) if SinkClass(k) => s"\"" + k + "\""
+      case (k, Some(_), _, _, _) if SinkClass(k) => s"\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val trainerTagged = results2.collect {
+      case (k, Some(_), _, _, _) if TrainerClass(k) => s"\"" + k + "\""
     }.mkString("[", ",", "]")
     val envEnd = envSnap()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"spread_rerun":$rerunJson,"spread_verdict":"$spreadVerdict","worst_total":$worstTotal,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"spread_rerun":$rerunJson,"spread_verdict":"$spreadVerdict","worst_total":$worstTotal,"jobs":$jobsJson,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","trainer_class":$trainerTagged,"trainer_class_note":"rows-only GD trainers: bench wall is scheduler floor x epochs by design; no oracle, absent from matched ratios","env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r0N.json keeps only the tail of stdout, so the
     // first half of the per-query map is lost from the recorded artifact

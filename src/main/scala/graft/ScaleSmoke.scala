@@ -36,16 +36,24 @@ object ScaleSmoke {
       "within-cluster nn (semdedup scoring, cluster-blocked pairs)")
     // same plumbing for the hot-cluster recall/coverage row: it reads
     // the exact AND swap results, so selecting it must also run both
-    // producers (otherwise the selected row silently prints nothing)
+    // producers (otherwise the selected row silently prints nothing).
+    // The producer trigger matches the consumer row EXACTLY the way the
+    // main branch does — selector contained in the consumer's actual
+    // tag (shared constant, used verbatim at the time() site) — so the
+    // trigger fires iff the consumer row itself is selected, never for
+    // an unrelated restricted run (round-14 review find: the previous
+    // duplicated literal made that equivalence unverifiable).
     val hotNnProducerTags = Seq("hot-cluster nn,")
+    val hotNnConsumerTag = "hot-cluster swap recall/coverage vs exact"
+    def selectedByOnly(tag: String): Boolean =
+      only.forall(_.exists(tag.toLowerCase.contains))
     def wants(tag: String): Boolean =
       tag.startsWith("generate") ||
-        only.forall(_.exists(tag.toLowerCase.contains)) ||
+        selectedByOnly(tag) ||
         (tag.toLowerCase.startsWith("k-means") && only.exists(sel =>
           kmeansDependents.exists(d => sel.exists(d.contains)))) ||
         (hotNnProducerTags.exists(tag.toLowerCase.startsWith) &&
-          only.exists(_.exists(sel =>
-            "hot-cluster swap recall/coverage vs exact".contains(sel))))
+          only.isDefined && selectedByOnly(hotNnConsumerTag))
     def time[T](tag: String)(f: => T): T = {
       if (!wants(tag)) return null.asInstanceOf[T]
       val t0 = System.nanoTime()
@@ -680,7 +688,7 @@ object ScaleSmoke {
       d.count(); d
     }
     if (exactHot != null && swapHot != null) {
-      time("hot-cluster swap recall/coverage vs exact") {
+      time(hotNnConsumerTag) {
         val r = exactHot
           .select(col("vec_id"), col("nn_dist").as("exact_d"))
           .join(swapHot.select(col("vec_id"), col("nn_dist").as("swap_d")),

@@ -42,11 +42,34 @@ object Verify {
     } + "\""
     // restricted dumps write a matching restricted oracle map: the
     // selfcheck gate treats an oracle key with NO dumped directory as
-    // a crashed query (FAIL), so the dump must be self-describing
-    val json = SparkEntry.oracleSql
+    // a crashed query (FAIL), so the dump must be self-describing.
+    // MERGE, don't overwrite (round-14 review find): a restricted run
+    // into an outDir holding a prior full dump used to replace the full
+    // oracle map with the filtered one, which reclassified every stale
+    // oracle-backed dump as rows-only (pass on any nonzero rows) and
+    // silently weakened the gate. Keeping the prior entries for dirs
+    // this run didn't touch preserves their oracle checks; entries for
+    // queries dropped from the registry are pruned so selfcheck never
+    // FAILs on a dir that no current query produces.
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    val fresh = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
+    val merged =
+      if (only.isEmpty || !Files.exists(oraclePath)) fresh
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val prior = try {
+          val m = mapper.readValue(Files.readString(oraclePath),
+            classOf[java.util.Map[String, String]])
+          import scala.jdk.CollectionConverters._
+          m.asScala.toMap
+        } catch { case _: Throwable => Map.empty[String, String] }
+        val known = SparkEntry.oracleSql.keySet
+        prior.view.filterKeys(known).toMap ++ fresh
+      }
+    val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(oraclePath, json)
     spark.stop()
   }
 }

@@ -21,7 +21,11 @@ object TrainerCommon {
     * for such a label, so without the guard the z_y term silently
     * dropped to 0 and every class was pushed down — corrupted
     * training with no error. stringIndexerTransform emits null for
-    * unseen labels, so the case is reachable from public plumbing. */
+    * unseen labels, so the case is reachable from public plumbing.
+    * The guard is folded into EVERY output column — loss AND each
+    * dzo_o (round-14 review find): a caller that aggregates only the
+    * gradient columns without ever evaluating `loss` must still fail
+    * on a bad label, not train silently on corrupted gradients. */
   def softmaxHead(zc: Seq[Column], y: Column): (Seq[Column], Column) = {
     val m = zc.reduce(greatest(_, _))
     val denom = zc.map(z => exp(z - m)).reduce(_ + _)
@@ -33,7 +37,9 @@ object TrainerCommon {
         when(y === o, z).otherwise(lit(0.0)) }.reduce(_ + _)))
       .as("loss")
     val dzo = zc.zipWithIndex.map { case (z, o) =>
-      (exp(z - m) / denom - when(y === o, 1.0).otherwise(0.0)).as(s"dzo_$o")
+      when(guard.isNull,
+        exp(z - m) / denom - when(y === o, 1.0).otherwise(0.0))
+        .as(s"dzo_$o")
     }
     (dzo, loss)
   }

@@ -12,21 +12,43 @@ import org.apache.spark.sql.functions._
   *
   * Both are pure plan rewrites with identical semantics to the naive
   * form (asserted in ScaleSpec).
+  *
+  * SALT DETERMINISM (round-14 review find): the salt MUST be a
+  * deterministic function of the row. An earlier revision used
+  * per-partition round-robin (`monotonically_increasing_id % k`), a
+  * nondeterministic expression: on a shuffle-fetch-failure retry the
+  * recomputed map task can assign rows different salts than
+  * already-finished reducers consumed — duplicating/losing join rows
+  * mid-query — and Spark's indeterminate-stage rollback does not cover
+  * user nondeterministic expressions. So the salt is now
+  * `xxhash64(row content)` (or `xxhash64(saltBy)` when the caller names
+  * a column): any task retry recomputes the identical salt, and
+  * correctness holds under intra-query stage retries, not just full
+  * re-runs. The cost of determinism: rows that are BYTE-IDENTICAL
+  * across every salted column hash to ONE salt, so a hot key made of
+  * exact duplicate rows gets no relief from the default. That shape has
+  * a better fix than salting — identical rows are by definition
+  * collapsible, so pre-aggregate (count-collapse) or dedup before the
+  * join; when duplicates carry a distinguishing id (the pre-dedup
+  * corpus case: same text, unique doc_id), pass it as `saltBy` and the
+  * spread is both perfect and deterministic.
   */
 object Skew {
 
+  /** Deterministic salt in [0, k): xxhash64 of `saltBy` when given,
+    * else of the whole row content. */
+  private def salt(df: DataFrame, saltBy: Option[Column], k: Int): Column = {
+    val src = saltBy.getOrElse(struct(df.columns.map(col).toSeq: _*))
+    pmod(xxhash64(src), lit(k.toLong))
+  }
+
   /** Equi-join where `left` carries skewed join keys. Every left row
-    * gets a salt in [0, saltFactor) by per-partition round-robin
-    * (`monotonically_increasing_id % saltFactor`) — NOT a row-content
-    * hash: byte-identical hot rows (exactly what a duplicate-heavy
-    * pre-dedup corpus produces) would all hash to ONE salt, paying the
-    * full replication cost for zero skew relief (review find). Salt
-    * values are partitioning-only state; the join's ROW SET is
-    * identical for any salt assignment, so retries/re-runs stay
-    * semantically stable. The right side is replicated saltFactor
-    * times; the join key becomes (key, salt). A hot key's rows now land
-    * on saltFactor different reducers instead of one. Cost: right side
-    * shuffles saltFactor x — use for big-left / modest-right joins.
+    * gets a deterministic salt in [0, saltFactor) (see object doc); the
+    * right side is replicated saltFactor times; the join key becomes
+    * (key, salt). A hot key's rows now land on saltFactor different
+    * reducers instead of one. Cost: right side shuffles saltFactor x —
+    * use for big-left / modest-right joins. Pass `saltBy` (a unique or
+    * high-cardinality column) when left rows can be byte-identical.
     *
     * Below `minLeftBytes` of (optimizer-estimated) left input the
     * rewrite SKIPS ITSELF and plans the plain equi-join — the AQE-style
@@ -39,12 +61,12 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, saltFactor: Int,
-      minLeftBytes: Long = 1L << 30): DataFrame = {
+      minLeftBytes: Long = 1L << 30,
+      saltBy: Option[Column] = None): DataFrame = {
     val leftBytes = left.queryExecution.optimizedPlan.stats.sizeInBytes
     if (leftBytes < minLeftBytes)
       return left.join(right, left(leftKey) === right(rightKey))
-    val salt = pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
-    val saltedLeft = left.withColumn("__salt", salt)
+    val saltedLeft = left.withColumn("__salt", salt(left, saltBy, saltFactor))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<long>")))
     saltedLeft.join(saltedRight,
@@ -57,14 +79,16 @@ object Skew {
     * (key, salt), then final-aggregate on key. Correct for algebraic
     * aggregates (sum/count/min/max — pass partials and a combiner).
     * Spark's hash aggregate already does map-side partials; this adds a
-    * REDUCE-side split for keys whose partials still overwhelm one task.
+    * REDUCE-side split for keys whose partials still overwhelm one
+    * task. The salt is deterministic row-content hash (object doc);
+    * note exact-duplicate rows share a salt, but those collapse in the
+    * map-side partial anyway, so the reduce-side volume a hot key sends
+    * to one task is bounded by distinct row content, which the salt
+    * splits.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-      saltFactor: Int): DataFrame = {
-    // round-robin, not a row-content hash: identical hot rows must
-    // split across salts too (same rationale as [[saltedJoin]])
-    val salt = pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
-    df.withColumn("__salt", salt)
+      saltFactor: Int, saltBy: Option[Column] = None): DataFrame = {
+    df.withColumn("__salt", salt(df, saltBy, saltFactor))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

@@ -157,9 +157,19 @@ object GraphLayout {
         // node-count-sized (~2.4 MB at sf0.1), and the fit session
         // runs AQE-off so the static planner would otherwise
         // sort-merge the edge fill — the single most expensive stage
-        // of the whole fit (profiled ~7 s task CPU at sf0.1)
-        val edges = broadcast(t(s, dir, "orders")
-            .select(col("o_orderkey"), col("o_custkey")))
+        // of the whole fit (profiled ~7 s task CPU at sf0.1).
+        // SIZE-GATED (round-14 review find): the hint scales linearly
+        // with sf, so above 256 MiB of optimizer-estimated projected
+        // size it would force a driver collect + per-executor copy
+        // that can blow the broadcast limit outright — fall back to
+        // the planner's own join choice there.
+        val ordersProj = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val ordersSide =
+          if (ordersProj.queryExecution.optimizedPlan.stats.sizeInBytes
+              < (256L << 20)) broadcast(ordersProj)
+          else ordersProj
+        val edges = ordersSide
           .join(t(s, dir, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
           .select((col("o_custkey") * 4).cast("long").as("src"),

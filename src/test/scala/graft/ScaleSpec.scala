@@ -27,18 +27,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("saltedJoin stays exact on byte-identical hot rows (the salt " +
-      "is round-robin, not a row-content hash)") {
+  test("saltedJoin stays exact on byte-identical hot rows (deterministic " +
+      "content-hash salt; see Skew object doc for the duplicate caveat)") {
     import spark.implicits._
-    // 500 identical rows on one hot key: a full-row-hash salt put all
-    // of them on ONE (key, salt) reducer — zero skew relief (review
-    // find); round-robin spreads them while the row set stays exact
+    // 500 identical rows on one hot key: the deterministic content-hash
+    // salt puts them all on one (key, salt) reducer — no spread, but the
+    // row set stays exact and any stage retry recomputes identical salts
+    // (the round-robin predecessor could lose/duplicate rows on a
+    // shuffle-fetch retry — round-14 review find)
     val left = Seq.fill(500)((1L, "dup")).toDF("k", "v")
     val right = Seq((1L, "r1"), (2L, "r2")).toDF("rk", "rv")
     val got = Skew.saltedJoin(left, right, "k", "rk", 4, minLeftBytes = 0L)
       .groupBy("rv").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == Set(("r1", 500L)))
+  }
+
+  test("saltedJoin saltBy spreads identical-content hot rows across " +
+      "salts deterministically") {
+    import spark.implicits._
+    // the pre-dedup corpus shape: same payload, unique id — saltBy(id)
+    // gives a perfect deterministic spread where content hashing cannot
+    val left = (0L until 512L).map(i => (i, 1L, "dup")).toDF("id", "k", "v")
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(col("id")), lit(4L)))
+    val perSalt = salted.groupBy("__salt").count()
+      .collect().map(_.getLong(1))
+    assert(perSalt.length == 4 && perSalt.forall(_ > 64),
+      perSalt.mkString(","))
+    val right = Seq((1L, "r1"), (2L, "r2")).toDF("rk", "rv")
+    val got = Skew.saltedJoin(left, right, "k", "rk", 4,
+        minLeftBytes = 0L, saltBy = Some(col("id")))
+      .groupBy("rv").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("r1", 512L)))
   }
 
   test("salted join key includes the salt in the join condition") {
