@@ -277,6 +277,59 @@ object ScaleSmoke {
       graft.ops.Dedup.simhashPortableFused(docs, "text", "doc_id")
         .write.format("noop").mode("overwrite").save()
     }
+
+    // ---- PPJoin prefix filter vs blocked intersection (round-13
+    // verdict #2): price the documented 100 TB swap on the corpus
+    // shape it exists for — LONG-TAIL sparse: ~30% of tokens from a
+    // 100-word hot head (stopword-ish), the rest from an id-wide tail,
+    // plus every 100th doc an exact copy of its predecessor so true
+    // near-dups exist. Blocked intersection joins every hot
+    // (source, tok) group quadratically — candidates ~ (docs/source/
+    // hot-vocab)^2 x groups, so it is priced on a FIXED 20k-doc slice
+    // (constant work across 10x/50x; at full scale it would be
+    // hundreds of billions of candidate rows — the point). The prefix
+    // filter orders tokens rarest-first, hot tokens never enter a
+    // prefix (prefix length 17 < 28 rare tokens/doc), and candidates
+    // collapse to the near-dup tail — so it ALSO runs at the full
+    // corpus, where its wall should scale near-linearly with docs.
+    val sparseTok = (j: Int) => {
+      val h = pmod(col("id") * lit(2654435761L) + lit(j * 40503L + 13),
+        lit(1000000007L))
+      concat(when(pmod(h, lit(10L)) < 3, concat(lit("h"), pmod(h, lit(100L))))
+        .otherwise(concat(lit("r"), pmod(h, lit(nDocs * 4)))))
+    }
+    time("generate long-tail sparse docs (hot head + id-wide tail)") {
+      val gen = when(pmod(col("id"), lit(100L)) === 1, col("id") - 1)
+        .otherwise(col("id")).as("id")
+      spark.range(nDocs).select(col("id").as("doc_id"), gen)
+        .select(col("doc_id"),
+          concat_ws(" ", (0 until 40).map(sparseTok): _*).as("text"),
+          // source from the GENERATOR id, not doc_id: copy-twins must
+          // share a blocking key or the pair family never sees them
+          concat(lit("s"), pmod(col("id"), lit(8L))).as("source"))
+        .write.mode("overwrite").parquet(s"$base/docs_lt")
+    }
+    val docsLt = spark.read.parquet(s"$base/docs_lt")
+    val docsLtSlice = docsLt.filter(col("doc_id") < 20000)
+    time("jaccard sparse 20k slice, BLOCKED intersection (quadratic in " +
+        "hot groups)") {
+      graft.ops.Dedup.jaccardPairsHashed(
+          graft.ops.Dedup.tokenHashSets(docsLtSlice, "text", "doc_id",
+            "source"), "doc_id", "source", 0.6)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("jaccard sparse 20k slice, PREFIX filter (PPJoin)") {
+      graft.ops.Dedup.jaccardPairsPrefix(
+          graft.ops.Dedup.tokenSets(docsLtSlice, "text", "doc_id",
+            "source"), "doc_id", "source", 0.6)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("jaccard FULL sparse corpus, PREFIX filter (near-linear path)") {
+      graft.ops.Dedup.jaccardPairsPrefix(
+          graft.ops.Dedup.tokenSets(docsLt, "text", "doc_id", "source"),
+          "doc_id", "source", 0.6)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("CDC chunking (p6 shape, window + rollup on one exchange)") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("pos")

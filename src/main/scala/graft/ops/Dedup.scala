@@ -114,9 +114,17 @@ object Dedup {
       blockCol: String, n: Int): DataFrame =
     graft.sources.Tables.spread(df)
       .select(col(idCol), col(blockCol), split(col(textCol), " ").as("__toks"))
+      // materialize the hash-set array once, then read it twice: nset
+      // (the doc's distinct-shingle count — ROW-LOCAL, so the pair
+      // scorers get both set sizes for free instead of re-aggregating
+      // the exploded form and joining sizes back, round-13 verdict #3)
+      // and the exploded key stream
       .select(col(idCol), col(blockCol),
-        explode(graft.functions.TokenKernelFns.ngramXx64Set(
-          df.sparkSession, col("__toks"), n)).as("k"))
+        graft.functions.TokenKernelFns.ngramXx64Set(
+          df.sparkSession, col("__toks"), n).as("__ks"))
+      .select(col(idCol), col(blockCol),
+        size(col("__ks")).cast("long").as("nset"),
+        explode(col("__ks")).as("k"))
 
   /** Blocked HASHED token set (1-gram twin of [[shingleHashSets]]):
     * (idCol, blockCol, k) with k the distinct-token xxhash64 keys —
@@ -127,8 +135,12 @@ object Dedup {
       blockCol: String): DataFrame =
     graft.sources.Tables.spread(df)
       .select(col(idCol), col(blockCol),
-        explode(graft.functions.TokenKernelFns.tokenXx64Set(
-          df.sparkSession, split(col(textCol), " "))).as("k"))
+        graft.functions.TokenKernelFns.tokenXx64Set(
+          df.sparkSession, split(col(textCol), " ")).as("__ks"))
+      // nset: row-local set size, same rationale as [[shingleHashSets]]
+      .select(col(idCol), col(blockCol),
+        size(col("__ks")).cast("long").as("nset"),
+        explode(col("__ks")).as("k"))
 
   /** All-pairs Jaccard similarity >= threshold within a blocking column.
     * `sets` is the long form from tokenSets/shingleSets. Output:
@@ -162,22 +174,40 @@ object Dedup {
     * token/gram strings at all. */
   private def blockedIntersectionHashed(sets: DataFrame,
       idCol: String): DataFrame = {
-    // persist the hashed long form: three consumers (both join sides +
-    // the size agg) would otherwise each re-run the scan + tokenize +
-    // explode lineage; the cached frame is (id, block, int64) — a
-    // fraction of the string form's bytes (released by the runner's
-    // clearCache, the Q36 pattern)
+    // persist the hashed long form: both join sides would otherwise
+    // each re-run the scan + tokenize + explode lineage; the cached
+    // frame is (id, block, int64) — a fraction of the string form's
+    // bytes (released by the runner's clearCache, the Q36 pattern)
     val hashed = sets.persist()
-    val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = hashed.select(col(idCol).as("d1"), col("blk"), col("tokh"))
-    val b = hashed.select(col(idCol).as("d2"), col("blk").as("blk2"),
-      col("tokh").as("tokh2"))
-    a.join(b,
-        col("tokh") === col("tokh2") && col("blk") === col("blk2") &&
-          col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      .join(sizes.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+    if (sets.columns.contains("nset")) {
+      // fused-kernel producers ship the ROW-LOCAL set size on every
+      // exploded row (8 bytes/row extra through the candidate
+      // exchange), so the pair aggregate emits (c, n1, n2) in ONE pass
+      // — no separate size aggregation, no two join-backs of the pair
+      // frame against it (round-13 verdict #3; A/B-measured below)
+      val a = hashed.select(col(idCol).as("d1"), col("blk"),
+        col("tokh"), col("nset").as("n1"))
+      val b = hashed.select(col(idCol).as("d2"), col("blk").as("blk2"),
+        col("tokh").as("tokh2"), col("nset").as("n2"))
+      a.join(b,
+          col("tokh") === col("tokh2") && col("blk") === col("blk2") &&
+            col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("c"),
+          max("n1").as("n1"), max("n2").as("n2"))
+    } else {
+      // string-form path (no producer-side size): aggregate sizes from
+      // the exploded form and join them back
+      val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      val a = hashed.select(col(idCol).as("d1"), col("blk"), col("tokh"))
+      val b = hashed.select(col(idCol).as("d2"), col("blk").as("blk2"),
+        col("tokh").as("tokh2"))
+      a.join(b,
+          col("tokh") === col("tokh2") && col("blk") === col("blk2") &&
+            col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+        .join(sizes.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
+    }
   }
 
   def jaccardPairs(sets: DataFrame, idCol: String, blockCol: String,
@@ -204,8 +234,20 @@ object Dedup {
     * which prunes candidate GENERATION. */
   def jaccardPairsHashed(hashedSets: DataFrame, idCol: String,
       blockCol: String, threshold: Double): DataFrame =
-    jaccardScore(blockedIntersectionHashed(hashedSets.select(col(idCol),
-      col(blockCol).as("blk"), col("k").as("tokh")), idCol), threshold)
+    jaccardScore(blockedIntersectionHashed(
+      renamedHashed(hashedSets, idCol, blockCol), idCol), threshold)
+
+  /** (id, blk, tokh[, nset]) projection of a hashed long form —
+    * carries the producer's row-local set size through when present. */
+  private def renamedHashed(hashedSets: DataFrame, idCol: String,
+      blockCol: String): DataFrame = {
+    val base = Seq(col(idCol), col(blockCol).as("blk"),
+      col("k").as("tokh"))
+    val cols =
+      if (hashedSets.columns.contains("nset")) base :+ col("nset")
+      else base
+    hashedSets.select(cols: _*)
+  }
 
   private def jaccardScore(inter: DataFrame, threshold: Double): DataFrame =
     inter
@@ -253,9 +295,8 @@ object Dedup {
     * GENERATION rather than the result. */
   def containmentPairsHashed(hashedSets: DataFrame, idCol: String,
       blockCol: String, threshold: Double): DataFrame =
-    containmentScore(blockedIntersectionHashed(hashedSets.select(
-      col(idCol), col(blockCol).as("blk"), col("k").as("tokh")), idCol),
-      threshold)
+    containmentScore(blockedIntersectionHashed(
+      renamedHashed(hashedSets, idCol, blockCol), idCol), threshold)
 
   private def containmentScore(inter: DataFrame,
       threshold: Double): DataFrame =

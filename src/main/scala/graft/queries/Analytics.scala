@@ -268,6 +268,9 @@ object Analytics {
         import graft.functions.PortableHash
         val h = PortableHash.md5w(col("o_custkey"))
         val v = shiftrightunsigned(h, 8) // 24 rank bits above the bucket
+        // no spread(): A/B-measured a clear LOSS at sf0.1 (0.57 ->
+        // 1.0+ s) — the 32-task md5 stage pays ~0.1 s fixed per task,
+        // far more than the single-task register hash costs
         val staged = t(s, dir, "orders").select(
           col("o_orderpriority"), col("o_orderstatus"),
           h.bitwiseAND(255L).as("bucket"),

@@ -941,7 +941,8 @@ object CorpusOps {
     // this is its oracle-checkable form. One shuffle (the fold/lang agg).
     Entry("x8_fold_split",
       (s, dir) => {
-        t(s, dir, "documents")
+        // spread(): md5-fold + tokenize CPU, single-task scan otherwise
+        Tables.spread(t(s, dir, "documents"))
           .select(md5FoldExpr("text", 5).as("fold"), col("lang"),
             size(split(col("text"), " ")).cast("long").as("tk"))
           .groupBy("fold", "lang")

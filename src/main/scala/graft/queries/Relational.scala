@@ -472,6 +472,8 @@ object Relational {
     // round apart — observed at sf0.001 (28.8462 vs 28.8463), the same
     // class as the round-2 q22 fix.
     Entry("q13b_json",
+      // no spread(): A/B-measured a wash-to-loss at sf0.1 (the JSON
+      // parse CPU saved ≈ the shuffle of the wide props strings)
       (s, dir) => t(s, dir, "events")
         .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))

@@ -411,7 +411,11 @@ object TextOps {
 
     // Language-ID heuristic (script ranges + function words).
     Entry("t_lang_id",
-      (s, dir) => t(s, dir, "documents")
+      // spread(): the langId regex cascade is the query's CPU and runs
+      // in the scan stage, which a single-row-group fixture file pins
+      // to ONE task (0.25 s serialized at sf0.1; the shuffle it buys is
+      // a few MB). Self-disables on multi-split inputs — Tables.spread.
+      (s, dir) => Tables.spread(t(s, dir, "documents"))
         .groupBy(col("lang"), TextStats.langId(col("text")).as("detected"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "detected"),
@@ -978,6 +982,11 @@ object TextOps {
         val docs = t(s, dir, "documents")
         val stats = docs.agg(count(lit(1)).as("n_total"),
           sum(size(split(col("text"), " ")).cast("long")).as("sum_len"))
+        // NO spread() here (measured loss): the tokenTfPairs kernel is
+        // 0.85 s single-task at sf0.1, but fanning it to 32 tasks
+        // ballooned total stage CPU to ~6 s (~0.1 s fixed cost per task
+        // on this plan) and the wall got WORSE (0.83 -> 1.1 s) — the
+        // downstream repartition(tok) already parallelizes the scorer
         val tf = docs.select(col("doc_id"),
             size(split(col("text"), " ")).as("dl"),
             explode(graft.functions.TokenKernelFns.tokenTfPairs(s,
@@ -1038,7 +1047,10 @@ object TextOps {
     // tokens) swaps for the O(n) token_tf_pairs kernel at scale if
     // profiling ever shows it hot.
     Entry("t_entropy",
-      (s, dir) => t(s, dir, "documents")
+      // spread(): the per-doc distinct/filter/aggregate lambda chain is
+      // O(tokens^2) CPU in the scan stage — single-task on the fixture
+      // file (0.63 s serialized at sf0.1); see t_lang_id.
+      (s, dir) => Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("cs", expr(
           "transform(array_sort(array_distinct(toks)), " +
@@ -1081,7 +1093,9 @@ object TextOps {
     // frame. Exact integers end to end: oov_e6 = n_oov·1e6 DIV n_tok.
     Entry("t_oov_rate",
       (s, dir) => {
-        val st = t(s, dir, "documents")
+        // spread(): the tokenize+explode runs in the scan stage —
+        // single-task on the fixture file (see t_lang_id)
+        val st = Tables.spread(t(s, dir, "documents"))
           .select(col("source"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("source", "tok").agg(count(lit(1)).as("c"))
         val vocab = st.groupBy("tok").agg(sum("c").as("ctf"))
