@@ -89,31 +89,21 @@ object Bench {
       Console.err.println("[bench] box never quieted; running anyway, " +
         "bench_latest.json refresh SKIPPED")
     val envStart = envSnap()
-    // Shuffle fan-out sized to DATA, not cores (the same bytes-per-task
-    // logic AQE's advisory size applies to coalescible exchanges, made
-    // static here because the engine's pinned CPU-parallel exchanges —
-    // repartition(n, key) over small-in-bytes/heavy-in-CPU token frames
-    // — are never AQE-coalesced by design): ~2 MiB of INPUT per task,
-    // floored at 8 for CPU spread, capped at task CPUs. At sf0.1
-    // (~17 MiB of parquet) that is 8; at sf10+ it converges to `cpus`,
-    // the 3x-cores cluster sizing. Measured at sf0.1/local[32]: n=32's
-    // per-task fixed cost (~0.1 s deser+launch on fused-kernel plans)
-    // dominated 150-row payloads — 10 repartition-pinned entries ran
-    // 0.2-0.45 s faster each at n=8, none slower (x16/t_ngram_novelty/
-    // t_fertility/t_tfidf/t_decontam_bloom/q36/x4_ngram/x34 profiles).
-    // SPARK_GRAFT_SHUFFLE overrides for A/B.
-    val inputMb =
-      try java.nio.file.Files.list(java.nio.file.Paths.get(sfDir))
-        .mapToLong(p => p.toFile.length).sum >> 20
-      catch { case _: Throwable => 1024L }
-    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE")
-      .map(_.toInt)
-      .getOrElse(math.max(8L, math.min(cpus.toLong, inputMb / 2)).toInt)
-    val spark = GraftSession.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions))
+    // Data-sized local tuning — shuffle fan-out ~2 MiB of input per
+    // task (the pinned CPU-parallel exchanges are never AQE-coalesced,
+    // so the static count must be right-sized: 10 repartition-pinned
+    // entries measured 0.2-0.45 s faster each at 8 than 32, none
+    // slower) and AQE gated off below 1 GiB of input (59 entries
+    // faster, 4 slower, net -15 s — see GraftSession.dataSizedLocalConf
+    // for the full rationale and overrides).
+    val spark = GraftSession.dataSizedLocalConf(
+      GraftSession.configure(SparkSession.builder()
+        .master(s"local[$cpus]")),
+      sfDir, cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeOn = spark.conf.get("spark.sql.adaptive.enabled")
 
     // Per-attempt Spark JOB counts, keyed by job group (round-13
     // verdict #1: the sub-second tail's cost is driver round-trips per
@@ -289,7 +279,7 @@ object Bench {
       case (k, Some(_), _, _, _) if TrainerClass(k) => s"\"" + k + "\""
     }.mkString("[", ",", "]")
     val envEnd = envSnap()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"spread_rerun":$rerunJson,"spread_verdict":"$spreadVerdict","worst_total":$worstTotal,"jobs":$jobsJson,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","trainer_class":$trainerTagged,"trainer_class_note":"rows-only GD trainers: bench wall is scheduler floor x epochs by design; no oracle, absent from matched ratios","shuffle_partitions":$shufflePartitions,"env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"spread_rerun":$rerunJson,"spread_verdict":"$spreadVerdict","worst_total":$worstTotal,"jobs":$jobsJson,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","trainer_class":$trainerTagged,"trainer_class_note":"rows-only GD trainers: bench wall is scheduler floor x epochs by design; no oracle, absent from matched ratios","shuffle_partitions":$shufflePartitions,"aqe":$aqeOn,"env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r0N.json keeps only the tail of stdout, so the
     // first half of the per-query map is lost from the recorded artifact

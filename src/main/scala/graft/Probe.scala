@@ -2,49 +2,43 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** TEMP dev probe (deleted before round end): phase breakdown of warm
-  * registry entries — plan-build (analysis+optimize+physical planning)
-  * vs execution — at bench CPU count. */
+/** TEMP dev probe (deleted before round end): q42 session-spread
+  * diagnostic — 4 consecutive runs + generated-method bytecode-size
+  * histogram (the q41 bimodality playbook: a method near the 8 KB
+  * HotSpot JIT ceiling runs interpreted depending on JIT state). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args(1).split(",").toSeq
-      else Seq("q13b_json", "x7_mixture", "t_lang_id", "q72_profile",
-        "q33_hll_distinct", "x8_fold_split", "q07_outer_join",
-        "t_oov_rate", "t_fingerprint", "q55_resample_ffill",
-        "q34_approx_quantile", "x5c_frame_sample", "q01_scan_project",
-        "q08_agg_tpch_q1", "t_quality", "x3_text_stats", "q63_funnel",
-        "x16_collocations", "t_bm25", "t_entropy")
+      else Seq("q42_rnn_train")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+    val spark = GraftSession.dataSizedLocalConf(
+      GraftSession.configure(SparkSession.builder()
+        .master(s"local[$cpus]")), sfDir, cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def phases(name: String): (Double, Double, Double) = {
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val t1 = System.nanoTime()
-      df.queryExecution.executedPlan // force analysis+opt+planning
-      val t2 = System.nanoTime()
-      try df.write.format("noop").mode("overwrite").save()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       finally spark.catalog.clearCache()
-      val t3 = System.nanoTime()
-      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      (System.nanoTime() - t0) / 1e9
     }
 
-    try { phases("q08_agg_tpch_q1"); phases(names.head) }
-    catch { case e: Throwable => println("warmup err: " + e) }
-
-    println(f"${"entry"}%-22s ${"build"}%6s ${"plan"}%6s ${"exec"}%6s ${"total"}%6s   (warm 2nd run)")
+    try run("q08_agg_tpch_q1") catch { case _: Throwable => () }
     for (n <- names) {
-      try {
-        phases(n)
-        val (b, p, e) = phases(n)
-        println(f"$n%-22s $b%6.3f $p%6.3f $e%6.3f ${b + p + e}%6.3f")
-      } catch { case ex: Throwable => println(s"$n ERR ${ex.getMessage}") }
+      val walls = (1 to 4).map(_ => run(n))
+      println(f"$n%-22s walls=${walls.map(w => f"$w%.2f").mkString(",")}")
     }
+    val h = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_GENERATED_METHOD_BYTECODE_SIZE.getSnapshot
+    println(f"generated method bytecode sizes: max=${h.getMax}%d " +
+      f"p99=${h.getValue(0.99)}%.0f p95=${h.getValue(0.95)}%.0f " +
+      f"median=${h.getMedian}%.0f n=${h.size()}%d")
+    val hc = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getSnapshot
+    println(f"compile times ms: max=${hc.getMax}%d mean=${hc.getMean}%.0f")
     spark.stop()
   }
 }

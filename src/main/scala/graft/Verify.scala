@@ -7,9 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+    // same data-sized regime as Bench: the gate must gate the plans
+    // the bench measures (AQE off + right-sized fan-out at fixture
+    // scale; no-op at cluster-scale inputs)
+    val spark = GraftSession.dataSizedLocalConf(
+      GraftSession.configure(SparkSession.builder()
+        .master(s"local[$cpus]")),
+      sfDir, cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

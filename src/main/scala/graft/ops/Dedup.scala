@@ -327,24 +327,51 @@ object Dedup {
   def jaccardPairsPrefix(sets: DataFrame, idCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hashed = sets.select(col(idCol), col(blockCol).as("blk"),
-      xxhash64(col("tok")).as("tokh"))
+    val wSize = Window.partitionBy(col(idCol))
+    jaccardPairsPrefixHashed(
+      sets.select(col(idCol), col(blockCol),
+          xxhash64(col("tok")).as("k"))
+        .withColumn("nset", count(lit(1)).over(wSize)),
+      idCol, blockCol, threshold)
+  }
+
+  /** [[jaccardPairsPrefix]] over the fused-kernel HASHED long form
+    * (idCol, blockCol, k, nset) from [[tokenHashSets]] /
+    * [[shingleHashSets]]. The producer's row-local `nset` replaces the
+    * per-doc size window the string form pays, and the hashed frame is
+    * persisted once for its three consumers (frequency aggregate,
+    * candidate self-join, verification rollup) instead of re-running
+    * the tokenize+explode lineage for each. */
+  def jaccardPairsPrefixHashed(hashedSets: DataFrame, idCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = hashedSets.select(col(idCol), col(blockCol).as("blk"),
+      col("k").as("tokh"), col("nset")).persist()
     val freq = hashed.groupBy("blk", "tokh").agg(count(lit(1)).as("freq"))
     val wRank = Window.partitionBy(col(idCol))
       .orderBy(col("freq").asc, col("tokh").asc)
-    val wSize = Window.partitionBy(col(idCol))
     val prefix = hashed.join(freq, Seq("blk", "tokh"))
       .withColumn("pos", row_number().over(wRank))
-      .withColumn("sz", count(lit(1)).over(wSize))
       .filter(col("pos") <=
-        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        col("nset") - ceil(lit(threshold) * col("nset")) + 1)
     val a = prefix.select(col(idCol).as("d1"), col("blk"), col("tokh"))
     val b = prefix.select(col(idCol).as("d2"), col("blk").as("blk2"),
       col("tokh").as("tokh2"))
     val cands = a.join(b, col("tokh") === col("tokh2") &&
         col("blk") === col("blk2") && col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    jaccardOnPairs(cands, sets, idCol, threshold)
+    // verification over the SAME persisted hashed frame: per-doc sorted
+    // hash-set arrays, one array_intersect per candidate
+    val toks = hashed.groupBy(col(idCol))
+      .agg(collect_set(col("tokh")).as("toks"))
+    cands
+      .join(toks.select(col(idCol).as("d1"), col("toks").as("t1")), "d1")
+      .join(toks.select(col(idCol).as("d2"), col("toks").as("t2")), "d2")
+      .withColumn("c", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jaccard", col("c").cast("double")
+        / (size(col("t1")) + size(col("t2")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Exact Jaccard computed ONLY for the given candidate pairs — the

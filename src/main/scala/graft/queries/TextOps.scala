@@ -264,6 +264,41 @@ object TextOps {
               WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.35
               ORDER BY d1, d2""")),
 
+    // X4e — the PPJoin PREFIX-FILTER path through the oracle gate
+    // (round-13 verdict #2: the documented 100 TB sparse-corpus swap
+    // was DedupSpec-only). Every 7th doc: random sampling thins
+    // near-dup PAIRS quadratically (both endpoints must survive,
+    // ~1/49), so candidates >> kept pairs — the prefix filter's
+    // regime, unlike the ~59%-dense full fixture where plain blocked
+    // intersection wins on constant factors (x4's scaladoc). The
+    // oracle is the SAME quadratic token self-join the x4 family uses,
+    // restricted identically — proving the prefix path exact, not just
+    // fast: any pair the prefix bound wrongly pruned fails the hash.
+    Entry("x4e_jaccard_sparse",
+      (s, dir) => Dedup.jaccardPairsPrefixHashed(
+        Dedup.tokenHashSets(
+          t(s, dir, "documents").filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", "source"),
+        "doc_id", "source", 0.6),
+      Some("""WITH toks AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id % 7 = 0),
+              sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT d1, d2,
+                     round(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+              FROM inter
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
+              ORDER BY d1, d2""")),
+
     // X14 — CONTAINMENT near-dup pairs: c/min(|A|,|B|) >= 0.9 on distinct
     // token sets within `source` — the asymmetric test that catches a
     // small doc pasted inside a big one (J ~= |small|/|big| ~= 0, so X4

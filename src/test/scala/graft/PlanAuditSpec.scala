@@ -65,6 +65,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"nested-loop plans: $offenders")
   }
 
+  test("static (AQE-off) plans carry no unjustified nested loop either " +
+      "— the regime the fixture-scale bench/verify drivers run " +
+      "(GraftSession.dataSizedLocalConf)") {
+    // Bench/Verify run AQE-OFF below 1 GiB of input (round 14), so the
+    // join strategies the bench measures are the STATIC planner's. An
+    // entry whose static plan degenerates (stats misestimate -> nested
+    // loop / cartesian) would never be caught by the AQE-on audit
+    // above; audit the static plans too. Plan-build only — nothing
+    // executes.
+    val off = FitSession.aqeOff(spark)
+    val staticPlans = Registry.all.map { e =>
+      e.name -> e.run(off, sf).queryExecution.executedPlan.toString
+    }
+    val offenders = staticPlans.collect {
+      case (n, p) if (p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("CartesianProduct")) && !singleRowBroadcasts(n) => n
+    }
+    assert(offenders.isEmpty, s"static nested-loop plans: $offenders")
+  }
+
   test("justified nested loops broadcast the single-row side") {
     singleRowBroadcasts.filter(plans(_).contains("NestedLoop"))
       .foreach { n =>
