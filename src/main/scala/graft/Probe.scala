@@ -17,6 +17,9 @@ object Probe {
         .master(s"local[$cpus]")), sfDir, cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+      org.apache.logging.log4j.Level.DEBUG)
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()

