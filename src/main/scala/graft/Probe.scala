@@ -2,24 +2,26 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** TEMP dev probe (deleted before round end): q42 session-spread
-  * diagnostic — 4 consecutive runs + generated-method bytecode-size
-  * histogram (the q41 bimodality playbook: a method near the 8 KB
-  * HotSpot JIT ceiling runs interpreted depending on JIT state). */
+/** TEMP dev probe (deleted before round end): spread-width A/B under
+  * the data-sized bench regime — defaultParallelism (32) vs the
+  * session's shuffle partitions (8) as the fan-out target. Width is
+  * forced via SPARK_GRAFT_SPREAD_W by temporarily patching spread?
+  * No — spread() reads defaultParallelism; emulate width-8 by running
+  * the same entries in a local[8] session (defaultParallelism = 8,
+  * same shuffle partitions). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args(1).split(",").toSeq
-      else Seq("q42_rnn_train")
+      else Seq("t_oov_rate", "t_entropy", "t_lang_id", "x8_fold_split",
+        "x4_jaccard_neardup", "x14_containment", "t_decontaminate",
+        "s2_jsonl_roundtrip", "x4e_jaccard_sparse")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.dataSizedLocalConf(
       GraftSession.configure(SparkSession.builder()
         .master(s"local[$cpus]")), sfDir, cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
-      org.apache.logging.log4j.Level.DEBUG)
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
@@ -29,19 +31,14 @@ object Probe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    try run("q08_agg_tpch_q1") catch { case _: Throwable => () }
+    try { run("q08_agg_tpch_q1"); run(names.head) }
+    catch { case e: Throwable => println("warmup err: " + e) }
     for (n <- names) {
-      val walls = (1 to 4).map(_ => run(n))
-      println(f"$n%-22s walls=${walls.map(w => f"$w%.2f").mkString(",")}")
+      try {
+        val walls = (1 to 3).map(_ => run(n))
+        println(f"$n%-22s ${walls.map(w => f"$w%.2f").mkString(",")}")
+      } catch { case e: Throwable => println(s"$n ERR ${e.getMessage}") }
     }
-    val h = org.apache.spark.metrics.source.CodegenMetrics
-      .METRIC_GENERATED_METHOD_BYTECODE_SIZE.getSnapshot
-    println(f"generated method bytecode sizes: max=${h.getMax}%d " +
-      f"p99=${h.getValue(0.99)}%.0f p95=${h.getValue(0.95)}%.0f " +
-      f"median=${h.getMedian}%.0f n=${h.size()}%d")
-    val hc = org.apache.spark.metrics.source.CodegenMetrics
-      .METRIC_COMPILATION_TIME.getSnapshot
-    println(f"compile times ms: max=${hc.getMax}%d mean=${hc.getMean}%.0f")
     spark.stop()
   }
 }

@@ -165,7 +165,17 @@ object Tables {
     * parallelism and was never the starved single-row-group case this
     * helper exists for. */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    // Fan-out target: the session's SHUFFLE parallelism, not
+    // defaultParallelism (round 14). The two agree on a cluster
+    // (shuffle.partitions ~ 3x cores), but under the data-sized local
+    // regime (GraftSession.dataSizedLocalConf) shuffle.partitions is
+    // right-sized to the input (~2 MiB/task) while defaultParallelism
+    // stays at core count — and a 32-way fan-out of a 5k-row kernel
+    // frame pays ~0.1 s of fixed per-task cost for 150-row payloads.
+    // A/B at sf0.1 (3-run warm): width 8 beat width 32 on every spread
+    // consumer probed (t_oov 0.99->0.63 s, t_lang_id 0.37->0.21 s,
+    // x4e 0.96->0.65 s, x8 0.41->0.28 s; none worse).
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
     if (!scanRooted(df.queryExecution.analyzed)) df
     else if (df.rdd.getNumPartitions >= p) df
     else df.repartition(p)
