@@ -24,19 +24,20 @@ object Bench {
   private val SinkClass = Set("s1_csv_roundtrip", "s2_jsonl_roundtrip",
     "s3_orc_roundtrip", "w1_partitioned_sink", "q62_merge_upsert")
 
-  /** The ten rows-only-by-design trainer entries (float GD fits + the
+  /** The rows-only-by-design trainer entries (float GD fits + the
     * transcendental LSTM forward — SURVEY §5). Their bench time is
     * scheduler floor x epochs by construction (each epoch is one
     * O(params) aggregation whose arithmetic is microseconds at fixture
     * scale), and they have NO DuckDB oracle, so they are absent from
     * every matched-ratio read anyway. Tagged so ratio consumers can
     * slice the trainer wall out of the total without re-deriving the
-    * set (round-13 verdict #5).
+    * set (round-13 verdict #5). DERIVED from the registry (entries
+    * without an oracle), not hardcoded — PlanAuditSpec pins that set
+    * to the declared trainer family, so a new rows-only entry cannot
+    * silently ship untagged here (round-14 review find).
     */
-  private val TrainerClass = Set("q40_mlp_train", "q40b_mlp_minibatch",
-    "q41_lstm_forward", "q42_rnn_train", "q43_conv_train",
-    "q56_lstm_train", "q57_conv2_train", "q58_conv3_train",
-    "q59_rnn2_train", "q60_lstm2_train")
+  private def TrainerClass: Set[String] =
+    SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
 
   /** One-line run-environment snapshot: loadavg + available memory.
     * A driver-vs-builder total discrepancy (round 9: 151.7s recorded
@@ -254,9 +255,14 @@ object Bench {
       .mkString("{", ",", "}")
     // Per-query Spark JOB count for the attempt whose time is reported
     // in "queries" — the scheduler-floor diagnostic (see jobCounts).
-    // Listener-bus lag: the bus is async, so give it a moment to drain
-    // before reading; a missing group reads as 0 rather than blocking.
-    Thread.sleep(1500)
+    // The bus is async: block until it has actually delivered every
+    // queued event (bounded — a stuck bus degrades to possibly-low
+    // counts rather than hanging the artifact; round-14 review find
+    // replaced the fixed sleep that was silently lossy under load).
+    if (!org.apache.spark.sql.graft.SessionInterop
+        .drainListeners(spark, 30000L))
+      Console.err.println("[bench] listener bus not drained in 30s — " +
+        "per-query job counts may read low")
     val jobsJson = results2.collect { case (k, Some(_), _, _, Some(g)) =>
       s"\"" + k + "\":" + Option(jobCounts.get(g)).fold(0)(_.intValue)
     }.mkString("{", ",", "}")

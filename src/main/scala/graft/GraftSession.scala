@@ -82,12 +82,17 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true"))
 
-  /** Total bytes of the fixture dir's files, in MiB (fallback 1024 on
-    * any error — the "assume big" default keeps cluster semantics). */
+  /** Total bytes of the fixture dir's REGULAR FILES, recursively, in
+    * MiB (fallback 1024 on any error — the "assume big" default keeps
+    * cluster semantics). Recursive on purpose (round-14 review find):
+    * Spark-written tables are DIRECTORIES (name.parquet/part-*), and a
+    * top-level-only sum would read a 10 GiB dir-shaped fixture as ~0
+    * and silently flip the session into the small-data regime. */
   def inputMb(dir: String): Long =
     try {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try s.mapToLong(p => p.toFile.length).sum >> 20
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(p => java.nio.file.Files.isRegularFile(p))
+        .mapToLong(p => p.toFile.length).sum >> 20
       finally s.close()
     } catch { case _: Throwable => 1024L }
 

@@ -337,6 +337,10 @@ object ScaleSmoke {
             "source"), "doc_id", "source", 0.6)
         .write.format("noop").mode("overwrite").save()
     }
+    // release the pair-family persists (hashed token frames) so they
+    // don't distort the stages timed below (round-14 review find —
+    // the Bench/Verify runners clearCache per entry; mirror that here)
+    spark.catalog.clearCache()
     time("CDC chunking (p6 shape, window + rollup on one exchange)") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("pos")

@@ -360,11 +360,21 @@ object Dedup {
     val cands = a.join(b, col("tokh") === col("tokh2") &&
         col("blk") === col("blk2") && col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    // verification over the SAME persisted hashed frame: per-doc sorted
+    // verification over the SAME persisted hashed frame: per-doc
     // hash-set arrays, one array_intersect per candidate
-    val toks = hashed.groupBy(col(idCol))
-      .agg(collect_set(col("tokh")).as("toks"))
-    cands
+    jaccardVerify(cands,
+      hashed.groupBy(col(idCol)).agg(collect_set(col("tokh")).as("toks")),
+      idCol, threshold)
+  }
+
+  /** The exact-Jaccard verification tail shared by [[jaccardOnPairs]]
+    * (MinHash-LSH) and [[jaccardPairsPrefixHashed]] — ONE copy of the
+    * numerically sensitive score algebra (round-14 review find: the
+    * two paths had diverged into near-verbatim copies). `toks` is the
+    * per-doc hashed-set rollup (idCol, toks: array<long>). */
+  private def jaccardVerify(pairs: DataFrame, toks: DataFrame,
+      idCol: String, threshold: Double): DataFrame =
+    pairs
       .join(toks.select(col(idCol).as("d1"), col("toks").as("t1")), "d1")
       .join(toks.select(col(idCol).as("d2"), col("toks").as("t2")), "d2")
       .withColumn("c", size(array_intersect(col("t1"), col("t2"))))
@@ -372,7 +382,6 @@ object Dedup {
         / (size(col("t1")) + size(col("t2")) - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Exact Jaccard computed ONLY for the given candidate pairs — the
     * verification half of MinHash+LSH dedup. Token sets are first rolled
@@ -382,18 +391,11 @@ object Dedup {
     * the 100 TB path: work scales with |candidates|, not |docs|^2.
     */
   def jaccardOnPairs(pairs: DataFrame, sets: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
-    val toks = sets.groupBy(col(idCol))
-      .agg(collect_set(xxhash64(col("tok"))).as("toks"))
-    pairs
-      .join(toks.select(col(idCol).as("d1"), col("toks").as("t1")), "d1")
-      .join(toks.select(col(idCol).as("d2"), col("toks").as("t2")), "d2")
-      .withColumn("c", size(array_intersect(col("t1"), col("t2"))))
-      .withColumn("jaccard", col("c").cast("double")
-        / (size(col("t1")) + size(col("t2")) - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
-  }
+      threshold: Double): DataFrame =
+    jaccardVerify(pairs,
+      sets.groupBy(col(idCol))
+        .agg(collect_set(xxhash64(col("tok"))).as("toks")),
+      idCol, threshold)
 
   /** MinHash signature per doc: numHashes independent min-hashes of the
     * token set. Hash family: xxhash64(seed_i, tok) — 64-bit, engine-side

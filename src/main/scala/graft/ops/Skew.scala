@@ -36,9 +36,26 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Deterministic salt in [0, k): xxhash64 of `saltBy` when given,
-    * else of the whole row content. */
+    * else of the row's HASHABLE columns — Spark's hash functions
+    * reject MapType (round-14 review find: a map column anywhere in
+    * the row made the default salt fail at plan time), so map-typed
+    * columns are excluded from the content hash. Excluding them only
+    * coarsens the spread (rows differing solely in a map column share
+    * a salt — correct either way); a row of ONLY map columns degrades
+    * to a single salt, where the caller should pass `saltBy`. */
   private def salt(df: DataFrame, saltBy: Option[Column], k: Int): Column = {
-    val src = saltBy.getOrElse(struct(df.columns.map(col).toSeq: _*))
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val src = saltBy.getOrElse {
+      val cols = df.schema.fields.filter(f => hashable(f.dataType))
+        .map(f => col(f.name))
+      if (cols.isEmpty) lit(0L) else struct(cols.toSeq: _*)
+    }
     pmod(xxhash64(src), lit(k.toLong))
   }
 

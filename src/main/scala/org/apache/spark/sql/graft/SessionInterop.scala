@@ -55,4 +55,14 @@ object SessionInterop {
     else ClassicDataset.ofRows(to.asInstanceOf[ClassicSession],
       cdf.queryExecution.logical)
   }
+
+  /** Block until the async listener bus has delivered every queued
+    * event, or `timeoutMs` elapses (false on timeout). The third
+    * `private[spark]` door (round-14 review find): Bench's per-query
+    * job counts are collected in a SparkListener, and a fixed sleep is
+    * the wrong guard against bus lag — on a loaded host the counts
+    * would be silently low, on a quiet one the sleep is wasted wall. */
+  def drainListeners(s: SparkSession, timeoutMs: Long): Boolean =
+    try { s.sparkContext.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

@@ -63,6 +63,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == Set(("r1", 512L)))
   }
 
+  test("saltedJoin content-hash salt tolerates map-typed columns " +
+      "(they are excluded from the hash)") {
+    import spark.implicits._
+    // xxhash64 rejects MapType; the default salt must skip map columns
+    // instead of failing at plan time (round-14 review find)
+    val left = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+      .withColumn("m", map(col("v"), col("v")))
+    val right = Seq((1L, "r1")).toDF("rk", "rv")
+    val got = Skew.saltedJoin(left, right, "k", "rk", 4,
+      minLeftBytes = 0L)
+    assert(got.count() == 2)
+  }
+
   test("salted join key includes the salt in the join condition") {
     val li = Tables.load(spark, dir, "lineitem").select("l_orderkey")
     val o = Tables.load(spark, dir, "orders").select("o_orderkey")
