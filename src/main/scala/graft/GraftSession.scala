@@ -110,13 +110,22 @@ object GraftSession {
     * NOTHING: AQE stays on and fan-out converges to the caller's cpu
     * count — the clusterBuilder regime. The correctness gate (Verify)
     * applies the same rule, so benched plans are the gated plans. */
+  /** The (shufflePartitions, aqeOn) decision of [[dataSizedLocalConf]]
+    * as a pure function of input volume — separated so the regime
+    * contract is unit-testable without building sessions. */
+  def dataSizedSettings(inputMb: Long, cpus: Int,
+      aqeMinInputMb: Long = 1024L): (Int, Boolean) =
+    (math.max(8L, math.min(cpus.toLong, inputMb / 2)).toInt,
+      inputMb >= aqeMinInputMb)
+
   def dataSizedLocalConf(b: SparkSession.Builder, dir: String,
       cpus: Int, aqeMinInputMb: Long = 1024L): SparkSession.Builder = {
-    val mb = inputMb(dir)
+    val (shuffle0, aqe0) = dataSizedSettings(inputMb(dir), cpus,
+      aqeMinInputMb)
     val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt)
-      .getOrElse(math.max(8L, math.min(cpus.toLong, mb / 2)).toInt)
+      .getOrElse(shuffle0)
     val aqe = sys.env.get("SPARK_GRAFT_AQE").map(_.toBoolean)
-      .getOrElse(mb >= aqeMinInputMb)
+      .getOrElse(aqe0)
     b.config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", aqe.toString)
   }
