@@ -577,7 +577,14 @@ object NeuralOps {
         // Dropout(.5) makes single 0.001-steps non-monotone (probed:
         // epoch-3 mask redraw rose ~1.4e-3 at sf0.1 where the 3-epoch
         // gate tripped), and five updates give the cumulative descent
-        // a ~3e-3 margin over the mask noise at both gate SFs.
+        // a ~3e-3 margin over the mask noise at both gate SFs
+        // (0.01/0.1). KNOWN at sf0.001 (round 14, deterministic): the
+        // ~150-row slice's mask noise exceeds that margin, the loss
+        // ends above epoch 1, and the descent self-gate below
+        // deliberately emits 0 rows — an honest "did not descend at
+        // this scale", matching what 5 Keras epochs on 150 rows under
+        // Dropout(.5) can do, not a plan bug. sf0.001 is a smoke
+        // scale; the correctness gate runs at sf0.01.
         val es = WideConv.fitEsOpt(facts, xs, y, w0, maxEpochs = 5,
           opt = TrainerCommon.Optimizer.adam(0.001), rowKey = rk,
           dropout = 0.5,
