@@ -109,7 +109,15 @@ object GraftSession {
     * on 4 (sum 0.6 s). At or above the threshold this helper changes
     * NOTHING: AQE stays on and fan-out converges to the caller's cpu
     * count — the clusterBuilder regime. The correctness gate (Verify)
-    * applies the same rule, so benched plans are the gated plans. */
+    * applies the same rule, so benched plans are the gated plans.
+    *
+    * Measured non-wins in this regime (don't re-try): static
+    * `preferSortMergeJoin=false` read slightly WORSE on every join
+    * entry probed (q04/q07/q07b/q26 warm: +0.05-0.12 s each — the SMJ
+    * sort of fixture-sized inputs is cheap and SHJ's build pays more),
+    * and `autoBroadcastJoinThreshold=64M` likewise (+0.02-0.11 s —
+    * broadcasting a 150k-row fact build side costs more than the 8-way
+    * shuffle it saves at this scale). */
   /** The (shufflePartitions, aqeOn) decision of [[dataSizedLocalConf]]
     * as a pure function of input volume — separated so the regime
     * contract is unit-testable without building sessions. */
