@@ -951,6 +951,9 @@ object Dedup {
     val spark = df.sparkSession
     def chunks = graft.functions.TokenKernelFns
       .cdcChunks(spark, col(textCol))
+    // No spread() on this frame (measured wash, round 14): fanning the
+    // two linear kernel passes to 8 tasks saved exactly what the added
+    // round-robin text exchange cost at sf0.1 (0.94 s -> 0.93 s warm).
     val docs = df.select(col(idCol), col(textCol))
     val occ = docs
       .select(col(idCol), posexplode(chunks))
