@@ -96,10 +96,22 @@ object GraftSession {
       finally s.close()
     } catch { case _: Throwable => 1024L }
 
+  /** The (shufflePartitions, aqeOn) decision of [[dataSizedLocalConf]]
+    * as a pure function of input volume — separated so the regime
+    * contract is unit-testable without building sessions
+    * (DataSizedConfSpec). The 8-task floor WINS over the cpu cap on
+    * small hosts (e.g. cpus=4 still gets 8 partitions — two task waves
+    * beat under-spread CPU kernels; pinned in the spec). */
+  def dataSizedSettings(inputMb: Long, cpus: Int,
+      aqeMinInputMb: Long = 1024L): (Int, Boolean) =
+    (math.max(8L, math.min(cpus.toLong, inputMb / 2)).toInt,
+      inputMb >= aqeMinInputMb)
+
   /** Data-sized LOCAL tuning for the bench/verify drivers (round-13
     * verdict #1): below `aqeMinInputMb` of total input, run with AQE
-    * OFF and a ~2 MiB-of-input-per-task shuffle fan-out (floor 8, cap
-    * `cpus`). Rationale: at fixture scale every exchange is far below
+    * OFF and a ~2 MiB-of-input-per-task shuffle fan-out (floored at 8
+    * — the floor wins over the `cpus` cap on small hosts, see
+    * [[dataSizedSettings]]). Rationale: at fixture scale every exchange is far below
     * AQE's own 64 MiB advisory target, so coalescing, skew splitting
     * and join re-planning are all no-ops — what remains of AQE is its
     * COST, one stage-materialization job + driver round-trip per
@@ -118,14 +130,6 @@ object GraftSession {
     * and `autoBroadcastJoinThreshold=64M` likewise (+0.02-0.11 s —
     * broadcasting a 150k-row fact build side costs more than the 8-way
     * shuffle it saves at this scale). */
-  /** The (shufflePartitions, aqeOn) decision of [[dataSizedLocalConf]]
-    * as a pure function of input volume — separated so the regime
-    * contract is unit-testable without building sessions. */
-  def dataSizedSettings(inputMb: Long, cpus: Int,
-      aqeMinInputMb: Long = 1024L): (Int, Boolean) =
-    (math.max(8L, math.min(cpus.toLong, inputMb / 2)).toInt,
-      inputMb >= aqeMinInputMb)
-
   def dataSizedLocalConf(b: SparkSession.Builder, dir: String,
       cpus: Int, aqeMinInputMb: Long = 1024L): SparkSession.Builder = {
     val (shuffle0, aqe0) = dataSizedSettings(inputMb(dir), cpus,

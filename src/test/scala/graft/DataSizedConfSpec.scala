@@ -14,10 +14,17 @@ class DataSizedConfSpec extends AnyFunSuite {
 
   test("inputMb walks nested table directories, not just top-level files") {
     val dir = Files.createTempDirectory("dsconf")
-    val sub = Files.createDirectories(dir.resolve("t.parquet"))
-    Files.write(sub.resolve("part-0"), new Array[Byte](3 << 20))
-    Files.write(dir.resolve("flat.parquet"), new Array[Byte](2 << 20))
-    assert(GraftSession.inputMb(dir.toString) == 5L)
+    try {
+      val sub = Files.createDirectories(dir.resolve("t.parquet"))
+      Files.write(sub.resolve("part-0"), new Array[Byte](3 << 20))
+      Files.write(dir.resolve("flat.parquet"), new Array[Byte](2 << 20))
+      assert(GraftSession.inputMb(dir.toString) == 5L)
+    } finally {
+      // clean the 5 MiB per run — sbt test runs accumulate on this box
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    }
   }
 
   test("inputMb falls back to the assume-big default on a missing dir") {
@@ -34,5 +41,13 @@ class DataSizedConfSpec extends AnyFunSuite {
     assert(GraftSession.dataSizedSettings(10240L, 32) == ((32, true)))
     // between 16 MiB and the AQE threshold the fan-out scales ~mb/2
     assert(GraftSession.dataSizedSettings(40L, 32) == ((20, false)))
+  }
+
+  test("the 8-task floor wins over the cpu cap on small hosts") {
+    // cpus=4 still gets 8 partitions: two task waves beat under-spread
+    // CPU kernels (documented at dataSizedSettings; a future 'fix'
+    // honoring the cap over the floor must change this pin knowingly)
+    assert(GraftSession.dataSizedSettings(17L, 4) == ((8, false)))
+    assert(GraftSession.dataSizedSettings(10240L, 4) == ((8, true)))
   }
 }
