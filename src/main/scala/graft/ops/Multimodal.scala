@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * arrow-batched Python UDFs: one iterator per partition, codec state
   * reused across the whole batch, never per-row setup).
   *
-  * !! DECODE IS A STUB !! — no image/audio codec ships in this
-  * environment, so [[StubCodec]] produces a deterministic fake
-  * (byte-hash-seeded). Schema, partitioning, operator signatures and
-  * batch shape are the real contract and are tested; swap StubCodec for
-  * a real codec (javax.imageio / ffmpeg bindings) to productionize.
+  * Decode runs behind the [[Codec]] contract with TWO implementations:
+  * [[StubCodec]], a deterministic byte-hash fake (the oracle-gated twin
+  * — reproducible by any engine, which is what lets the x5 registry
+  * entries carry DuckDB oracles), and [[ImageIoCodec]], a REAL decoder
+  * on the JDK's own javax.imageio (PNG/BMP, zero dependencies,
+  * headless-safe). Schema, partitioning, operator signatures and batch
+  * shape are codec-independent and tested against both; audio/video
+  * codecs (ffmpeg bindings) slot in the same way.
   *
   * Scale: payload bytes never shuffle except where the plan says so —
   * decode/resize/extract are narrow maps; metadata-only queries prune
@@ -34,9 +37,35 @@ object Multimodal {
   case class MediaFeature(media_id: Long, kind: String,
       feature: Array[Float])
 
+  /** A decoded single-channel plane with its TRUE dimensions. A real
+    * codec reads width/height out of the payload; the stub trusts the
+    * declared metadata — the contract covers both. */
+  case class Plane(width: Int, height: Int, pixels: Array[Byte])
+
+  /** The codec contract [[decodeFrames]] / [[extractFeatures]] run
+    * behind: payload bytes in, grayscale plane out. Implementations are
+    * Serializable objects shipped in the task closure; per-partition
+    * mutable state (stream readers, native handles) belongs inside
+    * `mapPartitions`, constructed once per iterator — see decodeFrames.
+    * Swapping the codec changes PIXELS, not the operator plumbing:
+    * schema, partitioning, and batch shape are codec-independent. */
+  trait Codec extends Serializable {
+    /** Decode one payload into a grayscale plane. `declaredWidth` /
+      * `declaredHeight` are the metadata-column dims — a hint the stub
+      * honors and a real codec ignores in favor of the payload's own
+      * header. Must throw (not return garbage) on undecodable bytes. */
+    def decodePlane(bytes: Array[Byte], declaredWidth: Int,
+        declaredHeight: Int): Plane
+  }
+
   /** Deterministic stand-in for a real codec. Every output is a pure
     * function of (bytes, dims) so tests are reproducible. */
-  object StubCodec {
+  object StubCodec extends Codec {
+    override def decodePlane(bytes: Array[Byte], declaredWidth: Int,
+        declaredHeight: Int): Plane =
+      Plane(declaredWidth, declaredHeight,
+        decode(bytes, declaredWidth, declaredHeight))
+
     /** STUB decode: fake pixel plane seeded by a rolling byte hash. */
     def decode(bytes: Array[Byte], width: Int, height: Int): Array[Byte] =
       decodeSeeded(bytes, width, height, None)
@@ -96,6 +125,37 @@ object Multimodal {
     }
   }
 
+  /** REAL codec: the JDK's own `javax.imageio.ImageIO` (PNG/BMP/GIF —
+    * zero new dependencies, headless-safe: pure raster decode, no
+    * display). Dimensions come from the payload's header, NOT the
+    * metadata columns; pixels are ITU-R 601 luma of the decoded RGB.
+    * Deterministic: same bytes → same plane, on any JVM that ships the
+    * standard PNG reader. This is the "real-world swap" the stub's
+    * contract promises — [[decodeFrames]]/[[extractFeatures]] run it
+    * unchanged (MultimodalSpec drives decode→resize→features→top-k on
+    * real PNG payloads through it). */
+  object ImageIoCodec extends Codec {
+    override def decodePlane(bytes: Array[Byte], declaredWidth: Int,
+        declaredHeight: Int): Plane = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null,
+        s"undecodable payload (${bytes.length} bytes): no ImageIO reader")
+      val w = img.getWidth; val h = img.getHeight
+      // bulk getRGB — one array copy per image, not a per-pixel call
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Byte](w * h)
+      var i = 0
+      while (i < out.length) {
+        val p = rgb(i)
+        out(i) = ((((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+          (p & 0xff) * 114) / 1000).toByte
+        i += 1
+      }
+      Plane(w, h, out)
+    }
+  }
+
   /** A deterministic media table derived from `documents` — text bytes
     * as payload, dims derived from length. Stands in for a real
     * (id, bytes, meta) parquet/blob-store table. */
@@ -115,13 +175,18 @@ object Multimodal {
 
   /** Decode every item to frame 0 — one codec per PARTITION, reused
     * across its whole iterator (the batch shape that matters when the
-    * real codec costs ~100ms to construct). */
-  def decodeFrames(media: Dataset[Media]): Dataset[Frame] = {
+    * real codec costs ~100ms to construct). Frame dims are the CODEC's
+    * (real codecs read them from the payload header). */
+  def decodeFrames(media: Dataset[Media],
+      codec: Codec = StubCodec): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: construct the codec HERE, once per partition
-      it.map(m => Frame(m.media_id, 0, m.width, m.height,
-        StubCodec.decode(m.bytes, m.width, m.height)))
+      // per-partition codec state (native handles, readers) goes HERE,
+      // once per iterator; the Codec object itself is a shared singleton
+      it.map { m =>
+        val p = codec.decodePlane(m.bytes, m.width, m.height)
+        Frame(m.media_id, 0, p.width, p.height, p.pixels)
+      }
     }
   }
 
@@ -146,12 +211,16 @@ object Multimodal {
   }
 
   /** Feature-extract per media item: decode → fixed-dim Array[Float],
-    * ready for the Similarity operators (cosine top-k / near-dup). */
-  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeature] = {
+    * ready for the Similarity operators (cosine top-k / near-dup). The
+    * moment summary ([[StubCodec.features]]) is plain plane arithmetic —
+    * codec-independent, so it runs unchanged on real decoded pixels. */
+  def extractFeatures(media: Dataset[Media],
+      codec: Codec = StubCodec): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
       MediaFeature(m.media_id, m.kind,
-        StubCodec.features(StubCodec.decode(m.bytes, m.width, m.height)))
+        StubCodec.features(
+          codec.decodePlane(m.bytes, m.width, m.height).pixels))
     })
   }
 
