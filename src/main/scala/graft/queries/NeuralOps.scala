@@ -159,6 +159,89 @@ object NeuralOps {
     } finally facts.unpersist()
   }
 
+  /** Shared q58/q73 harness — the reference CNN's complete 3-block
+    * architecture (3 x [Conv1D(k3, relu) -> MaxPool1D(2)] -> Flatten ->
+    * Dense(relu) -> Dropout(0.5) -> softmax, `cnn_model.py:21-32`) over
+    * a 22-step integer-derived lineitem feature grid, fit for 2 epochs
+    * (the ES harness + loss-descent gate need two points) on the
+    * treeAggregate twin (WideNet): WideNetSpec pins it gradient-for-
+    * gradient to ConvNetTrainer's staged plan, so the trajectory is
+    * unchanged while the 3-block staged DAG's per-epoch plan/codegen
+    * cost (the old bench-dominating term — epoch 3 alone added ~2.3 s
+    * of wall) disappears. Adam(0.001) — the reference's optimizer.
+    * `filters`/`dense` size the net: q58 runs narrow twins AND the
+    * staged predictStaged accuracy tail (`withPredict`, keeping the
+    * staged forward DAG exercised); q73 runs the reference's actual
+    * 32/64/128 + Dense(128) widths, fit-only — the staged plan cannot
+    * express 128-wide layers without quadratic expression blowup,
+    * which is exactly why the twin path exists. */
+  private def conv3Train(s: SparkSession, dir: String, filters: Seq[Int],
+      dense: Int, withPredict: Boolean): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val scan = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+    val para = s.sparkContext.defaultParallelism
+    val facts =
+      (if (scan.rdd.getNumPartitions < para) scan.repartition(para)
+       else scan).persist()
+    // 22 deterministic integer-derived features, scaled to ~[0, 3]
+    val primes = Seq(97, 89, 83, 79, 73, 71, 67, 61, 59, 53, 47, 43,
+      41, 37, 31, 29, 23, 19)
+    val xs: Seq[Column] =
+      Seq(col("l_quantity") / lit(32.0),
+        col("l_linenumber").cast("double") / lit(4.0),
+        dayofmonth(col("l_shipdate")).cast("double") / lit(16.0),
+        month(col("l_shipdate")).cast("double") / lit(8.0)) ++
+      primes.zipWithIndex.map { case (p, i) =>
+        val src = (i % 3: @unchecked) match {
+          case 0 => col("l_orderkey")
+          case 1 => col("l_partkey")
+          case 2 => col("l_suppkey")
+        }
+        ((src + lit(i)) % p).cast("double") / lit(32.0)
+      }
+    val y = ((col("l_orderkey") + col("l_suppkey")) % 2).cast("int")
+    val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
+    try {
+      val w0 = ConvNetTrainer.init(T = 22, filters = filters,
+        kernel = 3, dense = dense, classes = 2, seed = 41L)
+      val es = WideNet.fitEsOpt(facts, xs, y, w0, maxEpochs = 2,
+        opt = TrainerCommon.Optimizer.adam(0.001), rowKey = rk,
+        dropout = 0.5,
+        isVal = TrainerCommon.valSplitPortable(
+        Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
+      val ls = es.trainLosses
+      val descended = ls.nonEmpty && ls.last <= ls.head
+      if (withPredict) {
+        val scored = ConvNetTrainer.predictStaged(
+          facts.withColumn("y", y), Seq(col("y")), xs, es.weights,
+          "pred")
+        val acc = scored.select((col("pred") === col("y"))
+          .cast("double").as("ok")).agg(avg("ok")).head().getDouble(0)
+        val rows =
+          if (descended)
+            ls.zip(es.valLosses).zipWithIndex.map { case ((l, vl), e) =>
+              ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
+                math.rint(vl * 1e6) / 1e6, es.bestEpoch.toLong,
+                es.stoppedEpoch.toLong, math.rint(acc * 1e4) / 1e4)
+            }
+          else Seq.empty[(Long, Double, Double, Long, Long, Double)]
+        rows.toDF("epoch", "loss", "val_loss", "best_epoch",
+          "stopped_epoch", "final_acc").orderBy("epoch")
+      } else {
+        val rows =
+          if (descended)
+            ls.zip(es.valLosses).zipWithIndex.map { case ((l, vl), e) =>
+              ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
+                math.rint(vl * 1e6) / 1e6, es.bestEpoch.toLong,
+                es.stoppedEpoch.toLong)
+            }
+          else Seq.empty[(Long, Double, Double, Long, Long)]
+        rows.toDF("epoch", "loss", "val_loss", "best_epoch",
+          "stopped_epoch").orderBy("epoch")
+      }
+    } finally facts.unpersist()
+  }
+
   /** Label the slice with aliased feature columns for predictStaged. */
   private def labeled(facts: org.apache.spark.sql.DataFrame,
       xs: Seq[Column], y: Column): (org.apache.spark.sql.DataFrame, Seq[Column]) =
@@ -166,6 +249,19 @@ object NeuralOps {
       x.as(s"f${i + 1}") } :+ y.as("y"): _*),
       xs.indices.map(i => col(s"f${i + 1}")))
 
+  /** Final-weights train accuracy over a predictStaged frame. The whole
+    * staged chain fuses into the partial agg's doAggregateWithoutKey
+    * (q42: 12,076 bytecodes, over the 8 KB JIT ceiling), so that stage
+    * runs on the hugeMethodLimit fallback — per-operator codegen, small
+    * JIT-able methods. Round-15 probe of the r14 verdict's split idea
+    * (exchange between the projection chain and the agg via
+    * `.repartition(col("ok"))`, so the agg stage's method JITs):
+    * MEASURED NON-WIN — q42 across three fresh quiet sessions read
+    * 1.59/2.38/1.46 s split vs 1.99/1.48/1.61 s fused (means 1.81 vs
+    * 1.69, 7 jobs both ways); the extra exchange stage costs more than
+    * WSCG-vs-fallback saves on a 15k-row agg, because the heavy per-row
+    * work (the staged predict chain) runs per-operator-codegen in BOTH
+    * shapes — only the trivial avg moved. The fused form stands. */
   private def accOf(scored: org.apache.spark.sql.DataFrame): Double =
     scored.select((col("pred") === col("y")).cast("double").as("ok"))
       .agg(avg("ok")).head().getDouble(0)
@@ -413,7 +509,10 @@ object NeuralOps {
         // Three fresh bench sessions under the data-sized regime read
         // 2.12/1.70/1.71 s (±13% of mean) — the old 1.5-2.7 s swing is
         // gone; the residual wall is 3 epochs x staged plan/codegen
-        // depth, the documented trainer floor.
+        // depth, the documented trainer floor. Round 15: the verdict's
+        // staged-split idea (exchange before the agg so its method
+        // JITs) was probed and measured a NON-WIN — see accOf's
+        // scaladoc for the numbers; the fused form stands.
         val es = WideRnn.fitEsOpt(facts, xs, y, w0, maxEpochs = 3,
           opt = TrainerCommon.Optimizer.adam(0.001), rowKey = rk,
           dropout = 0.3,
@@ -642,67 +741,26 @@ object NeuralOps {
     // rationale). Rows-only; ConvNetTrainerSpec holds finite-diff
     // checks for every tensor family with and without dropout.
     Entry("q58_conv3_train",
-      (s, dir) => {
-        import s.implicits._
-        val scan = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
-        val para = s.sparkContext.defaultParallelism
-        val facts =
-          (if (scan.rdd.getNumPartitions < para) scan.repartition(para)
-           else scan).persist()
-        // 22 deterministic integer-derived features, scaled to ~[0, 3]
-        val primes = Seq(97, 89, 83, 79, 73, 71, 67, 61, 59, 53, 47, 43,
-          41, 37, 31, 29, 23, 19)
-        val xs: Seq[Column] =
-          Seq(col("l_quantity") / lit(32.0),
-            col("l_linenumber").cast("double") / lit(4.0),
-            dayofmonth(col("l_shipdate")).cast("double") / lit(16.0),
-            month(col("l_shipdate")).cast("double") / lit(8.0)) ++
-          primes.zipWithIndex.map { case (p, i) =>
-            val src = (i % 3: @unchecked) match {
-              case 0 => col("l_orderkey")
-              case 1 => col("l_partkey")
-              case 2 => col("l_suppkey")
-            }
-            ((src + lit(i)) % p).cast("double") / lit(32.0)
-          }
-        val y = ((col("l_orderkey") + col("l_suppkey")) % 2).cast("int")
-        val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
-        try {
-          val w0 = ConvNetTrainer.init(T = 22, filters = Seq(2, 2, 2),
-            kernel = 3, dense = 4, classes = 2, seed = 41L)
-          // 2 epochs: the ES harness + loss-descent gate need two
-          // points. Fit runs on the treeAggregate twin (WideNet, the
-          // reference-width execution path): WideNetSpec pins it
-          // gradient-for-gradient to ConvNetTrainer's staged plan, so
-          // the trajectory is unchanged while the 3-block staged DAG's
-          // per-epoch plan/codegen cost (the old bench-dominating
-          // term — epoch 3 alone added ~2.3s of wall) disappears;
-          // predictStaged below keeps the staged forward DAG exercised.
-          // Adam(0.001) — the reference's optimizer (round 13, the
-          // q42 note)
-          val es = WideNet.fitEsOpt(facts, xs, y, w0, maxEpochs = 2,
-            opt = TrainerCommon.Optimizer.adam(0.001), rowKey = rk,
-            dropout = 0.5,
-            isVal = TrainerCommon.valSplitPortable(
-            Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
-          val scored = ConvNetTrainer.predictStaged(
-            facts.withColumn("y", y), Seq(col("y")), xs, es.weights,
-            "pred")
-          val acc = scored.select((col("pred") === col("y"))
-            .cast("double").as("ok")).agg(avg("ok")).head().getDouble(0)
-          val ls = es.trainLosses
-          val rows =
-            if (ls.isEmpty || ls.last <= ls.head)
-              ls.zip(es.valLosses).zipWithIndex.map { case ((l, vl), e) =>
-                ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
-                  math.rint(vl * 1e6) / 1e6, es.bestEpoch.toLong,
-                  es.stoppedEpoch.toLong, math.rint(acc * 1e4) / 1e4)
-              }
-            else Seq.empty[(Long, Double, Double, Long, Long, Double)]
-          rows.toDF("epoch", "loss", "val_loss", "best_epoch",
-            "stopped_epoch", "final_acc").orderBy("epoch")
-        } finally facts.unpersist()
-      },
+      (s, dir) => conv3Train(s, dir, filters = Seq(2, 2, 2), dense = 4,
+        withPredict = true),
+      None),
+
+    // Q73 — the reference CNN at its ACTUAL WIDTHS, priced in the bench
+    // artifact (round-14 verdict task #7): Conv 32/64/128 + Dense(128)
+    // + Dropout(0.5) + Adam(0.001) — `cnn_model.py:21-32` width-for-
+    // width — fit for 2 epochs on the q58 slice via the treeAggregate
+    // twin (WideNet), the execution path that REACHES these widths
+    // (WideNetSpec pins it gradient-for-gradient to the staged plan at
+    // narrow widths; the staged plan itself cannot express 128-wide
+    // layers without quadratic expression blowup). No predictStaged
+    // tail here for the same reason — the priced row is the FIT.
+    // Rows-only (float losses) and trainer_class-tagged in the bench
+    // artifact by construction (no oracle), so it is absent from every
+    // matched ratio; its job is to price the real architecture, not
+    // only the narrow registry twins.
+    Entry("q73_widenet_ref_train",
+      (s, dir) => conv3Train(s, dir, filters = Seq(32, 64, 128),
+        dense = 128, withPredict = false),
       None),
 
     // Q40 — MLP training WITH DROPOUT and EARLY STOPPING (GdTrainer):
