@@ -94,7 +94,17 @@ object GraftSession {
       try s.filter(p => java.nio.file.Files.isRegularFile(p))
         .mapToLong(p => p.toFile.length).sum >> 20
       finally s.close()
-    } catch { case _: Throwable => 1024L }
+    } catch {
+      case e: Throwable =>
+        // loud fallback (round-14 advice): a transient FS error here
+        // silently flips the whole run into the cluster regime (AQE on,
+        // cpu fan-out); the artifact stamps shuffle_partitions/aqe, but
+        // only a log line makes it diagnosable DURING the run
+        Console.err.println(s"[graft] inputMb($dir) failed " +
+          s"(${e.getClass.getSimpleName}) — assuming 1024 MiB " +
+          "(cluster regime: AQE on, cpu fan-out)")
+        1024L
+    }
 
   /** The (shufflePartitions, aqeOn) decision of [[dataSizedLocalConf]]
     * as a pure function of input volume — separated so the regime
@@ -118,9 +128,12 @@ object GraftSession {
     * exchange (3-19 jobs on sub-second entries). Measured across the
     * full 175-entry registry at sf0.1/local[32], warm best-of-2 per
     * regime: AQE off won >=0.08 s on 59 entries (sum 15.8 s) and lost
-    * on 4 (sum 0.6 s). At or above the threshold this helper changes
-    * NOTHING: AQE stays on and fan-out converges to the caller's cpu
-    * count — the clusterBuilder regime. The correctness gate (Verify)
+    * on 4 (sum 0.6 s). At or above the threshold this helper keeps AQE
+    * on and converges fan-out to the caller's cpu count — the
+    * clusterBuilder regime — with ONE exception: on hosts with cpus<8
+    * the 8-partition floor still wins over the cpu cap at any input
+    * size (two task waves beat under-spread CPU kernels; pinned in
+    * DataSizedConfSpec). The correctness gate (Verify)
     * applies the same rule, so benched plans are the gated plans.
     *
     * Measured non-wins in this regime (don't re-try): static

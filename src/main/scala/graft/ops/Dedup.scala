@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   *    materialized;
   *  - SimHash reduces each document to a 64-bit signature; near-dup
   *    lookup becomes a hamming-distance predicate on longs.
+  *
+  * Cache contract (round-14 advice): the all-pairs family
+  * ([[jaccardPairs]]/[[containmentPairs]]/[[jaccardPairsPrefix]] and
+  * their `*Hashed` forms) `persist()`s its hashed long form internally
+  * — both self-join sides and the verification rollup would otherwise
+  * each re-run the scan+tokenize+explode lineage. The frames are
+  * compact ((id, block, int64[, size]) — a fraction of the string
+  * form's bytes) but session-lived: callers that score MANY corpora in
+  * one session should `spark.catalog.clearCache()` (or unpersist via
+  * the catalog) after materializing each result, the way the
+  * Bench/Verify runners do per entry.
   */
 object Dedup {
 

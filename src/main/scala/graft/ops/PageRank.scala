@@ -74,6 +74,26 @@ import org.apache.spark.sql.functions._
   * LocalRelation joins within noise of the broadcast chain — round-11
   * probe), so the residue is scan + stage floor, not plan shape.
   *
+  * Round-15 job-floor probe (the r14 verdict's task #4, sf0.1,
+  * local[32], data-sized regime): the entry dispatches 9 Spark jobs —
+  * edge fill+count, node-frame count, one broadcast build per
+  * iteration (3), the terminal materialization count, and the caller's
+  * ordered sink (sampling + write). tools/Profile decomposes the wall:
+  * summed JOB walls ~1.5 s of which the edge fill is 0.76 s (6.2 s of
+  * parallel scan CPU + a ~0.5 s distinct-agg stage); every other job
+  * is 0.02-0.16 s — i.e. at or near the per-job dispatch floor — and
+  * the rest of the entry wall is driver plan/codegen gaps between
+  * jobs. Probed reduction, MEASURED NON-WIN: dropping the node-frame
+  * eager count (8 jobs) read best 1.91 s vs 2.05 s same-box baseline
+  * but reintroduces the concurrent-first-scan race on the node cache —
+  * one of two probe sessions paid the aggregation twice and read
+  * 3.67 s. One job at the ~0.1 s floor is not worth a 2x tail; the
+  * barrier stays. The chain is already lazy with ONE terminal action
+  * (per-iteration materialization was rejected in round 9), so the
+  * remaining gap vs the oracle is jobs x dispatch + the single-row-
+  * group scan — structural at fixture scale, vanishing at real input
+  * sizes.
+  *
   * Measured non-win (round 9, don't re-try at fixture scale):
   * persisting + eagerly counting EACH iteration's rank frame to
   * truncate lineage was SLOWER at sf0.1 (3.7-4.9 s vs 3.0-3.7 s warm)

@@ -54,7 +54,14 @@ object Skew {
     val src = saltBy.getOrElse {
       val cols = df.schema.fields.filter(f => hashable(f.dataType))
         .map(f => col(f.name))
-      if (cols.isEmpty) lit(0L) else struct(cols.toSeq: _*)
+      if (cols.isEmpty) {
+        // detectable-at-plan-time degenerate case (round-14 advice):
+        // zero hashable columns → ONE salt → zero skew relief. Warn
+        // loudly; the caller should pass saltBy.
+        Console.err.println("[graft] Skew.salt: no hashable columns — " +
+          "all rows share one salt (no skew relief); pass saltBy")
+        lit(0L)
+      } else struct(cols.toSeq: _*)
     }
     pmod(xxhash64(src), lit(k.toLong))
   }
