@@ -39,6 +39,23 @@ object Bench {
   private def TrainerClass: Set[String] =
     SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
 
+  /** The sharedInput scheduling contract as a pure function (unit-
+    * tested in BenchScheduleSpec): order entries so same-group siblings
+    * run adjacently (group token, then name — ungrouped entries sort
+    * under their own name), and mark each entry whose immediate
+    * successor shares its group, i.e. whose warmed cache must SURVIVE
+    * into the next entry. Everything else clears per entry. */
+  private[graft] def groupSchedule(names: Seq[String],
+      groupOf: Map[String, String]): (Seq[String], Map[String, Boolean]) = {
+    val ordered = names.sortBy(n => (groupOf.getOrElse(n, n), n))
+    val keepAfter = ordered.zipWithIndex.map { case (n, i) =>
+      val g = groupOf.get(n)
+      n -> (g.isDefined && i + 1 < ordered.size &&
+        groupOf.get(ordered(i + 1)) == g)
+    }.toMap
+    (ordered, keepAfter)
+  }
+
   /** One-line run-environment snapshot: loadavg + available memory.
     * A driver-vs-builder total discrepancy (round 9: 151.7s recorded
     * vs 89.5s same-code) must be diagnosable from the artifact alone. */
@@ -170,17 +187,12 @@ object Bench {
     // share, and Verify still isolates every entry.
     val groupOf: Map[String, String] = graft.queries.Registry.all
       .flatMap(e => e.sharedInput.map(g => e.name -> g)).toMap
-    val selected = SparkEntry.queries.toSeq
+    val picked = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .sortBy { case (n, _) => (groupOf.getOrElse(n, n), n) }
-    // clear the cache after entry i only if entry i+1 is not its
-    // sharedInput sibling
-    val keepCacheAfter: Map[String, Boolean] =
-      selected.zipWithIndex.map { case ((n, _), i) =>
-        val g = groupOf.get(n)
-        n -> (g.isDefined && i + 1 < selected.size &&
-          groupOf.get(selected(i + 1)._1) == g)
-      }.toMap
+    val (orderedNames, keepCacheAfter) =
+      groupSchedule(picked.map(_._1), groupOf)
+    val byName = picked.toMap
+    val selected = orderedNames.map(n => n -> byName(n))
     // Each attempt records success/failure; a query's time is the min over
     // SUCCESSFUL attempts only. A failing query must surface as an "err"
     // entry, never as a fast time-to-exception masquerading as a result.
