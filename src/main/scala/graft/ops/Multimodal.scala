@@ -133,7 +133,11 @@ object Multimodal {
     * standard PNG reader. This is the "real-world swap" the stub's
     * contract promises — [[decodeFrames]]/[[extractFeatures]] run it
     * unchanged (MultimodalSpec drives decode→resize→features→top-k on
-    * real PNG payloads through it). */
+    * real PNG payloads through it). Priced (round 15, local[8], warm,
+    * 4000 64×48 PNGs through decodeFrames): ~14k imgs/s vs the stub's
+    * ~22k — real PNG inflate+luma costs ~1.5× the LCG fake at this
+    * plane size, i.e. ~1.8k imgs/s/core, scan-parallel at cluster
+    * scale like every other narrow map here. */
   object ImageIoCodec extends Codec {
     override def decodePlane(bytes: Array[Byte], declaredWidth: Int,
         declaredHeight: Int): Plane = {
