@@ -42,18 +42,32 @@ object Bench {
   /** The sharedInput scheduling contract as a pure function (unit-
     * tested in BenchScheduleSpec): order entries so same-group siblings
     * run adjacently (group token, then name — ungrouped entries sort
-    * under their own name), and mark each entry whose immediate
-    * successor shares its group, i.e. whose warmed cache must SURVIVE
-    * into the next entry. Everything else clears per entry. */
+    * under their own name, in a DISJOINT `n:` key namespace so a name
+    * that happens to sort inside a group token's range cannot
+    * interleave into the block and split the warmed-cache run), mark
+    * each entry whose immediate successor shares its group (whose
+    * warmed cache must SURVIVE into the next entry), and attribute
+    * each group's cache FILL to its first scheduled member — the one
+    * entry whose reported time includes the shared persist() build
+    * that every later sibling reads warm. The fill map ships in the
+    * bench artifact so the first member's asymmetric ratio is
+    * attributable without reading this source. */
   private[graft] def groupSchedule(names: Seq[String],
-      groupOf: Map[String, String]): (Seq[String], Map[String, Boolean]) = {
-    val ordered = names.sortBy(n => (groupOf.getOrElse(n, n), n))
+      groupOf: Map[String, String])
+      : (Seq[String], Map[String, Boolean], Map[String, String]) = {
+    val ordered = names.sortBy(n =>
+      (groupOf.get(n).map("g:" + _).getOrElse("n:" + n), n))
     val keepAfter = ordered.zipWithIndex.map { case (n, i) =>
       val g = groupOf.get(n)
       n -> (g.isDefined && i + 1 < ordered.size &&
         groupOf.get(ordered(i + 1)) == g)
     }.toMap
-    (ordered, keepAfter)
+    val fillPayer = ordered.filter(groupOf.contains)
+      .foldLeft(Map.empty[String, String]) { (m, n) =>
+        val g = groupOf(n)
+        if (m.contains(g)) m else m + (g -> n)
+      }
+    (ordered, keepAfter, fillPayer)
   }
 
   /** One-line run-environment snapshot: loadavg + available memory.
@@ -146,22 +160,25 @@ object Bench {
       })
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        group: String = "", clear: Boolean = true): Unit =
+        group: String = "", clear: Boolean = true): Unit = {
+      var failed = false
       try {
         if (group.nonEmpty)
           spark.sparkContext.setJobGroup(group, group)
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
+      } catch { case e: Throwable => failed = true; throw e }
       // Entries may persist() internally (iterative dedup resolution, the
       // IVF probe reuse); release between queries so one query's cache
       // neither leaks for the session nor distorts the next timing.
       // Exception: sharedInput siblings (see below) keep the cache warm
       // across their attempts — the declared one-tokenize-many-scores
-      // pipeline shape.
+      // pipeline shape. A FAILED attempt always clears, group or not: a
+      // partially-built cache would distort the retry and every sibling.
       finally {
         spark.sparkContext.clearJobGroup()
-        if (clear) spark.catalog.clearCache()
+        if (clear || failed) spark.catalog.clearCache()
       }
+    }
 
     // warmup: flagship agg + one scan over each heavy input table
     try {
@@ -189,7 +206,7 @@ object Bench {
       .flatMap(e => e.sharedInput.map(g => e.name -> g)).toMap
     val picked = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val (orderedNames, keepCacheAfter) =
+    val (orderedNames, keepCacheAfter, fillPayer) =
       groupSchedule(picked.map(_._1), groupOf)
     val byName = picked.toMap
     val selected = orderedNames.map(n => n -> byName(n))
@@ -322,7 +339,21 @@ object Bench {
       case (k, Some(_), _, _, _) if TrainerClass(k) => s"\"" + k + "\""
     }.mkString("[", ",", "]")
     val envEnd = envSnap()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"spread_rerun":$rerunJson,"spread_verdict":"$spreadVerdict","worst_total":$worstTotal,"jobs":$jobsJson,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","trainer_class":$trainerTagged,"trainer_class_note":"rows-only GD trainers: bench wall is scheduler floor x epochs by design; no oracle, absent from matched ratios","shuffle_partitions":$shufflePartitions,"aqe":$aqeOn,"env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
+    // sharedInput attribution (round-15 verdict #4 / advice): grouped
+    // entries run against one warmed cache, so their times are
+    // warm-cache reads EXCEPT the group's first scheduled member, whose
+    // time includes the shared persist() fill. Both facts ship in the
+    // artifact so a matched-ratio reader can exclude or re-attribute
+    // the group without reading Bench's source; the DuckDB oracle,
+    // by contrast, re-runs its full tokenize CTE per query.
+    val sharedInputJson = results2.collect {
+      case (k, Some(_), _, _, _) if groupOf.contains(k) =>
+        s"\"" + k + "\":\"" + groupOf(k) + "\""
+    }.mkString("{", ",", "}")
+    val sharedFillJson = fillPayer.toSeq.sortBy(_._1).map { case (g, n) =>
+      s"\"" + g + "\":\"" + n + "\""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"spread_rerun":$rerunJson,"spread_verdict":"$spreadVerdict","worst_total":$worstTotal,"jobs":$jobsJson,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","trainer_class":$trainerTagged,"trainer_class_note":"rows-only GD trainers: bench wall is scheduler floor x epochs by design; no oracle, absent from matched ratios","shared_input":$sharedInputJson,"shared_fill":$sharedFillJson,"shared_input_note":"grouped entries read ONE warmed cache; shared_fill names the entry whose time paid each group's cache build — its ratio vs a per-query oracle is fill-inclusive, its siblings' are warm","shuffle_partitions":$shufflePartitions,"aqe":$aqeOn,"env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r0N.json keeps only the tail of stdout, so the
     // first half of the per-query map is lost from the recorded artifact

@@ -125,12 +125,14 @@ object Multimodal {
     }
   }
 
-  /** REAL codec: the JDK's own `javax.imageio.ImageIO` (PNG/BMP/GIF —
-    * zero new dependencies, headless-safe: pure raster decode, no
-    * display). Dimensions come from the payload's header, NOT the
-    * metadata columns; pixels are ITU-R 601 luma of the decoded RGB.
-    * Deterministic: same bytes → same plane, on any JVM that ships the
-    * standard PNG reader. This is the "real-world swap" the stub's
+  /** REAL codec: the JDK's own `javax.imageio.ImageIO` (PNG/BMP here —
+    * the formats MultimodalSpec exercises; the JDK registry also ships
+    * GIF/JPEG readers that resolve through the same call, untested in
+    * this repo. Zero new dependencies, headless-safe: pure raster
+    * decode, no display). Dimensions come from the payload's header,
+    * NOT the metadata columns; pixels are ITU-R 601 luma of the decoded
+    * RGB. Deterministic: same bytes → same plane, on any JVM that ships
+    * the standard PNG reader. This is the "real-world swap" the stub's
     * contract promises — [[decodeFrames]]/[[extractFeatures]] run it
     * unchanged (MultimodalSpec drives decode→resize→features→top-k on
     * real PNG payloads through it). Priced (round 15, local[8], warm,
@@ -141,8 +143,15 @@ object Multimodal {
   object ImageIoCodec extends Codec {
     override def decodePlane(bytes: Array[Byte], declaredWidth: Int,
         declaredHeight: Int): Plane = {
+      // Explicit MEMORY-cache stream: ImageIO.read(InputStream) defaults
+      // to a FileCacheImageInputStream — a temp file in java.io.tmpdir
+      // PER DECODE (per-image disk I/O inside a hot narrow map, and a
+      // hard failure on executors with an unwritable tmpdir). The
+      // payload is already a byte array; cache it in memory.
+      // ImageIO.read(ImageInputStream) closes the stream itself.
       val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
       require(img != null,
         s"undecodable payload (${bytes.length} bytes): no ImageIO reader")
       val w = img.getWidth; val h = img.getHeight
