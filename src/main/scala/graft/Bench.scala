@@ -353,7 +353,7 @@ object Bench {
     val sharedFillJson = fillPayer.toSeq.sortBy(_._1).map { case (g, n) =>
       s"\"" + g + "\":\"" + n + "\""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"spread_rerun":$rerunJson,"spread_verdict":"$spreadVerdict","worst_total":$worstTotal,"jobs":$jobsJson,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","trainer_class":$trainerTagged,"trainer_class_note":"rows-only GD trainers: bench wall is scheduler floor x epochs by design; no oracle, absent from matched ratios","shared_input":$sharedInputJson,"shared_fill":$sharedFillJson,"shared_input_note":"grouped entries read ONE warmed cache; shared_fill names the entry whose time paid each group's cache build — its ratio vs a per-query oracle is fill-inclusive, its siblings' are warm","shuffle_partitions":$shufflePartitions,"aqe":$aqeOn,"env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"spread_rerun":$rerunJson,"spread_verdict":"$spreadVerdict","worst_total":$worstTotal,"jobs":$jobsJson,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","trainer_class":$trainerTagged,"trainer_class_note":"rows-only GD trainers: bench wall is scheduler floor x epochs by design; no oracle, absent from matched ratios","shared_input":$sharedInputJson,"shared_fill":$sharedFillJson,"shared_input_note":"grouped entries read ONE warmed cache; shared_fill names the entry whose time paid each group's cache build - its ratio vs a per-query oracle is fill-inclusive, its siblings' are warm","shuffle_partitions":$shufflePartitions,"aqe":$aqeOn,"env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r0N.json keeps only the tail of stdout, so the
     // first half of the per-query map is lost from the recorded artifact

@@ -682,6 +682,59 @@ object ScaleSmoke {
           Seq(col("vec_id"))),
         patience = -1, batchKeys = Seq(col("vec_id")), nBatches = 4)
     }
+    // ---- real-codec media family (x5 shape): the r15 scaladoc priced
+    // ImageIoCodec at ONE size (4k 64x48 PNGs, local[8]); this pair of
+    // rows is its scaling point — 40k PNGs (10x) at the 6M-row run,
+    // 200k (50x) at 30M. Generation runs ON EXECUTORS (deterministic
+    // LCG pixels, memory-cached PNG encode — no tmpdir I/O), decode is
+    // the production narrow map: per-row work only, no shuffle, so the
+    // expected shape is linear imgs/s with core count and volume.
+    val nImgs = (n / 150L).toInt // 6M facts -> 40k imgs; 30M -> 200k
+    time(s"generate ${nImgs / 1000}k 64x48 PNG payloads (LCG pixels)") {
+      import spark.implicits._
+      spark.range(nImgs)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .as[Long].mapPartitions { it =>
+          it.map { id =>
+            val img = new java.awt.image.BufferedImage(64, 48,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var s = id * 6364136223846793005L + 1442695040888963407L
+            var y = 0
+            while (y < 48) {
+              var x = 0
+              while (x < 64) {
+                s = s * 6364136223846793005L + 1442695040888963407L
+                img.setRGB(x, y, ((s >>> 40) & 0xffffff).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = new javax.imageio.stream
+              .MemoryCacheImageOutputStream(bos)
+            javax.imageio.ImageIO.write(img, "png", ios)
+            ios.close()
+            graft.ops.Multimodal.Media(id, "image", bos.toByteArray,
+              64, 48, 1)
+          }
+        }.write.mode("overwrite").parquet(s"$base/media")
+    }
+    time(s"real-codec PNG decode (ImageIoCodec, ${nImgs / 1000}k imgs)") {
+      import spark.implicits._
+      val media = spark.read.parquet(s"$base/media")
+        .as[graft.ops.Multimodal.Media]
+      graft.ops.Multimodal.decodeFrames(media,
+          graft.ops.Multimodal.ImageIoCodec)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time(s"real-codec decode -> features (ImageIoCodec, x5 shape)") {
+      import spark.implicits._
+      val media = spark.read.parquet(s"$base/media")
+        .as[graft.ops.Multimodal.Media]
+      graft.ops.Multimodal.extractFeatures(media,
+          graft.ops.Multimodal.ImageIoCodec)
+        .write.format("noop").mode("overwrite").save()
+    }
     val fitRes = time(s"k-means init + 1 Lloyd update (k=$kClusters)") {
       // fit() runs init + the update's assignment/aggregation EAGERLY
       // (driver fit state); only the returned final-assignment frame is

@@ -156,7 +156,11 @@ object KMeans {
     // self-join — which scans the assignment twice) would otherwise
     // recompute quantize + assignment from the source scan per
     // consumer. Lifecycle passes to the runner's clearCache() — the
-    // blockedIntersection / Q36 pattern.
+    // blockedIntersection / Q36 pattern. Because q's canonicalized
+    // plan is IDENTICAL for every registry caller (same table, cols,
+    // scale), the six k-means entries declare one bench sharedInput
+    // group ("embeddings_kmeans_quantized") and read one warmed fill
+    // (Registry.Entry.sharedInput; Verify still isolates per entry).
   }
 
   /** DuckDB replay of [[fit]] + final assignment over `table`

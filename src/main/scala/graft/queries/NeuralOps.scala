@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.sources.Tables
-import graft.ml.{Conv2Trainer, ConvNetTrainer, ConvTrainer, GdTrainer, Lstm2Trainer, LstmTrainer, NeuralForward, Rnn2Trainer, RnnTrainer, SignGd, TrainerCommon, WideConv, WideConv2, WideLstm, WideLstm2, WideMlp, WideNet, WideRnn, WideRnn2}
+import graft.ml.{Conv2Trainer, ConvNetTrainer, ConvTrainer, GdTrainer, Lstm2Trainer, LstmTrainer, Mlp3Trainer, NeuralForward, Rnn2Trainer, RnnTrainer, SignGd, TrainerCommon, WideConv, WideConv2, WideLstm, WideLstm2, WideMlp, WideMlp3, WideNet, WideRnn, WideRnn2}
 
 /** Oracle-gated fixed-weight neural forward passes (M2/M3 scoring
   * semantics; reference `models/cnn_model.py:21-32` stack shape and
@@ -239,6 +239,68 @@ object NeuralOps {
         rows.toDF("epoch", "loss", "val_loss", "best_epoch",
           "stopped_epoch").orderBy("epoch")
       }
+    } finally facts.unpersist()
+  }
+
+  /** Shared q75/q76 harness — prices the recurrent twins' REFERENCE
+    * widths in the bench artifact the way q73 prices the CNN's
+    * (round-15 verdict task #2): the q42/q56 lineitem slice as a
+    * T = 8 sequence of normalized features (the WideRnn2Spec/
+    * WideLstm2Spec fixtures), fit for `maxEpochs` full-batch epochs
+    * under Adam(0.001) + the ES harness, fit-only (no predictStaged
+    * tail: the staged plan cannot express 64/128-wide recurrent layers
+    * — the exact reason the treeAggregate twins exist). Rows-only
+    * (float losses) with an either-trajectory divergence self-gate
+    * (see the body note) and trainer_class-tagged by construction (no
+    * oracle) — absent from every matched ratio; the row's job is to
+    * price the architecture. */
+  private def refSeqTrain(s: SparkSession, dir: String, mod: Int)(
+      fit: (org.apache.spark.sql.DataFrame, Seq[Column], Column, Column)
+        => TrainerCommon.EsResult[_]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val scan = t(s, dir, "lineitem").filter(col("l_orderkey") % mod === 0)
+    val para = s.sparkContext.defaultParallelism
+    val facts =
+      (if (scan.rdd.getNumPartitions < para) scan.repartition(para)
+       else scan).persist()
+    val xs: Seq[Column] = Seq(
+      col("l_quantity") / lit(32.0),
+      col("l_linenumber").cast("double") / lit(4.0),
+      dayofmonth(col("l_shipdate")).cast("double") / lit(16.0),
+      month(col("l_shipdate")).cast("double") / lit(8.0),
+      (col("l_orderkey") % 97).cast("double") / lit(32.0),
+      (col("l_partkey") % 89).cast("double") / lit(32.0),
+      (col("l_suppkey") % 83).cast("double") / lit(32.0),
+      (col("l_extendedprice") % 79).cast("double") / lit(32.0))
+    val y = ((col("l_orderkey") + col("l_suppkey")) % 2).cast("int")
+    val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
+    try {
+      val es = fit(facts, xs, y, rk)
+      val ls = es.trainLosses
+      val vls = es.valLosses
+      // Divergence self-gate over BOTH trajectories: emit zero rows
+      // only when NEITHER the train loss (mask-noisy — dropout masks
+      // resample every epoch, so a 2-point read bounces at Adam(0.001)
+      // step sizes; the q43 sf0.001 caveat) NOR the val loss
+      // (inference semantics, mask-free, but chance-level on these
+      // label fixtures, so ±noise around ln 2) improved. On a healthy
+      // fit at these step sizes at least one of the two descends at
+      // every SF measured (each alone is a near-coin-flip at 2
+      // epochs); a genuinely diverging fit moves BOTH up and still
+      // fails the rows check loudly. Semantics are owned by the FD
+      // specs + twin-equivalence pins; this row prices the
+      // architecture.
+      val rows =
+        if (ls.nonEmpty && vls.nonEmpty &&
+          (ls.last <= ls.head || vls.last <= vls.head))
+          ls.zip(vls).zipWithIndex.map { case ((l, vl), e) =>
+            ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
+              math.rint(vl * 1e6) / 1e6, es.bestEpoch.toLong,
+              es.stoppedEpoch.toLong)
+          }
+        else Seq.empty[(Long, Double, Double, Long, Long)]
+      rows.toDF("epoch", "loss", "val_loss", "best_epoch",
+        "stopped_epoch").orderBy("epoch")
     } finally facts.unpersist()
   }
 
@@ -868,6 +930,110 @@ object NeuralOps {
           else Seq.empty[(Long, Double, Double, Long, Long)]
         rows.toDF("epoch", "loss", "val_loss", "best_epoch",
           "stopped_epoch").orderBy("epoch")
+      },
+      None),
+
+    // Q74 — the reference MLP at its ACTUAL DEPTH AND WIDTHS (round-15
+    // verdict task #1, the last architecture asymmetry): Dense(256,
+    // relu) -> Dropout(.3) -> Dense(128, relu) -> Dropout(.3) ->
+    // Dense(64, relu) -> softmax + Adam(0.001) + the ES harness —
+    // `models/mlp_model.py:19-34` block-for-block — fit 2 epochs over
+    // the q40 embeddings slice on the treeAggregate twin (WideMlp3).
+    // Mlp3TrainerSpec pins the twin gradient-for-gradient to the
+    // FD-checked staged trainer (Mlp3Trainer) at narrow widths, pins
+    // the staged trainer to GdTrainer at depth 1, and trains these
+    // exact widths in-spec; the staged plan cannot express 256-wide
+    // layers without quadratic expression blowup — the q58/q73 split.
+    // Fit-only, rows-only (float losses), divergence-self-gated on
+    // both trajectories (the refSeqTrain gate note),
+    // trainer_class-tagged by construction: this row PRICES the real
+    // MLP architecture in the bench artifact alongside q73's CNN and
+    // q75/q76's recurrent stacks.
+    Entry("q74_mlp3_train",
+      (s, dir) => {
+        import s.implicits._
+        val d = 6
+        val emb = t(s, dir, "embeddings").select(
+          (0 until d).map(i =>
+            element_at(col("embedding"), i + 1).cast("double").as(s"f$i")) ++
+            Seq((col("label") % 2).cast("int").as("y"),
+              col("vec_id").as("rk")): _*)
+        val feats = (0 until d).map(i => col(s"f$i"))
+        val w0 = Mlp3Trainer.init(d, Seq(256, 128, 64), 2, seed = 53L)
+        val es = WideMlp3.fitEsOpt(emb, feats, col("y"), col("rk"), w0,
+          maxEpochs = 2, opt = TrainerCommon.Optimizer.adam(0.001),
+          drops = Seq(0.3, 0.3, 0.0),
+          isVal = TrainerCommon.valSplitPortable(Seq(col("rk"))),
+          patience = 5)
+        val ls = es.trainLosses
+        val vls = es.valLosses
+        // either-trajectory divergence self-gate — the refSeqTrain
+        // gate note: each 2-point trajectory alone is a near-coin-flip
+        // on a chance-level fixture; both rising together is the
+        // divergence signal
+        val rows =
+          if (ls.nonEmpty && vls.nonEmpty &&
+            (ls.last <= ls.head || vls.last <= vls.head))
+            ls.zip(vls).zipWithIndex.map { case ((l, vl), e) =>
+              ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
+                math.rint(vl * 1e6) / 1e6, es.bestEpoch.toLong,
+                es.stoppedEpoch.toLong)
+            }
+          else Seq.empty[(Long, Double, Double, Long, Long)]
+        rows.toDF("epoch", "loss", "val_loss", "best_epoch",
+          "stopped_epoch").orderBy("epoch")
+      },
+      None),
+
+    // Q75 — the reference RNN at its ACTUAL WIDTHS, priced in the
+    // bench artifact (round-15 verdict task #2; q73 is the template):
+    // SimpleRNN(64, return_sequences) -> Dropout(.3) -> SimpleRNN(128)
+    // -> Dropout(.3) -> softmax head, Adam(0.001), 2 epochs on the
+    // WideRnn2 twin over a lineitem slice as a T = 8 sequence. Init
+    // scaled 1/sqrt(fan-in) (the WideRnn2Spec note: an unbounded relu
+    // recurrence explodes at 64/128 fan-in under uniform(-0.5, 0.5)).
+    // The narrow q59 twin carries the semantics; this row carries the
+    // PRICE of the real widths. Slice is l_orderkey % 16 (vs the
+    // narrow twins' % 4): the priced quantity is per-row throughput
+    // of the real architecture, and the verdict's 45 s trainer-class
+    // budget bounds rows x epochs — the budget note, not a semantic.
+    Entry("q75_widernn2_ref_train",
+      (s, dir) => refSeqTrain(s, dir, mod = 16) { (facts, xs, y, rk) =>
+        val raw = Rnn2Trainer.init(u1 = 64, u2 = 128, classes = 2,
+          seed = 43L)
+        def sc(m: Seq[Seq[Double]], f: Double) = m.map(_.map(_ * f))
+        val wide0 = raw.copy(
+          wh1 = sc(raw.wh1, 1.0 / math.sqrt(64)),
+          wx2 = sc(raw.wx2, 1.0 / math.sqrt(64)),
+          wh2 = sc(raw.wh2, 1.0 / math.sqrt(128)),
+          w3 = sc(raw.w3, 1.0 / math.sqrt(128)))
+        WideRnn2.fitEsOpt(facts, xs, y, wide0, maxEpochs = 2,
+          opt = TrainerCommon.Optimizer.adam(0.001), rowKey = rk,
+          dropout = 0.3, isVal = TrainerCommon.valSplitPortable(
+            Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
+      },
+      None),
+
+    // Q76 — the reference LSTM at its ACTUAL WIDTHS, priced in the
+    // bench artifact (same contract as q73/q74/q75): LSTM(64,
+    // return_sequences) -> Dropout(.3) -> LSTM(128) -> Dropout(.3) ->
+    // Dense(64, relu) -> softmax, Adam(0.001), 2 epochs on the
+    // WideLstm2 twin over a lineitem slice as a T = 8 sequence. The
+    // squashed gates keep the default init stable at these widths
+    // (the WideLstm2Spec reference-width run uses it unscaled).
+    // Slice is l_orderkey % 32 — the 28-tensor gated BPTT is ~4x the
+    // RNN's per-row flops, so the budget slice halves again (the q75
+    // note; measured ~40 s for 4 passes over the % 4 slice at sf0.01
+    // on 8 cores — the % 4 slice at sf0.1 would alone blow the
+    // trainer-class budget).
+    Entry("q76_widelstm2_ref_train",
+      (s, dir) => refSeqTrain(s, dir, mod = 32) { (facts, xs, y, rk) =>
+        val wide0 = Lstm2Trainer.init(u1 = 64, u2 = 128, d = 64,
+          classes = 2, seed = 47L)
+        WideLstm2.fitEsOpt(facts, xs, y, wide0, maxEpochs = 2,
+          opt = TrainerCommon.Optimizer.adam(0.001), rowKey = rk,
+          dropout = 0.3, isVal = TrainerCommon.valSplitPortable(
+            Seq(col("l_orderkey"), col("l_linenumber"))), patience = 5)
       },
       None),
 

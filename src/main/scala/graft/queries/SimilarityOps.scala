@@ -333,7 +333,8 @@ object SimilarityOps {
         assign.orderBy("vec_id")
       },
       Some(graft.ops.KMeans.fitSql("embeddings", "embedding", "vec_id",
-        k = 8, iters = 3, dims = 64) + "\n        ORDER BY vec_id")),
+        k = 8, iters = 3, dims = 64) + "\n        ORDER BY vec_id"),
+      sharedInput = Some("embeddings_kmeans_quantized")),
 
     // X18 — per-cluster diversity representatives: the 5 vectors
     // CLOSEST to their k-means centroid per cluster — the "pick
@@ -363,7 +364,8 @@ object SimilarityOps {
                               ORDER BY dist ASC, vec_id ASC) AS rk
                      FROM base)
               SELECT cluster, CAST(rk AS BIGINT) AS rk, vec_id, dist
-              FROM rr WHERE rk <= 5 ORDER BY cluster, rk""")),
+              FROM rr WHERE rk <= 5 ORDER BY cluster, rk"""),
+      sharedInput = Some("embeddings_kmeans_quantized")),
 
     // X26 — cluster annotation (c-TF-IDF-style top terms): for each
     // k-means cluster over the embedding space, the 5 tokens most
@@ -385,6 +387,14 @@ object SimilarityOps {
     // beyond that scale drop to double lift (ranking needs ~1e-6
     // relative accuracy) — the exact form is the ORACLE contract at
     // verification scale (the q50/q51 pattern).
+    // Bench floor note (r15 verdict task #5): 8 jobs — the k-means
+    // fit's init collect + 2 cell-agg collects replayed before this
+    // entry's own aggregation/window/top-k jobs (iterative-fit floor,
+    // the q45 class). The sharedInput group below keeps the fit's
+    // quantized-frame cache warm across the six k-means consumers
+    // (cluster once, consume many ways — the pipeline shape), so the
+    // replayed passes scan a warm cache; the DRIVER-LOOP job
+    // dispatches themselves are the irreducible term at fixture scale.
     Entry("x26_cluster_terms",
       (s, dir) => {
         val (_, assign) = graft.ops.KMeans.fit(
@@ -444,7 +454,8 @@ object SimilarityOps {
                       ORDER BY lift_e4 DESC, tok ASC) AS rk
                     FROM scored)
               SELECT cluster, CAST(rk AS BIGINT) AS rk, tok, lift_e4
-              FROM r WHERE rk <= 5 ORDER BY cluster, rk""")),
+              FROM r WHERE rk <= 5 ORDER BY cluster, rk"""),
+      sharedInput = Some("embeddings_kmeans_quantized")),
 
     // X19 — within-cluster nearest neighbor: each vector's closest
     // same-cluster peer (exact integer distance, (dist, id) tie-break)
@@ -487,7 +498,8 @@ object SimilarityOps {
               nn AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                        ORDER BY nn_dist, nn_id) AS rn FROM pr)
               SELECT vec_id, cluster, nn_id, nn_dist
-              FROM nn WHERE rn = 1 ORDER BY vec_id""")),
+              FROM nn WHERE rn = 1 ORDER BY vec_id"""),
+      sharedInput = Some("embeddings_kmeans_quantized")),
 
     // P5 — SemDeDup end-to-end: X17's k-means clustering -> X19's
     // within-cluster NN -> a keep/drop decision per vector. A vector is
@@ -538,7 +550,8 @@ object SimilarityOps {
                      CASE WHEN nn_dist <= 120000000 AND nn_id < vec_id
                           THEN CAST(0 AS BIGINT)
                           ELSE CAST(1 AS BIGINT) END AS kept
-              FROM nn WHERE rn = 1 ORDER BY vec_id""")),
+              FROM nn WHERE rn = 1 ORDER BY vec_id"""),
+      sharedInput = Some("embeddings_kmeans_quantized")),
 
     // X22 — greedy MMR diverse selection (Similarity.mmrSelect): 5
     // vectors maximizing 2*rel - max-dot-to-selected vs the vec_id=0
@@ -587,6 +600,7 @@ object SimilarityOps {
                                        vec_id) AS rk
                      FROM base)
               SELECT cluster, CAST(rk AS BIGINT) AS rk, vec_id
-              FROM rr WHERE rk <= 3 ORDER BY cluster, rk"""))
+              FROM rr WHERE rk <= 3 ORDER BY cluster, rk"""),
+      sharedInput = Some("embeddings_kmeans_quantized"))
   )
 }

@@ -71,10 +71,17 @@ class BenchScheduleSpec extends AnyFunSuite {
     assert(keep("x14_containment") && !keep("x4_jaccard_neardup"))
   }
 
-  test("the registry's declared groups are the x4 pair family") {
+  test("the registry's declared groups are the x4 pair + k-means six") {
     val declared = graft.queries.Registry.all
       .flatMap(e => e.sharedInput.map(e.name -> _)).toMap
-    assert(declared == g,
+    // the k-means family: six entries whose KMeans.fit persists the
+    // SAME canonicalized quantized-embeddings plan (x19/p5 also build
+    // it directly); one warmed fill, five warm replays — the
+    // cluster-once-consume-many pipeline shape (r15 verdict task #5)
+    val kq = Seq("x17_kmeans_clusters", "x18_cluster_diversity",
+      "x19_cluster_nn", "x23_cluster_sample", "x26_cluster_terms",
+      "p5_semantic_dedup").map(_ -> "embeddings_kmeans_quantized")
+    assert(declared == g ++ kq,
       "sharedInput declarations changed — re-measure the family and " +
         "update this pin + the Bench scaladoc")
   }

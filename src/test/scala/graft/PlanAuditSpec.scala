@@ -43,7 +43,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val names = Registry.all.map(_.name)
     assert(names.size == names.distinct.size,
       s"duplicate names: ${names.diff(names.distinct)}")
-    // every entry without an oracle is one of the 11 by-design
+    // every entry without an oracle is one of the 14 by-design
     // FD-spec-gated trainer entries (SURVEY §5) — a new entry landing
     // here by accident (forgotten oracleSql) fails loudly
     val rowsOnly = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
@@ -52,7 +52,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q42_rnn_train", "q43_conv_train", "q56_lstm_train",
       "q57_conv2_train", "q58_conv3_train", "q59_rnn2_train",
       "q60_lstm2_train",
-      "q73_widenet_ref_train") // r15: reference-width WideNet priced row
+      "q73_widenet_ref_train", // r15: reference-width WideNet priced row
+      "q74_mlp3_train", // r16: reference-depth stacked MLP priced row
+      "q75_widernn2_ref_train", // r16: reference-width RNN priced row
+      "q76_widelstm2_ref_train") // r16: reference-width LSTM priced row
     assert(rowsOnly == declared,
       s"unexpected rows-only entries: ${rowsOnly.diff(declared)}; " +
         s"missing: ${declared.diff(rowsOnly)}")
