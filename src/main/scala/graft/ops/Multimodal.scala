@@ -139,7 +139,12 @@ object Multimodal {
     * 4000 64×48 PNGs through decodeFrames): ~14k imgs/s vs the stub's
     * ~22k — real PNG inflate+luma costs ~1.5× the LCG fake at this
     * plane size, i.e. ~1.8k imgs/s/core, scan-parallel at cluster
-    * scale like every other narrow map here. */
+    * scale like every other narrow map here. Scaling point (round 16,
+    * ScaleSmoke local[32] media family, SURVEY §7.4b): 40k→200k PNGs
+    * decode in 1.3→10.2 s (~29k→20k imgs/s; the throughput dip is
+    * encoder/GC cost of full-pixel Frame output rows, not decode —
+    * the features path with small output rows scales 0.6→2.2 s,
+    * near-linear). */
   object ImageIoCodec extends Codec {
     override def decodePlane(bytes: Array[Byte], declaredWidth: Int,
         declaredHeight: Int): Plane = {
