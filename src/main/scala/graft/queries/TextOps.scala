@@ -218,6 +218,10 @@ object TextOps {
     // frame (same producer, same args) — Bench warms it once for both
     // (round-14 verdict task #2). x4e is NOT in the group (filtered
     // producer, different plan); x4_ngram has no sibling (shingles).
+    // The bench artifact's `shared_fill` map names which entry's time
+    // absorbed the cache build (the group's first by schedule order —
+    // x14): read ITS ratio as fill-inclusive and the sibling's as
+    // warm before comparing either against a per-query oracle.
     Entry("x4_jaccard_neardup",
       (s, dir) => Dedup.jaccardPairsHashed(
         Dedup.tokenHashSets(t(s, dir, "documents"), "text", "doc_id", "source"),
