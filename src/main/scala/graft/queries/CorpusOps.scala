@@ -1438,6 +1438,11 @@ object CorpusOps {
     // map-side; vocab sizes are an O(sources) broadcast joined twice.
     // Only pairs sharing >= 1 token appear (inner join) — a pair
     // ABSENT from the matrix shares nothing.
+    // Bench floor note (the q45/x26 class): 4 jobs at the 0.1-0.15 s
+    // AQE-off stage floor ≈ the entry's whole 0.49-0.51 s wall —
+    // stable across r15 + all four r16 pairings while the oracle reads
+    // 0.05 s inside one parquet row group; job dispatch, not plan
+    // cost, is the term (fixture-scale artifact, SURVEY §6).
     Entry("x39_vocab_overlap",
       (s, dir) => {
         val vocab = Dedup.tokenHashSets(
