@@ -278,8 +278,18 @@ object Bench {
     // the whole run was hot: keep the number for the round driver but
     // refuse the committed-artifact refresh like a hot start does.
     val spreadK = 3.0
+    // Grouped WARM SIBLINGS are excluded from the cold rerun: an
+    // end-of-run rerun starts with an empty cache, so it would re-pay
+    // the group's fill — and if the box was hot during the block, a
+    // quiet fill-inclusive rerun can still undercut the hot warm min
+    // and be folded in, publishing a fill-inclusive time for an entry
+    // the shared_input_note declares warm. The FILL PAYER stays
+    // eligible (all its attempts are cold by construction, so a cold
+    // rerun measures the same thing).
+    val isWarmSibling = (k: String) =>
+      groupOf.contains(k) && !fillPayer.get(groupOf(k)).contains(k)
     val flagged = results.collect { case (k, Some(mn), _, Some(mx), _)
-      if mx > mn * spreadK && mx - mn > 0.5 => k }
+      if mx > mn * spreadK && mx - mn > 0.5 && !isWarmSibling(k) => k }
     val fnByName = selected.toMap
     val rerun: Map[String, Double] = flagged.flatMap { k =>
       fnByName.get(k).flatMap { fn =>
@@ -359,9 +369,16 @@ object Bench {
       case (k, Some(_), _, _, _) if groupOf.contains(k) =>
         s"\"" + k + "\":\"" + groupOf(k) + "\""
     }.mkString("{", ",", "}")
-    val sharedFillJson = fillPayer.toSeq.sortBy(_._1).map { case (g, n) =>
-      s"\"" + g + "\":\"" + n + "\""
-    }.mkString("{", ",", "}")
+    // A payer that failed EVERY attempt reported no time, so naming it
+    // as the group's fill payer would attribute the fill to a row that
+    // does not exist (the real fill then hid in the first sibling's
+    // discarded cold attempt — visible via its spread, not its min).
+    // Drop such groups from the map; the errors entry tells the story.
+    val reported = results2.collect { case (k, Some(_), _, _, _) => k }.toSet
+    val sharedFillJson = fillPayer.toSeq.filter(p => reported(p._2))
+      .sortBy(_._1).map { case (g, n) =>
+        s"\"" + g + "\":\"" + n + "\""
+      }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"worst_attempt":$spread,"spread_rerun":$rerunJson,"spread_verdict":"$spreadVerdict","worst_total":$worstTotal,"jobs":$jobsJson,"sink_class":$sinkTagged,"sink_class_note":"write+commit+read-back entries; oracle only re-reads existing parquet","trainer_class":$trainerTagged,"trainer_class_note":"rows-only GD trainers: bench wall is scheduler floor x epochs by design; no oracle, absent from matched ratios","shared_input":$sharedInputJson,"shared_fill":$sharedFillJson,"shared_input_note":"grouped entries read ONE warmed cache; shared_fill names the entry whose time paid each group's cache build - its ratio vs a per-query oracle is fill-inclusive, its siblings' are warm","shuffle_partitions":$shufflePartitions,"aqe":$aqeOn,"env_start":$envStart,"env_end":$envEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r0N.json keeps only the tail of stdout, so the

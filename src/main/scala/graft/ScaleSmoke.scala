@@ -692,8 +692,10 @@ object ScaleSmoke {
     val nImgs = (n / 150L).toInt // 6M facts -> 40k imgs; 30M -> 200k
     time(s"generate ${nImgs / 1000}k 64x48 PNG payloads (LCG pixels)") {
       import spark.implicits._
+      // range() already emits defaultParallelism partitions — an
+      // explicit repartition here would add a pure-overhead exchange
+      // inside the timed row (review find, round 16)
       spark.range(nImgs)
-        .repartition(spark.sparkContext.defaultParallelism)
         .as[Long].mapPartitions { it =>
           it.map { id =>
             val img = new java.awt.image.BufferedImage(64, 48,

@@ -274,34 +274,39 @@ object NeuralOps {
       (col("l_extendedprice") % 79).cast("double") / lit(32.0))
     val y = ((col("l_orderkey") + col("l_suppkey")) % 2).cast("int")
     val rk = xxhash64(col("l_orderkey"), col("l_linenumber"))
-    try {
-      val es = fit(facts, xs, y, rk)
-      val ls = es.trainLosses
-      val vls = es.valLosses
-      // Divergence self-gate over BOTH trajectories: emit zero rows
-      // only when NEITHER the train loss (mask-noisy — dropout masks
-      // resample every epoch, so a 2-point read bounces at Adam(0.001)
-      // step sizes; the q43 sf0.001 caveat) NOR the val loss
-      // (inference semantics, mask-free, but chance-level on these
-      // label fixtures, so ±noise around ln 2) improved. On a healthy
-      // fit at these step sizes at least one of the two descends at
-      // every SF measured (each alone is a near-coin-flip at 2
-      // epochs); a genuinely diverging fit moves BOTH up and still
-      // fails the rows check loudly. Semantics are owned by the FD
-      // specs + twin-equivalence pins; this row prices the
-      // architecture.
-      val rows =
-        if (ls.nonEmpty && vls.nonEmpty &&
-          (ls.last <= ls.head || vls.last <= vls.head))
-          ls.zip(vls).zipWithIndex.map { case ((l, vl), e) =>
-            ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
-              math.rint(vl * 1e6) / 1e6, es.bestEpoch.toLong,
-              es.stoppedEpoch.toLong)
-          }
-        else Seq.empty[(Long, Double, Double, Long, Long)]
-      rows.toDF("epoch", "loss", "val_loss", "best_epoch",
-        "stopped_epoch").orderBy("epoch")
-    } finally facts.unpersist()
+    try gatedEsRows(s, fit(facts, xs, y, rk))
+    finally facts.unpersist()
+  }
+
+  /** The priced-fit entries' shared divergence self-gate + epoch-row
+    * emitter (q74/q75/q76 — ONE implementation so a gate change can
+    * never drift per family, the TrainerCommon discipline). Emit zero
+    * rows only when NEITHER the train loss (mask-noisy — dropout masks
+    * resample every epoch, so a 2-point read bounces at Adam(0.001)
+    * step sizes; the q43 sf0.001 caveat) NOR the val loss (inference
+    * semantics, mask-free, but chance-level on these label fixtures,
+    * so ±noise around ln 2) improved. On a healthy fit at these step
+    * sizes at least one of the two descends at every SF measured (each
+    * alone is a near-coin-flip at 2 epochs); a genuinely diverging fit
+    * moves BOTH up and still fails the rows check loudly. Semantics
+    * are owned by the FD specs + twin-equivalence pins; these rows
+    * price the architecture. */
+  private def gatedEsRows(s: SparkSession,
+      es: TrainerCommon.EsResult[_]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ls = es.trainLosses
+    val vls = es.valLosses
+    val rows =
+      if (ls.nonEmpty && vls.nonEmpty &&
+        (ls.last <= ls.head || vls.last <= vls.head))
+        ls.zip(vls).zipWithIndex.map { case ((l, vl), e) =>
+          ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
+            math.rint(vl * 1e6) / 1e6, es.bestEpoch.toLong,
+            es.stoppedEpoch.toLong)
+        }
+      else Seq.empty[(Long, Double, Double, Long, Long)]
+    rows.toDF("epoch", "loss", "val_loss", "best_epoch",
+      "stopped_epoch").orderBy("epoch")
   }
 
   /** Label the slice with aliased feature columns for predictStaged. */
@@ -960,28 +965,11 @@ object NeuralOps {
               col("vec_id").as("rk")): _*)
         val feats = (0 until d).map(i => col(s"f$i"))
         val w0 = Mlp3Trainer.init(d, Seq(256, 128, 64), 2, seed = 53L)
-        val es = WideMlp3.fitEsOpt(emb, feats, col("y"), col("rk"), w0,
-          maxEpochs = 2, opt = TrainerCommon.Optimizer.adam(0.001),
+        gatedEsRows(s, WideMlp3.fitEsOpt(emb, feats, col("y"), col("rk"),
+          w0, maxEpochs = 2, opt = TrainerCommon.Optimizer.adam(0.001),
           drops = Seq(0.3, 0.3, 0.0),
           isVal = TrainerCommon.valSplitPortable(Seq(col("rk"))),
-          patience = 5)
-        val ls = es.trainLosses
-        val vls = es.valLosses
-        // either-trajectory divergence self-gate — the refSeqTrain
-        // gate note: each 2-point trajectory alone is a near-coin-flip
-        // on a chance-level fixture; both rising together is the
-        // divergence signal
-        val rows =
-          if (ls.nonEmpty && vls.nonEmpty &&
-            (ls.last <= ls.head || vls.last <= vls.head))
-            ls.zip(vls).zipWithIndex.map { case ((l, vl), e) =>
-              ((e + 1).toLong, math.rint(l * 1e6) / 1e6,
-                math.rint(vl * 1e6) / 1e6, es.bestEpoch.toLong,
-                es.stoppedEpoch.toLong)
-            }
-          else Seq.empty[(Long, Double, Double, Long, Long)]
-        rows.toDF("epoch", "loss", "val_loss", "best_epoch",
-          "stopped_epoch").orderBy("epoch")
+          patience = 5))
       },
       None),
 
