@@ -400,8 +400,23 @@ object TrainerCommon {
     * restore-best still applies). The returned weights are the END of
     * the best epoch's snapshot. Weight snapshots are O(params) driver
     * memory, only the best is retained.
-    */
-  def earlyStop[W](w0: W, maxEpochs: Int, patience: Int)(
+    *
+    * `evalPass` (optional): the TRAILING pass — the e = maxEpochs + 1
+    * call whose ONLY consumed number is the final epoch's validation
+    * loss (the returned next-weights and train loss are discarded by
+    * the loop, see the consumption guards below) — may be served by a
+    * val-only evaluator instead of a full gradient pass. A full
+    * trailing pass computes forward + backward + gradient accumulation
+    * over every TRAIN row and then throws all of it away; the val loss
+    * it returns depends only on the val rows' forward arithmetic
+    * (inference-semantics masks, keep-all), so a forward-only pass over
+    * the val slice returns the bit-identical number at a small fraction
+    * of the flops (measured on the priced reference-width fits: the
+    * trailing pass was ~1/3 of each 2-epoch entry's wall). Training
+    * epochs (e <= maxEpochs) always run `epochPass` — their val number
+    * rides the NEXT epoch's pass exactly as before. */
+  def earlyStop[W](w0: W, maxEpochs: Int, patience: Int,
+      evalPass: Option[W => Double] = None)(
       epochPass: (W, Int) => (W, Double, Double)): EsResult[W] = {
     require(maxEpochs >= 1, "bad earlyStop params")
     var w = w0
@@ -414,7 +429,9 @@ object TrainerCommon {
     var e = 1
     var stopped = 0
     while (stopped == 0 && e <= maxEpochs + 1) {
-      val (next, trainLoss, valAtStart) = epochPass(w, e)
+      val (next, trainLoss, valAtStart) =
+        if (e > maxEpochs && evalPass.isDefined) (w, Double.NaN, evalPass.get(w))
+        else epochPass(w, e)
       if (e >= 2) {
         // valAtStart is epoch e-1's end-of-epoch validation loss
         valLosses += valAtStart

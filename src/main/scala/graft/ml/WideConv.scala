@@ -191,6 +191,43 @@ object WideConv {
       if (nVal > 0) Some(g(ly.statsOff + 2) / nVal) else None)
   }
 
+  /** Mean validation loss at `w` over the val rows ALONE — the trailing
+    * early-stop pass's only consumed number
+    * ([[TrainerCommon.earlyStop]]'s evalPass). Forward-only by
+    * construction ([[accumulate]] early-returns for val rows after the
+    * loss tally) and bit-identical to [[gradientsVal]]'s val output:
+    * narrow filter (same partitions, same in-partition order), val rows
+    * run inference semantics (keep-all masks), same treeAggregate
+    * combine order. */
+  def valLoss(df: DataFrame, xs: Seq[Column], label: Column,
+      rowKey: Column, w: ConvWeights, isVal: Column,
+      pool: Pooling = AvgPool): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = new Packed(w)
+    val ly = new Layout(packed)
+    val maxPool = pool == MaxPool
+    val ds = df.filter(isVal).select(
+      array(xs.map(_.cast("double")): _*).as("x"),
+      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
+      lit(true).as("iv")).as[Sample]
+    val bc = spark.sparkContext.broadcast((packed, ly))
+    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+      seqOp = (buf, s) => {
+        val (p, l) = bc.value
+        accumulate(s, p, l, epoch = 0, dropout = 0.0, maxPool, buf); buf
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
+    bc.destroy()
+    val nVal = g(ly.statsOff + 3)
+    require(nVal > 0, "WideConv.valLoss: empty validation slice")
+    g(ly.statsOff + 2) / nVal
+  }
+
   /** Full-batch GD on the wide path ([[ConvTrainer.fit]] contract). */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: ConvWeights,
       epochs: Int, lr: Double, pool: Pooling = AvgPool,
@@ -211,7 +248,9 @@ object WideConv {
       w0: ConvWeights, maxEpochs: Int, lr: Double, rowKey: Column,
       dropout: Double, isVal: Column, pool: Pooling = AvgPool,
       patience: Int = 5): TrainerCommon.EsResult[ConvWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+    TrainerCommon.earlyStop(w0, maxEpochs, patience, evalPass =
+        Some(wc => valLoss(df, xs, label, rowKey, wc, isVal, pool))) {
+      (w, e) =>
       val (gr, vl) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
         isVal, pool)
       (ConvTrainer.applyStep(w, gr, lr), gr.loss,
@@ -227,7 +266,9 @@ object WideConv {
       pool: Pooling = AvgPool, patience: Int = 5,
       batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[ConvWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+    TrainerCommon.earlyStop(w0, maxEpochs, patience, evalPass =
+        Some(wc => valLoss(df, xs, label, rowKey, wc, isVal, pool))) {
+      (w, e) =>
       TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
           evalOnly = e > maxEpochs) {
         (dfb, ivb, wc) =>

@@ -362,6 +362,45 @@ object WideLstm2 {
       if (nVal > 0) Some(g(ly.statsOff + 2) / nVal) else None)
   }
 
+  /** Mean validation loss at `w` over the val rows ALONE — the trailing
+    * early-stop pass's only consumed number
+    * ([[TrainerCommon.earlyStop]]'s evalPass). Forward-only by
+    * construction: [[accumulate]] early-returns for val rows right
+    * after the loss tally, so filtering the frame to the val slice
+    * skips the train rows' backward + gradient-accumulation work the
+    * full trailing pass used to compute and then discard. Bit-identical
+    * to [[gradientsVal]]'s val output: the filter is narrow (same
+    * partitions, same in-partition row order), val rows run inference
+    * semantics (keep-all masks — epoch and dropout never reach their
+    * arithmetic), and the per-partition loss sums combine in the same
+    * treeAggregate order. */
+  def valLoss(df: DataFrame, xs: Seq[Column], label: Column,
+      rowKey: Column, w: W, isVal: Column): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = new Packed(w)
+    val ly = new Layout(packed)
+    val ds = df.filter(isVal).select(
+      array(xs.map(_.cast("double")): _*).as("x"),
+      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
+      lit(true).as("iv")).as[Sample]
+    val bc = spark.sparkContext.broadcast((packed, ly))
+    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+      seqOp = (buf, s) => {
+        val (p, l) = bc.value
+        accumulate(s, p, l, epoch = 0, dropout = 0.0, buf); buf
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
+    bc.destroy()
+    val nVal = g(ly.statsOff + 3)
+    require(nVal > 0, "WideLstm2.valLoss: empty validation slice")
+    g(ly.statsOff + 2) / nVal
+  }
+
   /** Full-batch gated-BPTT GD on the wide path. */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
       epochs: Int, lr: Double, rowKey: Column = lit(0L),
@@ -396,7 +435,9 @@ object WideLstm2 {
   def fitEs(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
       maxEpochs: Int, lr: Double, rowKey: Column, dropout: Double,
       isVal: Column, patience: Int = 5): TrainerCommon.EsResult[W] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+    TrainerCommon.earlyStop(w0, maxEpochs, patience,
+        evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
+      (w, e) =>
       val (gr, vl) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
         isVal)
       (Lstm2Trainer.step(w, gr, lr), gr.loss,
@@ -411,7 +452,9 @@ object WideLstm2 {
       dropout: Double, isVal: Column, patience: Int = 5,
       batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[W] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+    TrainerCommon.earlyStop(w0, maxEpochs, patience,
+        evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
+      (w, e) =>
       TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
           evalOnly = e > maxEpochs) {
         (dfb, ivb, wc) =>

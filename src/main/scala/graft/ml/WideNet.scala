@@ -376,6 +376,45 @@ object WideNet {
       if (nVal > 0) Some(g(ly.statsOff + 2) / nVal) else None)
   }
 
+  /** Mean validation loss at `w` over the val rows ALONE — the trailing
+    * early-stop pass's only consumed number
+    * ([[TrainerCommon.earlyStop]]'s evalPass). Forward-only by
+    * construction: [[accumulate]] early-returns for val rows right
+    * after the loss tally, so filtering the frame to the val slice
+    * skips the train rows' backward + gradient-accumulation work the
+    * full trailing pass used to compute and then discard. Bit-identical
+    * to [[gradientsVal]]'s val output: the filter is narrow (same
+    * partitions, same in-partition row order), val rows run inference
+    * semantics (keep-all masks — epoch and dropout never reach their
+    * arithmetic), and the per-partition loss sums combine in the same
+    * treeAggregate order. */
+  def valLoss(df: DataFrame, xs: Seq[Column], label: Column,
+      rowKey: Column, w: NetWeights, isVal: Column): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = new Packed(w)
+    val ly = new Layout(packed, xs.length)
+    val ds = df.filter(isVal).select(
+      array(xs.map(_.cast("double")): _*).as("x"),
+      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
+      lit(true).as("iv")).as[Sample]
+    val bc = spark.sparkContext.broadcast((packed, ly))
+    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+      seqOp = (buf, s) => {
+        val (p, l) = bc.value
+        accumulate(s, p, l, epoch = 0, dropout = 0.0, buf); buf
+      },
+      combOp = (x, y2) => {
+        var i = 0
+        while (i < x.length) { x(i) += y2(i); i += 1 }
+        x
+      })
+    bc.destroy()
+    val nVal = g(ly.statsOff + 3)
+    require(nVal > 0, "WideNet.valLoss: empty validation slice")
+    g(ly.statsOff + 2) / nVal
+  }
+
   /** Full-batch GD on the wide path ([[ConvNetTrainer.fit]] contract). */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: NetWeights,
       epochs: Int, lr: Double, rowKey: Column = lit(0L),
@@ -395,7 +434,9 @@ object WideNet {
       w0: NetWeights, maxEpochs: Int, lr: Double, rowKey: Column,
       dropout: Double, isVal: Column,
       patience: Int = 5): TrainerCommon.EsResult[NetWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+    TrainerCommon.earlyStop(w0, maxEpochs, patience,
+        evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
+      (w, e) =>
       val (gr, vl) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
         isVal)
       (ConvNetTrainer.step(w, gr, lr), gr.loss,
@@ -413,7 +454,9 @@ object WideNet {
       rowKey: Column, dropout: Double, isVal: Column,
       patience: Int = 5, batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[NetWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience) { (w, e) =>
+    TrainerCommon.earlyStop(w0, maxEpochs, patience,
+        evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
+      (w, e) =>
       TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
           evalOnly = e > maxEpochs) {
         (dfb, ivb, wc) =>
