@@ -154,20 +154,25 @@ object WideConv {
       rowKey: Column, w: ConvWeights, epoch: Int, dropout: Double,
       isVal: Column,
       pool: Pooling = AvgPool): (ConvGrads, Option[Double]) = {
-    require(dropout >= 0.0 && dropout < 1.0, "dropout in [0, 1)")
     require(xs.length - w.kernel + 1 >= 1,
       s"input length ${xs.length} < kernel ${w.kernel}")
-    val spark = df.sparkSession
-    import spark.implicits._
+    gradientsValRdd(WideNet.sampleRdd(df, xs, label, rowKey, isVal),
+      w, epoch, dropout, pool)
+  }
+
+  /** [[gradientsVal]] over pre-decoded typed rows — the fit loops call
+    * this against ONE cached RDD instead of re-planning/re-decoding a
+    * fresh DataFrame per epoch ([[WideNet.withSamples]]). */
+  private def gradientsValRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      w: ConvWeights, epoch: Int, dropout: Double,
+      pool: Pooling): (ConvGrads, Option[Double]) = {
+    require(dropout >= 0.0 && dropout < 1.0, "dropout in [0, 1)")
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
     val ly = new Layout(packed)
     val maxPool = pool == MaxPool
-    val ds = df.select(
-      array(xs.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      isVal.cast("boolean").as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch, dropout, maxPool, buf); buf
@@ -201,18 +206,20 @@ object WideConv {
     * combine order. */
   def valLoss(df: DataFrame, xs: Seq[Column], label: Column,
       rowKey: Column, w: ConvWeights, isVal: Column,
-      pool: Pooling = AvgPool): Double = {
-    val spark = df.sparkSession
-    import spark.implicits._
+      pool: Pooling = AvgPool): Double =
+    valLossRdd(WideNet.sampleRdd(
+      df.filter(isVal), xs, label, rowKey, lit(true)), w, pool)
+
+  /** [[valLoss]] over pre-decoded VAL rows (a narrow filter of the
+    * cached fit RDD — same partitions, same order). */
+  private def valLossRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      w: ConvWeights, pool: Pooling): Double = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
     val ly = new Layout(packed)
     val maxPool = pool == MaxPool
-    val ds = df.filter(isVal).select(
-      array(xs.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      lit(true).as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch = 0, dropout = 0.0, maxPool, buf); buf
@@ -233,48 +240,68 @@ object WideConv {
       epochs: Int, lr: Double, pool: Pooling = AvgPool,
       rowKey: Column = lit(0L),
       dropout: Double = 0.0): (ConvWeights, Seq[Double]) = {
-    var w = w0
-    val losses = (1 to epochs).map { e =>
-      val (gr, _) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
-        lit(false), pool)
-      w = ConvTrainer.applyStep(w, gr, lr)
-      gr.loss
+    require(xs.length - w0.kernel + 1 >= 1,
+      s"input length ${xs.length} < kernel ${w0.kernel}")
+    WideNet.withSamples(df, xs, label, rowKey, lit(false)) { rows =>
+      var w = w0
+      val losses = (1 to epochs).map { e =>
+        val (gr, _) = gradientsValRdd(rows, w, e, dropout, pool)
+        w = ConvTrainer.applyStep(w, gr, lr)
+        gr.loss
+      }
+      (w, losses)
     }
-    (w, losses)
   }
 
   /** [[fit]] under Keras EarlyStopping ([[TrainerCommon.earlyStop]]). */
   def fitEs(df: DataFrame, xs: Seq[Column], label: Column,
       w0: ConvWeights, maxEpochs: Int, lr: Double, rowKey: Column,
       dropout: Double, isVal: Column, pool: Pooling = AvgPool,
-      patience: Int = 5): TrainerCommon.EsResult[ConvWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience, evalPass =
-        Some(wc => valLoss(df, xs, label, rowKey, wc, isVal, pool))) {
-      (w, e) =>
-      val (gr, vl) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
-        isVal, pool)
-      (ConvTrainer.applyStep(w, gr, lr), gr.loss,
-        vl.getOrElse(sys.error("fitEs: empty validation slice")))
+      patience: Int = 5): TrainerCommon.EsResult[ConvWeights] = {
+    require(xs.length - w0.kernel + 1 >= 1,
+      s"input length ${xs.length} < kernel ${w0.kernel}")
+    WideNet.withSamples(df, xs, label, rowKey, isVal) { rows =>
+      val valRows = rows.filter(_.iv)
+      TrainerCommon.earlyStop(w0, maxEpochs, patience,
+          evalPass = Some(wc => valLossRdd(valRows, wc, pool))) { (w, e) =>
+        val (gr, vl) = gradientsValRdd(rows, w, e, dropout, pool)
+        (ConvTrainer.applyStep(w, gr, lr), gr.loss,
+          vl.getOrElse(sys.error("fitEs: empty validation slice")))
+      }
     }
+  }
 
   /** [[fitEs]] with pluggable optimizer + hash mini-batching
     * ([[TrainerCommon.batchedEpoch]]); sgd + nBatches=1 reproduces
-    * [[fitEs]]. */
+    * [[fitEs]]. Full-batch runs on the cached-RDD path; the batched
+    * form keeps per-batch DataFrame filters (membership is a
+    * (keys, epoch) hash — it changes every epoch). */
   def fitEsOpt(df: DataFrame, xs: Seq[Column], label: Column,
       w0: ConvWeights, maxEpochs: Int, opt: TrainerCommon.Optimizer,
       rowKey: Column, dropout: Double, isVal: Column,
       pool: Pooling = AvgPool, patience: Int = 5,
       batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[ConvWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience, evalPass =
-        Some(wc => valLoss(df, xs, label, rowKey, wc, isVal, pool))) {
-      (w, e) =>
-      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
-          evalOnly = e > maxEpochs) {
-        (dfb, ivb, wc) =>
-          val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
-            dropout, ivb, pool)
-          (ConvTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+    if (nBatches == 1)
+      WideNet.withSamples(df, xs, label, rowKey, isVal) { rows =>
+        val valRows = rows.filter(_.iv)
+        TrainerCommon.earlyStop(w0, maxEpochs, patience,
+            evalPass = Some(wc => valLossRdd(valRows, wc, pool))) { (w, e) =>
+          val (gr, vl) = gradientsValRdd(rows, w, e, dropout, pool)
+          (ConvTrainer.applyOpt(w, gr, opt), gr.loss,
+            vl.getOrElse(sys.error("fitEsOpt: empty validation slice")))
+        }
       }
-    }
+    else
+      TrainerCommon.earlyStop(w0, maxEpochs, patience, evalPass =
+          Some(wc => valLoss(df, xs, label, rowKey, wc, isVal, pool))) {
+        (w, e) =>
+        TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
+            evalOnly = e > maxEpochs) {
+          (dfb, ivb, wc) =>
+            val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
+              dropout, ivb, pool)
+            (ConvTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+        }
+      }
 }

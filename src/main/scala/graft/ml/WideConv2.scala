@@ -244,16 +244,20 @@ object WideConv2 {
     val T = xs.length
     require(T - w.k + 1 >= 1 && (T - w.k + 1) / 2 - w.k + 1 >= 1,
       s"input length $T too short for stacked kernels ${w.k}")
-    val spark = df.sparkSession
-    import spark.implicits._
+    gradientsRdd(WideNet.sampleRdd(df, xs, label, lit(0L), lit(false)),
+      T, w)
+  }
+
+  /** [[gradients]] over pre-decoded typed rows — the fit loops call
+    * this against ONE cached RDD instead of re-planning/re-decoding a
+    * fresh DataFrame per epoch ([[WideNet.withSamples]]). */
+  private def gradientsRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      T: Int, w: Conv2Weights): Conv2Grads = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
     val ly = new Layout(packed, T)
-    val ds = df.select(
-      array(xs.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), lit(0L).as("rk"),
-      lit(false).as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, buf); buf
@@ -283,25 +287,46 @@ object WideConv2 {
   def fit(df: DataFrame, xs: Seq[Column], label: Column,
       w0: Conv2Weights, epochs: Int,
       lr: Double): (Conv2Weights, Seq[Double]) = {
-    var w = w0
-    val losses = (1 to epochs).map { _ =>
-      val gr = gradients(df, xs, label, w)
-      w = Conv2Trainer.applyStep(w, gr, lr)
-      gr.loss
+    val T = xs.length
+    require(T - w0.k + 1 >= 1 && (T - w0.k + 1) / 2 - w0.k + 1 >= 1,
+      s"input length $T too short for stacked kernels ${w0.k}")
+    WideNet.withSamples(df, xs, label, lit(0L), lit(false)) { rows =>
+      var w = w0
+      val losses = (1 to epochs).map { _ =>
+        val gr = gradientsRdd(rows, T, w)
+        w = Conv2Trainer.applyStep(w, gr, lr)
+        gr.loss
+      }
+      (w, losses)
     }
-    (w, losses)
   }
 
   /** [[fit]] with pluggable optimizer (the reference's Adam) and
     * optional deterministic hash mini-batching (no validation slice on
     * this twin — batches are plain row-local filters); sgd +
-    * nBatches=1 reproduces [[fit]]. */
+    * nBatches=1 reproduces [[fit]]. Full-batch runs on the cached-RDD
+    * path; the batched form keeps per-batch DataFrame filters
+    * (membership is a (keys, epoch) hash — it changes every epoch). */
   def fitOpt(df: DataFrame, xs: Seq[Column], label: Column,
       w0: Conv2Weights, epochs: Int, opt: TrainerCommon.Optimizer,
       batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): (Conv2Weights, Seq[Double]) =
-    TrainerCommon.fitLoop(df, epochs, batchKeys, nBatches, w0) { (dfb, w) =>
-      val gr = gradients(dfb, xs, label, w)
-      (Conv2Trainer.applyOpt(w, gr, opt), gr.loss)
-    }
+    if (nBatches == 1) {
+      val T = xs.length
+      require(T - w0.k + 1 >= 1 && (T - w0.k + 1) / 2 - w0.k + 1 >= 1,
+        s"input length $T too short for stacked kernels ${w0.k}")
+      WideNet.withSamples(df, xs, label, lit(0L), lit(false)) { rows =>
+        var w = w0
+        val losses = (1 to epochs).map { _ =>
+          val gr = gradientsRdd(rows, T, w)
+          w = Conv2Trainer.applyOpt(w, gr, opt)
+          gr.loss
+        }
+        (w, losses)
+      }
+    } else
+      TrainerCommon.fitLoop(df, epochs, batchKeys, nBatches, w0) { (dfb, w) =>
+        val gr = gradients(dfb, xs, label, w)
+        (Conv2Trainer.applyOpt(w, gr, opt), gr.loss)
+      }
 }

@@ -173,17 +173,19 @@ object WideLstm {
   /** One full-batch gated-BPTT pass — the [[LstmTrainer.gradients]]
     * contract on the treeAggregate path. */
   def gradients(df: DataFrame, xs: Seq[Column], label: Column,
+      w: LstmWeights): LstmGrads =
+    gradientsRdd(WideNet.sampleRdd(df, xs, label, lit(0L), lit(false)), w)
+
+  /** [[gradients]] over pre-decoded typed rows — the fit loops call
+    * this against ONE cached RDD instead of re-planning/re-decoding a
+    * fresh DataFrame per epoch ([[WideNet.withSamples]]). */
+  private def gradientsRdd(rows: org.apache.spark.rdd.RDD[Sample],
       w: LstmWeights): LstmGrads = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
     val ly = new Layout(packed)
-    val ds = df.select(
-      array(xs.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), lit(0L).as("rk"),
-      lit(false).as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, buf); buf
@@ -210,26 +212,40 @@ object WideLstm {
   /** Full-batch gated-BPTT GD on the wide path ([[LstmTrainer.fit]]
     * contract). */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: LstmWeights,
-      epochs: Int, lr: Double): (LstmWeights, Seq[Double]) = {
-    var w = w0
-    val losses = (1 to epochs).map { _ =>
-      val gr = gradients(df, xs, label, w)
-      w = LstmTrainer.applyStep(w, gr, lr)
-      gr.loss
+      epochs: Int, lr: Double): (LstmWeights, Seq[Double]) =
+    WideNet.withSamples(df, xs, label, lit(0L), lit(false)) { rows =>
+      var w = w0
+      val losses = (1 to epochs).map { _ =>
+        val gr = gradientsRdd(rows, w)
+        w = LstmTrainer.applyStep(w, gr, lr)
+        gr.loss
+      }
+      (w, losses)
     }
-    (w, losses)
-  }
 
   /** [[fit]] with pluggable optimizer (the reference's Adam) and
     * optional deterministic hash mini-batching (no validation slice on
     * this twin — batches are plain row-local filters); sgd +
-    * nBatches=1 reproduces [[fit]]. */
+    * nBatches=1 reproduces [[fit]]. Full-batch runs on the cached-RDD
+    * path; the batched form keeps per-batch DataFrame filters
+    * (membership is a (keys, epoch) hash — it changes every epoch). */
   def fitOpt(df: DataFrame, xs: Seq[Column], label: Column,
       w0: LstmWeights, epochs: Int, opt: TrainerCommon.Optimizer,
       batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): (LstmWeights, Seq[Double]) =
-    TrainerCommon.fitLoop(df, epochs, batchKeys, nBatches, w0) { (dfb, w) =>
-      val gr = gradients(dfb, xs, label, w)
-      (LstmTrainer.applyOpt(w, gr, opt), gr.loss)
-    }
+    if (nBatches == 1)
+      WideNet.withSamples(df, xs, label, lit(0L), lit(false)) { rows =>
+        var w = w0
+        val losses = (1 to epochs).map { _ =>
+          val gr = gradientsRdd(rows, w)
+          w = LstmTrainer.applyOpt(w, gr, opt)
+          gr.loss
+        }
+        (w, losses)
+      }
+    else
+      TrainerCommon.fitLoop(df, epochs, batchKeys, nBatches, w0) { (dfb, w) =>
+        val gr = gradients(dfb, xs, label, w)
+        (LstmTrainer.applyOpt(w, gr, opt), gr.loss)
+      }
 }

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reference-WIDTH execution path for [[Lstm2Trainer]] — the stacked
@@ -635,18 +635,21 @@ object WideLstm2 {
     * the treeAggregate path. */
   def gradientsVal(df: DataFrame, xs: Seq[Column], label: Column,
       rowKey: Column, w: W, epoch: Int, dropout: Double,
-      isVal: Column): (G, Option[Double]) = {
+      isVal: Column): (G, Option[Double]) =
+    gradientsValRdd(WideNet.sampleRdd(df, xs, label, rowKey, isVal),
+      w, epoch, dropout)
+
+  /** [[gradientsVal]] over pre-decoded typed rows — the fit loops call
+    * this against ONE cached RDD instead of re-planning/re-decoding a
+    * fresh DataFrame per epoch ([[WideNet.withSamples]]). */
+  private def gradientsValRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      w: W, epoch: Int, dropout: Double): (G, Option[Double]) = {
     require(dropout >= 0.0 && dropout < 1.0, "dropout in [0, 1)")
-    val spark = df.sparkSession
-    import spark.implicits._
+    val spark = SparkSession.active
     val packed = new Packed(w)
     val ly = new Layout(packed)
-    val ds = df.select(
-      array(xs.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      isVal.cast("boolean").as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch, dropout, buf); buf
@@ -695,17 +698,19 @@ object WideLstm2 {
     * arithmetic), and the per-partition loss sums combine in the same
     * treeAggregate order. */
   def valLoss(df: DataFrame, xs: Seq[Column], label: Column,
-      rowKey: Column, w: W, isVal: Column): Double = {
-    val spark = df.sparkSession
-    import spark.implicits._
+      rowKey: Column, w: W, isVal: Column): Double =
+    valLossRdd(WideNet.sampleRdd(
+      df.filter(isVal), xs, label, rowKey, lit(true)), w)
+
+  /** [[valLoss]] over pre-decoded VAL rows (a narrow filter of the
+    * cached fit RDD — same partitions, same order). */
+  private def valLossRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      w: W): Double = {
+    val spark = SparkSession.active
     val packed = new Packed(w)
     val ly = new Layout(packed)
-    val ds = df.filter(isVal).select(
-      array(xs.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      lit(true).as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch = 0, dropout = 0.0, buf); buf
@@ -721,66 +726,83 @@ object WideLstm2 {
     g(ly.statsOff + 2) / nVal
   }
 
-  /** Full-batch gated-BPTT GD on the wide path. */
+  /** Full-batch gated-BPTT GD on the wide path. Decodes the typed rows
+    * once and runs every epoch against the cached RDD
+    * ([[WideNet.withSamples]] — bit-identical, see its note). */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
       epochs: Int, lr: Double, rowKey: Column = lit(0L),
-      dropout: Double = 0.0): (W, Seq[Double]) = {
-    var w = w0
-    val losses = (1 to epochs).map { e =>
-      val (gr, _) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
-        lit(false))
-      w = Lstm2Trainer.step(w, gr, lr)
-      gr.loss
+      dropout: Double = 0.0): (W, Seq[Double]) =
+    WideNet.withSamples(df, xs, label, rowKey, lit(false)) { rows =>
+      var w = w0
+      val losses = (1 to epochs).map { e =>
+        val (gr, _) = gradientsValRdd(rows, w, e, dropout)
+        w = Lstm2Trainer.step(w, gr, lr)
+        gr.loss
+      }
+      (w, losses)
     }
-    (w, losses)
-  }
 
   /** [[fit]] with pluggable optimizer (the reference's Adam); sgd
     * reproduces [[fit]]. */
   def fitOpt(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
       epochs: Int, opt: TrainerCommon.Optimizer,
       rowKey: Column = lit(0L),
-      dropout: Double = 0.0): (W, Seq[Double]) = {
-    var w = w0
-    val losses = (1 to epochs).map { e =>
-      val (gr, _) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
-        lit(false))
-      w = Lstm2Trainer.applyOpt(w, gr, opt)
-      gr.loss
+      dropout: Double = 0.0): (W, Seq[Double]) =
+    WideNet.withSamples(df, xs, label, rowKey, lit(false)) { rows =>
+      var w = w0
+      val losses = (1 to epochs).map { e =>
+        val (gr, _) = gradientsValRdd(rows, w, e, dropout)
+        w = Lstm2Trainer.applyOpt(w, gr, opt)
+        gr.loss
+      }
+      (w, losses)
     }
-    (w, losses)
-  }
 
   /** [[fit]] under Keras EarlyStopping ([[TrainerCommon.earlyStop]]). */
   def fitEs(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
       maxEpochs: Int, lr: Double, rowKey: Column, dropout: Double,
       isVal: Column, patience: Int = 5): TrainerCommon.EsResult[W] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience,
-        evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
-      (w, e) =>
-      val (gr, vl) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
-        isVal)
-      (Lstm2Trainer.step(w, gr, lr), gr.loss,
-        vl.getOrElse(sys.error("fitEs: empty validation slice")))
+    WideNet.withSamples(df, xs, label, rowKey, isVal) { rows =>
+      val valRows = rows.filter(_.iv)
+      TrainerCommon.earlyStop(w0, maxEpochs, patience,
+          evalPass = Some(wc => valLossRdd(valRows, wc))) { (w, e) =>
+        val (gr, vl) = gradientsValRdd(rows, w, e, dropout)
+        (Lstm2Trainer.step(w, gr, lr), gr.loss,
+          vl.getOrElse(sys.error("fitEs: empty validation slice")))
+      }
     }
 
   /** [[fitEs]] with pluggable optimizer + hash mini-batching
     * ([[TrainerCommon.batchedEpoch]]); sgd + nBatches=1 reproduces
-    * [[fitEs]]. */
+    * [[fitEs]]. The full-batch form runs on the cached-RDD path; the
+    * batched form keeps the per-batch DataFrame filters (membership is
+    * an (keys, epoch) hash predicate — it changes every epoch, so there
+    * is no single decoded frame to cache). */
   def fitEsOpt(df: DataFrame, xs: Seq[Column], label: Column, w0: W,
       maxEpochs: Int, opt: TrainerCommon.Optimizer, rowKey: Column,
       dropout: Double, isVal: Column, patience: Int = 5,
       batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[W] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience,
-        evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
-      (w, e) =>
-      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
-          evalOnly = e > maxEpochs) {
-        (dfb, ivb, wc) =>
-          val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
-            dropout, ivb)
-          (Lstm2Trainer.applyOpt(wc, gr, opt), gr.loss, vl)
+    if (nBatches == 1)
+      WideNet.withSamples(df, xs, label, rowKey, isVal) { rows =>
+        val valRows = rows.filter(_.iv)
+        TrainerCommon.earlyStop(w0, maxEpochs, patience,
+            evalPass = Some(wc => valLossRdd(valRows, wc))) { (w, e) =>
+          val (gr, vl) = gradientsValRdd(rows, w, e, dropout)
+          (Lstm2Trainer.applyOpt(w, gr, opt), gr.loss,
+            vl.getOrElse(sys.error("fitEsOpt: empty validation slice")))
+        }
       }
-    }
+    else
+      TrainerCommon.earlyStop(w0, maxEpochs, patience,
+          evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
+        (w, e) =>
+        TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
+            evalOnly = e > maxEpochs) {
+          (dfb, ivb, wc) =>
+            val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
+              dropout, ivb)
+            (Lstm2Trainer.applyOpt(wc, gr, opt), gr.loss, vl)
+        }
+      }
 }

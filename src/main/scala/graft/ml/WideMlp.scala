@@ -111,18 +111,24 @@ object WideMlp {
   def gradientsVal(df: DataFrame, features: Seq[Column], label: Column,
       rowKey: Column, w: MlpWeights, epoch: Int, dropout: Double,
       isVal: Column): (MlpGrads, Option[Double]) = {
+    require(w.w1.headOption.fold(0)(_.length) == features.length,
+      "feature count != weight width")
+    gradientsValRdd(WideNet.sampleRdd(df, features, label, rowKey, isVal),
+      w, epoch, dropout)
+  }
+
+  /** [[gradientsVal]] over pre-decoded typed rows — the fit loops call
+    * this against ONE cached RDD instead of re-planning/re-decoding a
+    * fresh DataFrame per epoch ([[WideNet.withSamples]]). */
+  private def gradientsValRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      w: MlpWeights, epoch: Int,
+      dropout: Double): (MlpGrads, Option[Double]) = {
     require(dropout >= 0.0 && dropout < 1.0, "dropout in [0, 1)")
-    val spark = df.sparkSession
-    import spark.implicits._
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
-    require(packed.d == features.length, "feature count != weight width")
     val ly = new Layout(packed)
-    val ds = df.select(
-      array(features.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      isVal.cast("boolean").as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch, dropout, buf); buf
@@ -156,17 +162,21 @@ object WideMlp {
     * combine order. */
   def valLoss(df: DataFrame, features: Seq[Column], label: Column,
       rowKey: Column, w: MlpWeights, isVal: Column): Double = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    require(w.w1.headOption.fold(0)(_.length) == features.length,
+      "feature count != weight width")
+    valLossRdd(WideNet.sampleRdd(
+      df.filter(isVal), features, label, rowKey, lit(true)), w)
+  }
+
+  /** [[valLoss]] over pre-decoded VAL rows (a narrow filter of the
+    * cached fit RDD — same partitions, same order). */
+  private def valLossRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      w: MlpWeights): Double = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
-    require(packed.d == features.length, "feature count != weight width")
     val ly = new Layout(packed)
-    val ds = df.filter(isVal).select(
-      array(features.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      lit(true).as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch = 0, dropout = 0.0, buf); buf
@@ -182,52 +192,69 @@ object WideMlp {
     g(ly.statsOff + 2) / nVal
   }
 
-  /** Full-batch GD on the wide path ([[GdTrainer.fit]] contract). */
+  /** Full-batch GD on the wide path ([[GdTrainer.fit]] contract).
+    * Decodes the typed rows once and runs every epoch against the
+    * cached RDD ([[WideNet.withSamples]] — bit-identical, see its
+    * note). */
   def fit(df: DataFrame, features: Seq[Column], label: Column,
       rowKey: Column, w0: MlpWeights, epochs: Int, lr: Double,
-      dropout: Double = 0.0): (MlpWeights, Seq[Double]) = {
-    var w = w0
-    val losses = (1 to epochs).map { e =>
-      val (gr, _) = gradientsVal(df, features, label, rowKey, w, e,
-        dropout, lit(false))
-      w = GdTrainer.applyStep(w, gr, lr)
-      gr.loss
+      dropout: Double = 0.0): (MlpWeights, Seq[Double]) =
+    WideNet.withSamples(df, features, label, rowKey, lit(false)) { rows =>
+      var w = w0
+      val losses = (1 to epochs).map { e =>
+        val (gr, _) = gradientsValRdd(rows, w, e, dropout)
+        w = GdTrainer.applyStep(w, gr, lr)
+        gr.loss
+      }
+      (w, losses)
     }
-    (w, losses)
-  }
 
   /** [[fit]] under Keras EarlyStopping ([[TrainerCommon.earlyStop]]). */
   def fitEs(df: DataFrame, features: Seq[Column], label: Column,
       rowKey: Column, w0: MlpWeights, maxEpochs: Int, lr: Double,
       dropout: Double, isVal: Column,
       patience: Int = 5): TrainerCommon.EsResult[MlpWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience, evalPass =
-        Some(wc => valLoss(df, features, label, rowKey, wc, isVal))) {
-      (w, e) =>
-      val (gr, vl) = gradientsVal(df, features, label, rowKey, w, e,
-        dropout, isVal)
-      (GdTrainer.applyStep(w, gr, lr), gr.loss,
-        vl.getOrElse(sys.error("fitEs: empty validation slice")))
+    WideNet.withSamples(df, features, label, rowKey, isVal) { rows =>
+      val valRows = rows.filter(_.iv)
+      TrainerCommon.earlyStop(w0, maxEpochs, patience,
+          evalPass = Some(wc => valLossRdd(valRows, wc))) { (w, e) =>
+        val (gr, vl) = gradientsValRdd(rows, w, e, dropout)
+        (GdTrainer.applyStep(w, gr, lr), gr.loss,
+          vl.getOrElse(sys.error("fitEs: empty validation slice")))
+      }
     }
 
   /** [[GdTrainer.fitEsOpt]] on the treeAggregate path — pluggable
     * optimizer (Adam for reference parity) + deterministic hash
     * mini-batching; nBatches = 1 + sgd reproduces [[fitEs]]
-    * bit-for-bit (AdamSpec). */
+    * bit-for-bit (AdamSpec). Full-batch runs on the cached-RDD path;
+    * the batched form keeps per-batch DataFrame filters (membership is
+    * a (keys, epoch) hash — it changes every epoch). */
   def fitEsOpt(df: DataFrame, features: Seq[Column], label: Column,
       rowKey: Column, w0: MlpWeights, maxEpochs: Int,
       opt: TrainerCommon.Optimizer, dropout: Double, isVal: Column,
       patience: Int = 5, batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[MlpWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience, evalPass =
-        Some(wc => valLoss(df, features, label, rowKey, wc, isVal))) {
-      (w, e) =>
-      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
-          evalOnly = e > maxEpochs) {
-        (dfb, ivb, wc) =>
-          val (gr, vl) = gradientsVal(dfb, features, label, rowKey, wc, e,
-            dropout, ivb)
-          (GdTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+    if (nBatches == 1)
+      WideNet.withSamples(df, features, label, rowKey, isVal) { rows =>
+        val valRows = rows.filter(_.iv)
+        TrainerCommon.earlyStop(w0, maxEpochs, patience,
+            evalPass = Some(wc => valLossRdd(valRows, wc))) { (w, e) =>
+          val (gr, vl) = gradientsValRdd(rows, w, e, dropout)
+          (GdTrainer.applyOpt(w, gr, opt), gr.loss,
+            vl.getOrElse(sys.error("fitEsOpt: empty validation slice")))
+        }
       }
-    }
+    else
+      TrainerCommon.earlyStop(w0, maxEpochs, patience, evalPass =
+          Some(wc => valLoss(df, features, label, rowKey, wc, isVal))) {
+        (w, e) =>
+        TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
+            evalOnly = e > maxEpochs) {
+          (dfb, ivb, wc) =>
+            val (gr, vl) = gradientsVal(dfb, features, label, rowKey, wc, e,
+              dropout, ivb)
+            (GdTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+        }
+      }
 }

@@ -157,22 +157,27 @@ object WideMlp3 {
   def gradientsVal(df: DataFrame, features: Seq[Column], label: Column,
       rowKey: Column, w: W, epoch: Int, drops: Seq[Double],
       isVal: Column): (G, Option[Double]) = {
+    require(w.ws.headOption.map(_.headOption.fold(0)(_.length))
+      .contains(features.length), "feature count != weight width")
+    gradientsValRdd(WideNet.sampleRdd(df, features, label, rowKey, isVal),
+      w, epoch, drops)
+  }
+
+  /** [[gradientsVal]] over pre-decoded typed rows — the fit loops call
+    * this against ONE cached RDD instead of re-planning/re-decoding a
+    * fresh DataFrame per epoch ([[WideNet.withSamples]]). */
+  private def gradientsValRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      w: W, epoch: Int, drops: Seq[Double]): (G, Option[Double]) = {
     val L = w.nLayers - 1
     require(drops.length == L, s"drops must give one rate per hidden " +
       s"layer ($L), got ${drops.length}")
     require(drops.forall(p => p >= 0.0 && p < 1.0), "dropout in [0, 1)")
-    val spark = df.sparkSession
-    import spark.implicits._
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
-    require(packed.d == features.length, "feature count != weight width")
     val ly = new Layout(packed)
     val dropsArr = drops.toArray
-    val ds = df.select(
-      array(features.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      isVal.cast("boolean").as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch, dropsArr, buf); buf
@@ -207,18 +212,22 @@ object WideMlp3 {
     * combine order. */
   def valLoss(df: DataFrame, features: Seq[Column], label: Column,
       rowKey: Column, w: W, isVal: Column): Double = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    require(w.ws.headOption.map(_.headOption.fold(0)(_.length))
+      .contains(features.length), "feature count != weight width")
+    valLossRdd(WideNet.sampleRdd(
+      df.filter(isVal), features, label, rowKey, lit(true)), w)
+  }
+
+  /** [[valLoss]] over pre-decoded VAL rows (a narrow filter of the
+    * cached fit RDD — same partitions, same order). */
+  private def valLossRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      w: W): Double = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
-    require(packed.d == features.length, "feature count != weight width")
     val ly = new Layout(packed)
     val noDrops = new Array[Double](w.nLayers - 1)
-    val ds = df.filter(isVal).select(
-      array(features.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      lit(true).as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch = 0, noDrops, buf); buf
@@ -238,35 +247,49 @@ object WideMlp3 {
     * contract). */
   def fit(df: DataFrame, features: Seq[Column], label: Column,
       rowKey: Column, w0: W, epochs: Int, lr: Double,
-      drops: Seq[Double]): (W, Seq[Double]) = {
-    var w = w0
-    val opt = TrainerCommon.Optimizer.sgd(lr)
-    val losses = (1 to epochs).map { e =>
-      val (gr, _) = gradientsVal(df, features, label, rowKey, w, e,
-        drops, lit(false))
-      w = Mlp3Trainer.applyOpt(w, gr, opt)
-      gr.loss
+      drops: Seq[Double]): (W, Seq[Double]) =
+    WideNet.withSamples(df, features, label, rowKey, lit(false)) { rows =>
+      var w = w0
+      val opt = TrainerCommon.Optimizer.sgd(lr)
+      val losses = (1 to epochs).map { e =>
+        val (gr, _) = gradientsValRdd(rows, w, e, drops)
+        w = Mlp3Trainer.applyOpt(w, gr, opt)
+        gr.loss
+      }
+      (w, losses)
     }
-    (w, losses)
-  }
 
   /** [[Mlp3Trainer.fitEsOpt]] on the treeAggregate path — Keras ES +
     * pluggable optimizer (Adam for reference parity) + deterministic
-    * hash mini-batching via the shared [[TrainerCommon]] walkers. */
+    * hash mini-batching via the shared [[TrainerCommon]] walkers.
+    * Full-batch runs on the cached-RDD path; the batched form keeps
+    * per-batch DataFrame filters (membership is a (keys, epoch) hash —
+    * it changes every epoch). */
   def fitEsOpt(df: DataFrame, features: Seq[Column], label: Column,
       rowKey: Column, w0: W, maxEpochs: Int,
       opt: TrainerCommon.Optimizer, drops: Seq[Double], isVal: Column,
       patience: Int = 5, batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[W] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience, evalPass =
-        Some(wc => valLoss(df, features, label, rowKey, wc, isVal))) {
-      (w, e) =>
-      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
-          evalOnly = e > maxEpochs) {
-        (dfb, ivb, wc) =>
-          val (gr, vl) = gradientsVal(dfb, features, label, rowKey, wc,
-            e, drops, ivb)
-          (Mlp3Trainer.applyOpt(wc, gr, opt), gr.loss, vl)
+    if (nBatches == 1)
+      WideNet.withSamples(df, features, label, rowKey, isVal) { rows =>
+        val valRows = rows.filter(_.iv)
+        TrainerCommon.earlyStop(w0, maxEpochs, patience,
+            evalPass = Some(wc => valLossRdd(valRows, wc))) { (w, e) =>
+          val (gr, vl) = gradientsValRdd(rows, w, e, drops)
+          (Mlp3Trainer.applyOpt(w, gr, opt), gr.loss,
+            vl.getOrElse(sys.error("fitEsOpt: empty validation slice")))
+        }
       }
-    }
+    else
+      TrainerCommon.earlyStop(w0, maxEpochs, patience, evalPass =
+          Some(wc => valLoss(df, features, label, rowKey, wc, isVal))) {
+        (w, e) =>
+        TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
+            evalOnly = e > maxEpochs) {
+          (dfb, ivb, wc) =>
+            val (gr, vl) = gradientsVal(dfb, features, label, rowKey, wc,
+              e, drops, ivb)
+            (Mlp3Trainer.applyOpt(wc, gr, opt), gr.loss, vl)
+        }
+      }
 }

@@ -43,21 +43,100 @@ object WideNet {
   /** Typed row: feature vector, int label, dropout row key, val flag. */
   final case class Sample(x: Array[Double], y: Int, rk: Long, iv: Boolean)
 
-  /** Packed weights: nested Arrays for O(1) hot-loop indexing (the
-    * public NetWeights Seqs are Lists — O(n) apply). */
+  /** The families' shared typed-row projection as an RDD — one place so
+    * the (x, y, rk, iv) column contract cannot drift per family. */
+  private[ml] def sampleRdd(df: DataFrame, xs: Seq[Column], label: Column,
+      rowKey: Column, isVal: Column)
+      : org.apache.spark.rdd.RDD[Sample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      array(xs.map(_.cast("double")): _*).as("x"),
+      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
+      isVal.cast("boolean").as("iv")).as[Sample].rdd
+  }
+
+  /** Decode the typed rows ONCE and cache them for a fit's epoch loop.
+    * Each epoch of the historical path re-ran the projection through a
+    * fresh DataFrame — re-planning, re-codegen and re-decoding the same
+    * rows every pass (measured ~0.35-0.5 s/pass at sf0.1 vs ~0.1 s for
+    * a treeAggregate over the cached RDD; the arithmetic inside the
+    * pass is identical). Caching the INPUT of a single fit is the same
+    * contract as the entries' existing `facts.persist()` — released
+    * before the query returns, nothing survives across runs. The RDD
+    * inherits the projection's partitioning and per-partition row
+    * order, so per-partition gradient sums are bit-identical to the
+    * per-epoch-DataFrame path. */
+  private[ml] def withSamples[R](df: DataFrame, xs: Seq[Column],
+      label: Column, rowKey: Column, isVal: Column)(
+      body: org.apache.spark.rdd.RDD[Sample] => R): R = {
+    val rdd = sampleRdd(df, xs, label, rowKey, isVal)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(rdd) finally { rdd.unpersist(blocking = false); () }
+  }
+
+  /** Packed weights: FLAT per-block arrays (plus transposed copies for
+    * the backward pass's column access) — the 4-level nested-Array form
+    * cost the hot conv loop three dependent pointer loads per element.
+    * Same doubles, same arithmetic; layout only. A block's kernel row
+    * for filter f, `cw(b)((f*k+j)*fin+c)`, is CONTIGUOUS over (j, c) —
+    * exactly the order the conv window reads its input — so the conv
+    * becomes a straight dot product of two contiguous segments. */
   private final class Packed(w: NetWeights) extends Serializable {
-    val cw: Array[Array[Array[Array[Double]]]] =
-      w.convW.map(_.map(_.map(_.toArray).toArray).toArray).toArray
+    val blocks: Int = w.convW.length
+    val k: Int = w.convW(0)(0).length
+    val fs: Array[Int] = w.convW.map(_.length).toArray
+    val fin: Array[Int] =
+      Array.tabulate(blocks)(b => w.convW(b)(0)(0).length)
+    // cw(b)((f*k+j)*fin+c); cwT(b)((j*fin+c)*fs+f) = cw(b)(f)(j)(c)
+    val cw: Array[Array[Double]] =
+      w.convW.map(_.flatten.flatten.toArray).toArray
+    val cwT: Array[Array[Double]] = Array.tabulate(blocks) { b =>
+      val a = new Array[Double](fs(b) * k * fin(b))
+      var f = 0
+      while (f < fs(b)) {
+        var j = 0
+        while (j < k) {
+          var c = 0
+          while (c < fin(b)) {
+            a((j * fin(b) + c) * fs(b) + f) =
+              cw(b)((f * k + j) * fin(b) + c)
+            c += 1
+          }
+          j += 1
+        }
+        f += 1
+      }
+      a
+    }
     val cb: Array[Array[Double]] = w.convB.map(_.toArray).toArray
-    val dw: Array[Array[Double]] = w.denseW.map(_.toArray).toArray
+    val dh: Int = w.denseW.length
+    val flat: Int = w.denseW(0).length
+    val dw: Array[Double] = w.denseW.flatten.toArray   // (u)*flat+i
+    val dwT: Array[Double] = {                          // (i)*dh+u
+      val a = new Array[Double](dh * flat)
+      var u = 0
+      while (u < dh) {
+        var i = 0
+        while (i < flat) { a(i * dh + u) = dw(u * flat + i); i += 1 }
+        u += 1
+      }
+      a
+    }
     val db: Array[Double] = w.denseB.toArray
-    val hw: Array[Array[Double]] = w.headW.map(_.toArray).toArray
+    val kc: Int = w.headW.length
+    val hw: Array[Double] = w.headW.flatten.toArray    // (o)*dh+u
+    val hwT: Array[Double] = {                          // (u)*kc+o
+      val a = new Array[Double](kc * dh)
+      var o = 0
+      while (o < kc) {
+        var u = 0
+        while (u < dh) { a(u * kc + o) = hw(o * dh + u); u += 1 }
+        o += 1
+      }
+      a
+    }
     val hb: Array[Double] = w.headB.toArray
-    val blocks: Int = cw.length
-    val k: Int = cw(0)(0).length
-    val fs: Array[Int] = cw.map(_.length)
-    val dh: Int = dw.length
-    val kc: Int = hw.length
   }
 
   /** [[TrainerCommon.dropMask]] replayed on the driver/executor side:
@@ -119,73 +198,164 @@ object WideNet {
     val size: Int = statsOff + 4
   }
 
+  /** Per-thread reusable scratch for [[accumulate]] (the WideLstm2
+    * pattern): activation/gradient work arrays otherwise allocated and
+    * zeroed per row. Reuse-safe: every array is either fully written
+    * before any read (a/m/dm/dmp/inT and the dense/head vectors) or
+    * explicitly re-zeroed per use (`da` — the argmax routing writes
+    * sparsely). */
+  private final class Scratch(val T: Int, p: Packed, ly: Layout) {
+    val fsKey: Array[Int] = p.fs.clone()
+    val dhKey: Int = p.dh; val kcKey: Int = p.kc; val kKey: Int = p.k
+    val a: Array[Array[Double]] =
+      Array.tabulate(p.blocks)(b => new Array[Double](ly.ps(b) * p.fs(b)))
+    val m: Array[Array[Double]] =
+      Array.tabulate(p.blocks)(b => new Array[Double](ly.ls(b) * p.fs(b)))
+    val da: Array[Array[Double]] =
+      Array.tabulate(p.blocks)(b => new Array[Double](ly.ps(b) * p.fs(b)))
+    // dmp(b): upstream gradient for block b's input (b >= 1)
+    val dmp: Array[Array[Double]] = Array.tabulate(p.blocks)(b =>
+      if (b == 0) null
+      else new Array[Double](ly.ls(b - 1) * p.fs(b - 1)))
+    // inT(b): block b's input transposed to (channel, position)
+    val inT: Array[Array[Double]] = Array.tabulate(p.blocks) { b =>
+      val len = if (b == 0) T else ly.ls(b - 1)
+      new Array[Double](ly.fin(b) * len)
+    }
+    val daf = new Array[Double](if (ly.ps.isEmpty) 0 else ly.ps.max)
+    val hpre = new Array[Double](p.dh); val hd = new Array[Double](p.dh)
+    val mask = new Array[Double](p.dh); val dpre = new Array[Double](p.dh)
+    val z = new Array[Double](p.kc); val dzo = new Array[Double](p.kc)
+    val dm = new Array[Double](ly.flat)
+  }
+  private val scratchTL = new ThreadLocal[Scratch]
+  private def scratchFor(T: Int, p: Packed, ly: Layout): Scratch = {
+    val c = scratchTL.get()
+    if (c != null && c.T == T && c.dhKey == p.dh && c.kcKey == p.kc &&
+      c.kKey == p.k && java.util.Arrays.equals(c.fsKey, p.fs)) c
+    else {
+      val n = new Scratch(T, p, ly)
+      scratchTL.set(n); n
+    }
+  }
+
   /** Accumulate one row's contribution into `g` (gradients for train
     * rows; loss tallies for both slices). The math is line-for-line
-    * [[ConvNetTrainer.gradientsVal]]'s staged columns. */
+    * [[ConvNetTrainer.gradientsVal]]'s staged columns; every
+    * accumulator's add order is the historical one (flat/transposed
+    * layouts and lane unrolls change where doubles live and how many
+    * independent chains run, never the sequence of additions into any
+    * single sum), so the output is bit-identical. */
   private def accumulate(s: Sample, p: Packed, ly: Layout, epoch: Int,
       dropout: Double, g: Array[Double]): Unit = {
     val B = p.blocks; val k = p.k; val fs = p.fs
+    val sc = scratchFor(s.x.length, p, ly)
     // ---- forward ----
-    val a = new Array[Array[Double]](B)  // conv+relu, (p, f) row-major
-    val m = new Array[Array[Double]](B)  // pooled, (j, f)
+    val a = sc.a                         // conv+relu, (p, f) row-major
+    val m = sc.m                         // pooled, (j, f)
     var in: Array[Double] = s.x          // level input, (pos, ch)
     var b = 0
     while (b < B) {
       val fin = ly.fin(b); val pb = ly.ps(b); val lb = ly.ls(b)
-      val ab = new Array[Double](pb * fs(b))
+      val fb = fs(b)
+      val ab = a(b)
+      val cwb = p.cw(b); val cbb = p.cb(b)
+      // the (j, c) kernel window reads in((pos+j)*fin+c) — CONTIGUOUS
+      // over the flat index j*fin+c starting at pos*fin, matching the
+      // flat kernel row, so the conv is one straight dot product; four
+      // filters run per pass sharing the window reads
+      val klen = k * fin
       var pos = 0
       while (pos < pb) {
+        val base = pos * fin
+        val ob = pos * fb
         var f = 0
-        while (f < fs(b)) {
-          var acc = p.cb(b)(f)
-          var j = 0
-          while (j < k) {
-            val wv = p.cw(b)(f)(j)
-            var c = 0
-            while (c < fin) { acc += in((pos + j) * fin + c) * wv(c); c += 1 }
-            j += 1
+        while (f + 3 < fb) {
+          var a0 = cbb(f); var a1 = cbb(f + 1)
+          var a2 = cbb(f + 2); var a3 = cbb(f + 3)
+          val w0 = f * klen; val w1 = (f + 1) * klen
+          val w2 = (f + 2) * klen; val w3 = (f + 3) * klen
+          var idx = 0
+          while (idx < klen) {
+            val iv = in(base + idx)
+            a0 += iv * cwb(w0 + idx); a1 += iv * cwb(w1 + idx)
+            a2 += iv * cwb(w2 + idx); a3 += iv * cwb(w3 + idx)
+            idx += 1
           }
-          ab(pos * fs(b) + f) = if (acc > 0) acc else 0.0
+          ab(ob + f) = if (a0 > 0) a0 else 0.0
+          ab(ob + f + 1) = if (a1 > 0) a1 else 0.0
+          ab(ob + f + 2) = if (a2 > 0) a2 else 0.0
+          ab(ob + f + 3) = if (a3 > 0) a3 else 0.0
+          f += 4
+        }
+        while (f < fb) {
+          var acc = cbb(f)
+          val wb = f * klen
+          var idx = 0
+          while (idx < klen) { acc += in(base + idx) * cwb(wb + idx); idx += 1 }
+          ab(ob + f) = if (acc > 0) acc else 0.0
           f += 1
         }
         pos += 1
       }
-      val mb = new Array[Double](lb * fs(b))
+      val mb = m(b)
       var j2 = 0
       while (j2 < lb) {
         var f = 0
-        while (f < fs(b)) {
-          val x0 = ab(2 * j2 * fs(b) + f); val x1 = ab((2 * j2 + 1) * fs(b) + f)
-          mb(j2 * fs(b) + f) = if (x0 >= x1) x0 else x1
+        while (f < fb) {
+          val x0 = ab(2 * j2 * fb + f); val x1 = ab((2 * j2 + 1) * fb + f)
+          mb(j2 * fb + f) = if (x0 >= x1) x0 else x1
           f += 1
         }
         j2 += 1
       }
-      a(b) = ab; m(b) = mb; in = mb; b += 1
+      in = mb; b += 1
     }
     val flat = m(B - 1) // (j, f) row-major == flatten index j * fB + f
     // ---- dense -> dropout -> head ----
-    val hpre = new Array[Double](p.dh)
-    val hd = new Array[Double](p.dh)
-    val mask = new Array[Double](p.dh)
+    val hpre = sc.hpre
+    val hd = sc.hd
+    val mask = sc.mask
+    val flatN = ly.flat
     var u = 0
+    while (u + 3 < p.dh) {
+      var a0 = p.db(u); var a1 = p.db(u + 1)
+      var a2 = p.db(u + 2); var a3 = p.db(u + 3)
+      val w0 = u * flatN; val w1 = (u + 1) * flatN
+      val w2 = (u + 2) * flatN; val w3 = (u + 3) * flatN
+      var i = 0
+      while (i < flatN) {
+        val fv = flat(i)
+        a0 += fv * p.dw(w0 + i); a1 += fv * p.dw(w1 + i)
+        a2 += fv * p.dw(w2 + i); a3 += fv * p.dw(w3 + i)
+        i += 1
+      }
+      hpre(u) = a0; hpre(u + 1) = a1; hpre(u + 2) = a2; hpre(u + 3) = a3
+      var l = 0
+      while (l < 4) {
+        mask(u + l) = dropMaskLocal(s.iv, s.rk, epoch, u + l, dropout)
+        hd(u + l) = (if (hpre(u + l) > 0) hpre(u + l) else 0.0) * mask(u + l)
+        l += 1
+      }
+      u += 4
+    }
     while (u < p.dh) {
       var acc = p.db(u)
-      val wu = p.dw(u)
+      val wb = u * flatN
       var i = 0
-      while (i < ly.flat) { acc += flat(i) * wu(i); i += 1 }
+      while (i < flatN) { acc += flat(i) * p.dw(wb + i); i += 1 }
       hpre(u) = acc
       mask(u) = dropMaskLocal(s.iv, s.rk, epoch, u, dropout)
       hd(u) = (if (acc > 0) acc else 0.0) * mask(u)
       u += 1
     }
-    val z = new Array[Double](p.kc)
+    val z = sc.z
     var o = 0
     while (o < p.kc) {
       var acc = p.hb(o)
-      val wo = p.hw(o)
+      val wb = o * p.dh
       var u2 = 0
-      while (u2 < p.dh) { acc += hd(u2) * wo(u2); u2 += 1 }
+      while (u2 < p.dh) { acc += hd(u2) * p.hw(wb + u2); u2 += 1 }
       z(o) = acc; o += 1
     }
     // max-shifted softmax CE (TrainerCommon.softmaxHead algebra)
@@ -199,75 +369,123 @@ object WideNet {
       return // val rows contribute loss only, never gradients
     }
     g(ly.statsOff) += loss; g(ly.statsOff + 1) += 1.0
-    val dzo = new Array[Double](p.kc)
+    val dzo = sc.dzo
     o = 0
     while (o < p.kc) {
       dzo(o) = math.exp(z(o) - mx) / denom - (if (s.y == o) 1.0 else 0.0)
       o += 1
     }
     // ---- backward ----
-    val dpre = new Array[Double](p.dh)
+    val dpre = sc.dpre
     u = 0
     while (u < p.dh) {
       var acc = 0.0
+      val wb = u * p.kc
       o = 0
-      while (o < p.kc) { acc += dzo(o) * p.hw(o)(u); o += 1 }
+      while (o < p.kc) { acc += dzo(o) * p.hwT(wb + o); o += 1 }
       dpre(u) = acc * mask(u) * (if (hpre(u) > 0) 1.0 else 0.0)
       u += 1
     }
-    val dm = new Array[Double](ly.flat) // dm at level B-1, (j, f)
+    val dm = sc.dm // dm at level B-1, (j, f)
     var i = 0
-    while (i < ly.flat) {
-      var acc = 0.0
+    while (i + 3 < flatN) {
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      val w0 = i * p.dh; val w1 = (i + 1) * p.dh
+      val w2 = (i + 2) * p.dh; val w3 = (i + 3) * p.dh
       u = 0
-      while (u < p.dh) { acc += dpre(u) * p.dw(u)(i); u += 1 }
+      while (u < p.dh) {
+        val dv = dpre(u)
+        s0 += dv * p.dwT(w0 + u); s1 += dv * p.dwT(w1 + u)
+        s2 += dv * p.dwT(w2 + u); s3 += dv * p.dwT(w3 + u)
+        u += 1
+      }
+      dm(i) = s0; dm(i + 1) = s1; dm(i + 2) = s2; dm(i + 3) = s3
+      i += 4
+    }
+    while (i < flatN) {
+      var acc = 0.0
+      val wb = i * p.dh
+      u = 0
+      while (u < p.dh) { acc += dpre(u) * p.dwT(wb + u); u += 1 }
       dm(i) = acc; i += 1
     }
     var dmCur = dm
     b = B - 1
     while (b >= 0) {
       val fin = ly.fin(b); val pb = ly.ps(b); val lb = ly.ls(b)
+      val fb = fs(b)
       val ab = a(b); val mb = m(b)
-      val da = new Array[Double](pb * fs(b))
+      val da = sc.da(b)
+      java.util.Arrays.fill(da, 0, pb * fb, 0.0)
       var pos = 0
       while (pos < pb) {
         val j = pos / 2
         if (j < lb) {
           var f = 0
-          while (f < fs(b)) {
-            val target = mb(j * fs(b) + f)
-            val av = ab(pos * fs(b) + f)
+          while (f < fb) {
+            val target = mb(j * fb + f)
+            val av = ab(pos * fb + f)
             // first-argmax routing: position pos routes iff it equals
             // the max and every earlier window position is strictly less
             val route =
               if (pos == 2 * j) av == target
-              else ab(2 * j * fs(b) + f) < target && av == target
+              else ab(2 * j * fb + f) < target && av == target
             if (route && av > 0)
-              da(pos * fs(b) + f) = dmCur(j * fs(b) + f)
+              da(pos * fb + f) = dmCur(j * fb + f)
             f += 1
           }
         }
         pos += 1
       }
-      // gradients of this block's kernel + bias
+      // gradients of this block's kernel + bias. The input transposes
+      // to (channel, position) once per block so the position-sum inner
+      // loops stream contiguously; da's column for filter f hoists into
+      // a local once instead of re-striding per (j, c) cell.
       val inArr: Array[Double] = if (b == 0) s.x else m(b - 1)
+      val inLen = if (b == 0) s.x.length / ly.fin(0) else ly.ls(b - 1)
+      val inT = sc.inT(b)
+      var cc = 0
+      while (cc < fin) {
+        var pos2 = 0
+        while (pos2 < inLen) {
+          inT(cc * inLen + pos2) = inArr(pos2 * fin + cc); pos2 += 1
+        }
+        cc += 1
+      }
+      val daf = sc.daf
       var f = 0
-      while (f < fs(b)) {
+      while (f < fb) {
+        var pp0 = 0
+        while (pp0 < pb) { daf(pp0) = da(pp0 * fb + f); pp0 += 1 }
         var gb = 0.0
         var pos2 = 0
-        while (pos2 < pb) { gb += da(pos2 * fs(b) + f); pos2 += 1 }
+        while (pos2 < pb) { gb += daf(pos2); pos2 += 1 }
         g(ly.cbOff(b) + f) += gb
+        val gwb = ly.cwOff(b) + f * k * fin
         var j = 0
         while (j < k) {
           var c = 0
-          while (c < fin) {
-            var gw = 0.0
+          while (c + 3 < fin) {
+            var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+            val i0 = c * inLen + j; val i1 = (c + 1) * inLen + j
+            val i2 = (c + 2) * inLen + j; val i3 = (c + 3) * inLen + j
             var pp = 0
             while (pp < pb) {
-              gw += da(pp * fs(b) + f) * inArr((pp + j) * fin + c)
+              val dv = daf(pp)
+              s0 += dv * inT(i0 + pp); s1 += dv * inT(i1 + pp)
+              s2 += dv * inT(i2 + pp); s3 += dv * inT(i3 + pp)
               pp += 1
             }
-            g(ly.cwOff(b) + ((f * k) + j) * fin + c) += gw
+            g(gwb + j * fin + c) += s0; g(gwb + j * fin + c + 1) += s1
+            g(gwb + j * fin + c + 2) += s2; g(gwb + j * fin + c + 3) += s3
+            c += 4
+          }
+          while (c < fin) {
+            var gw = 0.0
+            val ib = c * inLen + j
+            var pp = 0
+            while (pp < pb) { gw += daf(pp) * inT(ib + pp); pp += 1 }
+            g(gwb + j * fin + c) += gw
             c += 1
           }
           j += 1
@@ -276,20 +494,42 @@ object WideNet {
       }
       if (b > 0) {
         val lprev = ly.ls(b - 1); val fprev = fs(b - 1)
-        val dmPrev = new Array[Double](lprev * fprev)
+        val dmPrev = sc.dmp(b)
+        val cwTb = p.cwT(b)
         var jp = 0
         while (jp < lprev) {
+          val ppLo = math.max(0, jp - k + 1)
+          val pMax = math.min(pb - 1, jp)
           var c = 0
-          while (c < fprev) {
-            var acc = 0.0
-            var pp = math.max(0, jp - k + 1)
-            val pMax = math.min(pb - 1, jp)
+          while (c + 3 < fprev) {
+            var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+            var pp = ppLo
             while (pp <= pMax) {
+              val dab = pp * fb
+              val jr = jp - pp
+              val w0 = (jr * fin + c) * fb; val w1 = (jr * fin + c + 1) * fb
+              val w2 = (jr * fin + c + 2) * fb; val w3 = (jr * fin + c + 3) * fb
               var f2 = 0
-              while (f2 < fs(b)) {
-                acc += da(pp * fs(b) + f2) * p.cw(b)(f2)(jp - pp)(c)
+              while (f2 < fb) {
+                val dv = da(dab + f2)
+                s0 += dv * cwTb(w0 + f2); s1 += dv * cwTb(w1 + f2)
+                s2 += dv * cwTb(w2 + f2); s3 += dv * cwTb(w3 + f2)
                 f2 += 1
               }
+              pp += 1
+            }
+            dmPrev(jp * fprev + c) = s0; dmPrev(jp * fprev + c + 1) = s1
+            dmPrev(jp * fprev + c + 2) = s2; dmPrev(jp * fprev + c + 3) = s3
+            c += 4
+          }
+          while (c < fprev) {
+            var acc = 0.0
+            var pp = ppLo
+            while (pp <= pMax) {
+              val dab = pp * fb
+              val wb = ((jp - pp) * fin + c) * fb
+              var f2 = 0
+              while (f2 < fb) { acc += da(dab + f2) * cwTb(wb + f2); f2 += 1 }
               pp += 1
             }
             dmPrev(jp * fprev + c) = acc
@@ -304,21 +544,19 @@ object WideNet {
         u = 0
         while (u < p.dh) {
           g(ly.dbOff + u) += dpre(u)
+          val gwb = ly.dwOff + u * flatN
+          val dv = dpre(u)
           var i2 = 0
-          while (i2 < ly.flat) {
-            g(ly.dwOff + u * ly.flat + i2) += dpre(u) * flat(i2)
-            i2 += 1
-          }
+          while (i2 < flatN) { g(gwb + i2) += dv * flat(i2); i2 += 1 }
           u += 1
         }
         o = 0
         while (o < p.kc) {
           g(ly.hbOff + o) += dzo(o)
+          val gwb = ly.hwOff + o * p.dh
+          val dv = dzo(o)
           var u2 = 0
-          while (u2 < p.dh) {
-            g(ly.hwOff + o * p.dh + u2) += dzo(o) * hd(u2)
-            u2 += 1
-          }
+          while (u2 < p.dh) { g(gwb + u2) += dv * hd(u2); u2 += 1 }
           o += 1
         }
       }
@@ -332,19 +570,22 @@ object WideNet {
     * One Spark job; weights broadcast once; O(params) reduction. */
   def gradientsVal(df: DataFrame, xs: Seq[Column], label: Column,
       rowKey: Column, w: NetWeights, epoch: Int, dropout: Double,
-      isVal: Column): (NetGrads, Option[Double]) = {
+      isVal: Column): (NetGrads, Option[Double]) =
+    gradientsValRdd(sampleRdd(df, xs, label, rowKey, isVal), xs.length,
+      w, epoch, dropout)
+
+  /** [[gradientsVal]] over pre-decoded typed rows — the fit loops call
+    * this against ONE cached RDD instead of re-planning/re-decoding a
+    * fresh DataFrame per epoch ([[withSamples]]). */
+  private def gradientsValRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      T: Int, w: NetWeights, epoch: Int,
+      dropout: Double): (NetGrads, Option[Double]) = {
     require(dropout >= 0.0 && dropout < 1.0, "dropout in [0, 1)")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val T = xs.length
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
     val ly = new Layout(packed, T)
-    val ds = df.select(
-      array(xs.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      isVal.cast("boolean").as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch, dropout, buf); buf
@@ -389,17 +630,19 @@ object WideNet {
     * arithmetic), and the per-partition loss sums combine in the same
     * treeAggregate order. */
   def valLoss(df: DataFrame, xs: Seq[Column], label: Column,
-      rowKey: Column, w: NetWeights, isVal: Column): Double = {
-    val spark = df.sparkSession
-    import spark.implicits._
+      rowKey: Column, w: NetWeights, isVal: Column): Double =
+    valLossRdd(sampleRdd(df.filter(isVal), xs, label, rowKey, lit(true)),
+      xs.length, w)
+
+  /** [[valLoss]] over pre-decoded VAL rows (a narrow filter of the
+    * cached fit RDD — same partitions, same order). */
+  private def valLossRdd(rows: org.apache.spark.rdd.RDD[Sample], T: Int,
+      w: NetWeights): Double = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
-    val ly = new Layout(packed, xs.length)
-    val ds = df.filter(isVal).select(
-      array(xs.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      lit(true).as("iv")).as[Sample]
+    val ly = new Layout(packed, T)
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch = 0, dropout = 0.0, buf); buf
@@ -415,32 +658,36 @@ object WideNet {
     g(ly.statsOff + 2) / nVal
   }
 
-  /** Full-batch GD on the wide path ([[ConvNetTrainer.fit]] contract). */
+  /** Full-batch GD on the wide path ([[ConvNetTrainer.fit]] contract).
+    * Decodes the typed rows once and runs every epoch against the
+    * cached RDD ([[withSamples]] — bit-identical, see its note). */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: NetWeights,
       epochs: Int, lr: Double, rowKey: Column = lit(0L),
-      dropout: Double = 0.0): (NetWeights, Seq[Double]) = {
-    var w = w0
-    val losses = (1 to epochs).map { e =>
-      val (gr, _) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
-        lit(false))
-      w = ConvNetTrainer.step(w, gr, lr)
-      gr.loss
+      dropout: Double = 0.0): (NetWeights, Seq[Double]) =
+    withSamples(df, xs, label, rowKey, lit(false)) { rows =>
+      var w = w0
+      val losses = (1 to epochs).map { e =>
+        val (gr, _) = gradientsValRdd(rows, xs.length, w, e, dropout)
+        w = ConvNetTrainer.step(w, gr, lr)
+        gr.loss
+      }
+      (w, losses)
     }
-    (w, losses)
-  }
 
   /** [[fit]] under Keras EarlyStopping ([[TrainerCommon.earlyStop]]). */
   def fitEs(df: DataFrame, xs: Seq[Column], label: Column,
       w0: NetWeights, maxEpochs: Int, lr: Double, rowKey: Column,
       dropout: Double, isVal: Column,
       patience: Int = 5): TrainerCommon.EsResult[NetWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience,
-        evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
-      (w, e) =>
-      val (gr, vl) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
-        isVal)
-      (ConvNetTrainer.step(w, gr, lr), gr.loss,
-        vl.getOrElse(sys.error("fitEs: empty validation slice")))
+    withSamples(df, xs, label, rowKey, isVal) { rows =>
+      val valRows = rows.filter(_.iv)
+      TrainerCommon.earlyStop(w0, maxEpochs, patience,
+          evalPass = Some(wc => valLossRdd(valRows, xs.length, wc))) {
+        (w, e) =>
+        val (gr, vl) = gradientsValRdd(rows, xs.length, w, e, dropout)
+        (ConvNetTrainer.step(w, gr, lr), gr.loss,
+          vl.getOrElse(sys.error("fitEs: empty validation slice")))
+      }
     }
 
   /** [[fitEs]] with the reference's actual `compile/fit` semantics on
@@ -448,21 +695,36 @@ object WideNet {
     * (`TrainerCommon.Optimizer.adam(0.001)` = `cnn_model.py:34`) and
     * deterministic hash mini-batching, weights updated after each
     * batch ([[TrainerCommon.batchedEpoch]]). nBatches = 1 + sgd(lr)
-    * reproduces [[fitEs]] bit-for-bit (AdamSpec pins it). */
+    * reproduces [[fitEs]] bit-for-bit (AdamSpec pins it). Full-batch
+    * runs on the cached-RDD path; the batched form keeps per-batch
+    * DataFrame filters (membership is a (keys, epoch) hash — it
+    * changes every epoch). */
   def fitEsOpt(df: DataFrame, xs: Seq[Column], label: Column,
       w0: NetWeights, maxEpochs: Int, opt: TrainerCommon.Optimizer,
       rowKey: Column, dropout: Double, isVal: Column,
       patience: Int = 5, batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[NetWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience,
-        evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
-      (w, e) =>
-      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
-          evalOnly = e > maxEpochs) {
-        (dfb, ivb, wc) =>
-          val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
-            dropout, ivb)
-          (ConvNetTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+    if (nBatches == 1)
+      withSamples(df, xs, label, rowKey, isVal) { rows =>
+        val valRows = rows.filter(_.iv)
+        TrainerCommon.earlyStop(w0, maxEpochs, patience,
+            evalPass = Some(wc => valLossRdd(valRows, xs.length, wc))) {
+          (w, e) =>
+          val (gr, vl) = gradientsValRdd(rows, xs.length, w, e, dropout)
+          (ConvNetTrainer.applyOpt(w, gr, opt), gr.loss,
+            vl.getOrElse(sys.error("fitEsOpt: empty validation slice")))
+        }
       }
-    }
+    else
+      TrainerCommon.earlyStop(w0, maxEpochs, patience,
+          evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
+        (w, e) =>
+        TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
+            evalOnly = e > maxEpochs) {
+          (dfb, ivb, wc) =>
+            val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
+              dropout, ivb)
+            (ConvNetTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+        }
+      }
 }

@@ -142,18 +142,22 @@ object WideRnn {
     * contract on the treeAggregate path. */
   def gradientsVal(df: DataFrame, xs: Seq[Column], label: Column,
       rowKey: Column, w: RnnWeights, epoch: Int, dropout: Double,
-      isVal: Column): (RnnGrads, Option[Double]) = {
+      isVal: Column): (RnnGrads, Option[Double]) =
+    gradientsValRdd(WideNet.sampleRdd(df, xs, label, rowKey, isVal),
+      w, epoch, dropout)
+
+  /** [[gradientsVal]] over pre-decoded typed rows — the fit loops call
+    * this against ONE cached RDD instead of re-planning/re-decoding a
+    * fresh DataFrame per epoch ([[WideNet.withSamples]]). */
+  private def gradientsValRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      w: RnnWeights, epoch: Int,
+      dropout: Double): (RnnGrads, Option[Double]) = {
     require(dropout >= 0.0 && dropout < 1.0, "dropout in [0, 1)")
-    val spark = df.sparkSession
-    import spark.implicits._
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
     val ly = new Layout(packed)
-    val ds = df.select(
-      array(xs.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      isVal.cast("boolean").as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch, dropout, buf); buf
@@ -187,17 +191,19 @@ object WideRnn {
     * run inference semantics (keep-all masks), same treeAggregate
     * combine order. */
   def valLoss(df: DataFrame, xs: Seq[Column], label: Column,
-      rowKey: Column, w: RnnWeights, isVal: Column): Double = {
-    val spark = df.sparkSession
-    import spark.implicits._
+      rowKey: Column, w: RnnWeights, isVal: Column): Double =
+    valLossRdd(WideNet.sampleRdd(
+      df.filter(isVal), xs, label, rowKey, lit(true)), w)
+
+  /** [[valLoss]] over pre-decoded VAL rows (a narrow filter of the
+    * cached fit RDD — same partitions, same order). */
+  private def valLossRdd(rows: org.apache.spark.rdd.RDD[Sample],
+      w: RnnWeights): Double = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val packed = new Packed(w)
     val ly = new Layout(packed)
-    val ds = df.filter(isVal).select(
-      array(xs.map(_.cast("double")): _*).as("x"),
-      label.cast("int").as("y"), rowKey.cast("long").as("rk"),
-      lit(true).as("iv")).as[Sample]
     val bc = spark.sparkContext.broadcast((packed, ly))
-    val g = ds.rdd.treeAggregate(new Array[Double](ly.size))(
+    val g = rows.treeAggregate(new Array[Double](ly.size))(
       seqOp = (buf, s) => {
         val (p, l) = bc.value
         accumulate(s, p, l, epoch = 0, dropout = 0.0, buf); buf
@@ -216,29 +222,30 @@ object WideRnn {
   /** Full-batch BPTT GD on the wide path ([[RnnTrainer.fit]] contract). */
   def fit(df: DataFrame, xs: Seq[Column], label: Column, w0: RnnWeights,
       epochs: Int, lr: Double, rowKey: Column = lit(0L),
-      dropout: Double = 0.0): (RnnWeights, Seq[Double]) = {
-    var w = w0
-    val losses = (1 to epochs).map { e =>
-      val (gr, _) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
-        lit(false))
-      w = RnnTrainer.applyStep(w, gr, lr)
-      gr.loss
+      dropout: Double = 0.0): (RnnWeights, Seq[Double]) =
+    WideNet.withSamples(df, xs, label, rowKey, lit(false)) { rows =>
+      var w = w0
+      val losses = (1 to epochs).map { e =>
+        val (gr, _) = gradientsValRdd(rows, w, e, dropout)
+        w = RnnTrainer.applyStep(w, gr, lr)
+        gr.loss
+      }
+      (w, losses)
     }
-    (w, losses)
-  }
 
   /** [[fit]] under Keras EarlyStopping ([[TrainerCommon.earlyStop]]). */
   def fitEs(df: DataFrame, xs: Seq[Column], label: Column,
       w0: RnnWeights, maxEpochs: Int, lr: Double, rowKey: Column,
       dropout: Double, isVal: Column,
       patience: Int = 5): TrainerCommon.EsResult[RnnWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience,
-        evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
-      (w, e) =>
-      val (gr, vl) = gradientsVal(df, xs, label, rowKey, w, e, dropout,
-        isVal)
-      (RnnTrainer.applyStep(w, gr, lr), gr.loss,
-        vl.getOrElse(sys.error("fitEs: empty validation slice")))
+    WideNet.withSamples(df, xs, label, rowKey, isVal) { rows =>
+      val valRows = rows.filter(_.iv)
+      TrainerCommon.earlyStop(w0, maxEpochs, patience,
+          evalPass = Some(wc => valLossRdd(valRows, wc))) { (w, e) =>
+        val (gr, vl) = gradientsValRdd(rows, w, e, dropout)
+        (RnnTrainer.applyStep(w, gr, lr), gr.loss,
+          vl.getOrElse(sys.error("fitEs: empty validation slice")))
+      }
     }
 
   /** [[fitEs]] with the reference's `compile/fit` semantics: pluggable
@@ -251,15 +258,26 @@ object WideRnn {
       rowKey: Column, dropout: Double, isVal: Column,
       patience: Int = 5, batchKeys: Seq[Column] = Nil,
       nBatches: Int = 1): TrainerCommon.EsResult[RnnWeights] =
-    TrainerCommon.earlyStop(w0, maxEpochs, patience,
-        evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
-      (w, e) =>
-      TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
-          evalOnly = e > maxEpochs) {
-        (dfb, ivb, wc) =>
-          val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
-            dropout, ivb)
-          (RnnTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+    if (nBatches == 1)
+      WideNet.withSamples(df, xs, label, rowKey, isVal) { rows =>
+        val valRows = rows.filter(_.iv)
+        TrainerCommon.earlyStop(w0, maxEpochs, patience,
+            evalPass = Some(wc => valLossRdd(valRows, wc))) { (w, e) =>
+          val (gr, vl) = gradientsValRdd(rows, w, e, dropout)
+          (RnnTrainer.applyOpt(w, gr, opt), gr.loss,
+            vl.getOrElse(sys.error("fitEsOpt: empty validation slice")))
+        }
       }
-    }
+    else
+      TrainerCommon.earlyStop(w0, maxEpochs, patience,
+          evalPass = Some(wc => valLoss(df, xs, label, rowKey, wc, isVal))) {
+        (w, e) =>
+        TrainerCommon.batchedEpoch(df, isVal, batchKeys, nBatches, e, w,
+            evalOnly = e > maxEpochs) {
+          (dfb, ivb, wc) =>
+            val (gr, vl) = gradientsVal(dfb, xs, label, rowKey, wc, e,
+              dropout, ivb)
+            (RnnTrainer.applyOpt(wc, gr, opt), gr.loss, vl)
+        }
+      }
 }

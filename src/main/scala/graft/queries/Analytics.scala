@@ -1300,9 +1300,19 @@ object Analytics {
             col("p_name").as("n1"))
         val b = p.select(col("p_brand"), col("p_partkey").as("k2"),
           col("p_name").as("n2"))
+        // levenshtein WITH threshold (SPARK-44510): the banded DP costs
+        // O((m+n)·k) instead of O(m·n) and returns -1 the moment the
+        // distance provably exceeds k (length-gap pairs exit in O(1)).
+        // Only pairs at d <= 3 survive the filter either way, and the
+        // thresholded form returns the exact distance for those, so the
+        // result is identical — same-session A/B best-of-3 at sf0.1:
+        // full DP 1.62-1.73s, thresholded 1.23-1.29s. (An explicit
+        // per-side length-band prefilter was MEASURED SLOWER — 1.76s —
+        // the extra filter breaks the fused pipeline for a check the
+        // banded kernel already does in O(1).)
         a.join(b, Seq("p_brand")).filter(col("k1") < col("k2"))
-          .withColumn("d", levenshtein(col("n1"), col("n2")))
-          .filter(col("d") <= 3)
+          .withColumn("d", levenshtein(col("n1"), col("n2"), 3))
+          .filter(col("d") >= 0)
           .groupBy("p_brand")
           .agg(count(lit(1)).as("n_fuzzy"),
             sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_exact"))

@@ -1051,7 +1051,11 @@ object CorpusOps {
     // array literal (broadcast-small-model pattern): zero shuffles before
     // the contract ORDER BY.
     Entry("t_qscore_linear",
-      (s, dir) => t(s, dir, "documents")
+      // spread(): the per-token hash+lookup fold is O(tokens) CPU in
+      // the scan stage — single-task on the fixture's one-row-group
+      // file (0.90 s at 1 job in the r16 baseline, the t_lang_id
+      // shape); fanning the scan out moves it onto every core
+      (s, dir) => Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           aggregate(split(col("text"), " "), lit(QBias),
             (acc, tok) => acc +
