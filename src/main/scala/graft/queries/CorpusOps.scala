@@ -320,7 +320,11 @@ object CorpusOps {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("doc_id").orderBy("pos")
           .rowsBetween(Window.unboundedPreceding, -1)
-        t(s, dir, "documents")
+        // spread(): the positional explode + per-token md5 boundary
+        // hash run in the scan stage — single-task on the fixture's
+        // one-row-group file; fanning the scan out ran 0.60-0.76s ->
+        // 0.48-0.54s same-session best-of-3 (the t_lang_id shape)
+        Tables.spread(t(s, dir, "documents"))
           .select(col("doc_id"), posexplode(split(col("text"), " ")))
           .select(col("doc_id"), col("pos"), col("col").as("word"))
           .withColumn("is_b",

@@ -147,8 +147,10 @@ object MLRelational {
           Array(Array(1.0, -2.0, 3.0, -4.0), Array(2.0, 1.0, -1.0, 5.0)),
           "pc")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("pc")(0).as("pc1"), col("pc")(1).as("pc2"))
-        .orderBy("l_orderkey", "l_linenumber"),
+          col("pc")(0).as("pc1"), col("pc")(1).as("pc2")),
+      // no output sort: gate canonicalizes rows (the q15 note) — the
+      // range sort cost a sampling pass + exchange + evaluating the
+      // projection twice (the q41 note) on a 600k-row pure map
       Some("""SELECT l_orderkey, l_linenumber,
                      ((l_quantity * 1e0 + l_extendedprice * -2e0)
                        + l_discount * 3e0) + l_tax * -4e0 AS pc1,
